@@ -1,0 +1,92 @@
+"""Payload embedding + decoding for transcript ``text`` fields.
+
+Three payload kinds, mirroring the reference's DocumentFile entry points
+(`/root/reference/doctr/io/reader.py`):
+
+* ``<doc:html>...</doc:html>``  — an HTML fragment; decode = DOM heuristics
+  (boilerplate strip of header/footer/nav/script/style, block-element text
+  extraction) + the deterministic layout engine. Stand-in for
+  `DocumentFile.from_url` (html->weasyprint->pdf, `doctr/io/html.py:11-26`)
+  and the north rule's "HTML boilerplate strip / DOM heuristics".
+* ``<doc:img>BASE64</doc:img>`` — one packed page image
+  (`DocumentFile.from_images`, `doctr/io/image/base.py:16-54`).
+* ``<doc:pdf>BASE64</doc:pdf>`` — packed multi-page document
+  (`DocumentFile.from_pdf`, `doctr/io/pdf.py:16-43`).
+
+All decoding is vectorizable per turn inside Arrow UDF batches.
+"""
+
+from __future__ import annotations
+
+import base64
+import re
+
+import numpy as np
+
+from ..kernels.imgcodec import decode_multipage, decode_page, encode_multipage, encode_page
+from .layout import layout_paragraphs
+
+PAYLOAD_MARK = "<doc:"
+_PAYLOAD_RE = re.compile(r"<doc:(html|img|pdf)>(.*?)</doc:\1>", re.DOTALL)
+
+# DOM heuristics: furniture elements stripped before text extraction
+# (analogue of the reference's furniture filter, doctr/io/exporters.py:346-347)
+_BOILERPLATE_RE = re.compile(
+    r"<(header|footer|nav|script|style|aside)\b[^>]*>.*?</\1>", re.DOTALL | re.IGNORECASE
+)
+_BLOCK_RE = re.compile(r"<(p|h1|h2|h3|li|td|div)\b[^>]*>(.*?)</\1>", re.DOTALL | re.IGNORECASE)
+_TAG_RE = re.compile(r"<[^>]+>")
+
+
+def make_html_payload(paragraphs: list[list[str]], with_boilerplate: bool = True) -> str:
+    body = "".join(f"<p>{' '.join(words)}</p>" for words in paragraphs)
+    if with_boilerplate:
+        body = (
+            "<header>site nav chrome</header><nav><li>home</li></nav>"
+            + body
+            + "<footer>copyright footer</footer>"
+        )
+    return f"<doc:html><html><body>{body}</body></html></doc:html>"
+
+
+def make_img_payload(page: np.ndarray) -> str:
+    return "<doc:img>" + base64.b64encode(encode_page(page)).decode("ascii") + "</doc:img>"
+
+
+def make_pdf_payload(pages: list[np.ndarray]) -> str:
+    return "<doc:pdf>" + base64.b64encode(encode_multipage(pages)).decode("ascii") + "</doc:pdf>"
+
+
+def strip_boilerplate(html: str) -> str:
+    """Drop furniture subtrees (header/footer/nav/aside/script/style)."""
+    prev = None
+    while prev != html:
+        prev = html
+        html = _BOILERPLATE_RE.sub("", html)
+    return html
+
+
+def html_to_paragraphs(html: str) -> list[list[str]]:
+    """Main-content extraction: boilerplate strip -> block elements -> words."""
+    html = strip_boilerplate(html)
+    paragraphs = []
+    for _tag, inner in _BLOCK_RE.findall(html):
+        text = _TAG_RE.sub(" ", inner)
+        words = text.split()
+        if words:
+            paragraphs.append(words)
+    return paragraphs
+
+
+def decode_payload(text: str) -> list[np.ndarray]:
+    """Extract and decode every payload in a turn's text -> list of pages."""
+    pages: list[np.ndarray] = []
+    for kind, body in _PAYLOAD_RE.findall(text):
+        if kind == "html":
+            paragraphs = html_to_paragraphs(body)
+            pages.extend(p.canvas for p in layout_paragraphs(paragraphs))
+        elif kind == "img":
+            pages.append(decode_page(base64.b64decode(body)))
+        else:  # pdf
+            pages.extend(decode_multipage(base64.b64decode(body)))
+    return pages

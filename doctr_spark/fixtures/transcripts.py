@@ -1,0 +1,157 @@
+"""Deterministic multi-turn transcript generator (the F1 fixture).
+
+Produces the exact `input_hint` schema
+``(conv_id string, turn_idx int, role string, text string, tool string,
+ts timestamp)`` plus a ground-truth side table
+``(conv_id, turn_idx, gt_text, n_pages, n_words)`` computed at generation
+time from the layout engine — NOT by running the pipeline — so the
+end-to-end equality check is a genuine oracle.
+
+Generation is itself distributed (one task per conversation shard via
+``mapInPandas``), seeded per conversation, so any scale factor renders the
+same data regardless of partitioning. 1% of conversations are generated
+~50x longer than the median to exercise skew handling.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import numpy as np
+import pandas as pd
+
+from ..kernels.builder import render_document
+from ..kernels.vocab import ASCII_LOWER, ASCII_UPPER, DIGITS
+from .layout import layout_paragraphs
+from .payloads import make_html_payload, make_img_payload, make_pdf_payload
+
+_EPOCH = dt.datetime(2024, 1, 1)
+_WORD_CHARS = ASCII_LOWER + DIGITS
+_FANCY_CHARS = ASCII_LOWER + ASCII_UPPER + DIGITS + ".,:;!?"
+_ROLES = ("user", "assistant", "tool")
+_TOOLS = ("search", "browser", "python", "calculator")
+
+
+def _rand_word(rng: np.random.Generator) -> str:
+    r = rng.random()
+    if r < 0.02:  # aspect ratio > 8 -> exercises split_crops/merge_strings
+        n = int(rng.integers(33, 50))
+    else:
+        n = int(rng.integers(1, 13))
+    chars = _FANCY_CHARS if rng.random() < 0.05 else _WORD_CHARS
+    idx = rng.integers(0, len(chars), n)
+    return "".join(chars[i] for i in idx)
+
+
+def _rand_paragraphs(rng: np.random.Generator, max_paras: int = 4) -> list[list[str]]:
+    n_paras = int(rng.integers(1, max_paras + 1))
+    return [[_rand_word(rng) for _ in range(int(rng.integers(5, 31)))] for _ in range(n_paras)]
+
+
+def gen_conversation(
+    conv_no: int,
+    seed: int = 42,
+    payload_fraction: float = 0.4,
+    skew_fraction: float = 0.01,
+    skew_mult: int = 50,
+) -> tuple[list[dict], list[dict]]:
+    """Generate one conversation; returns (turn rows, ground-truth rows)."""
+    rng = np.random.default_rng([seed, conv_no])
+    conv_id = f"conv{conv_no:07d}"
+    n_turns = int(rng.integers(3, 11))
+    if rng.random() < skew_fraction:
+        n_turns *= skew_mult
+    start = _EPOCH + dt.timedelta(hours=conv_no % 100_000)
+
+    rows, gts = [], []
+    for t in range(n_turns):
+        role = _ROLES[t % 3]
+        tool = _TOOLS[int(rng.integers(0, len(_TOOLS)))] if role == "tool" else None
+        prose = " ".join(_rand_word(rng) for _ in range(int(rng.integers(3, 9))))
+        gt_text, n_pages, n_words = None, 0, 0
+        if rng.random() < payload_fraction:
+            kind = rng.random()
+            if kind < 0.01:  # blank page: the zero-detection path
+                pages = layout_paragraphs([])
+                payload = make_img_payload(pages[0].canvas)
+            elif kind < 0.5:
+                paragraphs = _rand_paragraphs(rng)
+                payload = make_html_payload(paragraphs)
+                pages = layout_paragraphs(paragraphs)  # decode replays this
+            elif kind < 0.75:
+                paragraphs = _rand_paragraphs(rng, max_paras=2)
+                pages = layout_paragraphs(paragraphs)[:1]
+                payload = make_img_payload(pages[0].canvas)
+            else:
+                paragraphs = _rand_paragraphs(rng)
+                pages = layout_paragraphs(paragraphs)
+                payload = make_pdf_payload([p.canvas for p in pages])
+            gt_text = render_document([p.gt_text for p in pages])
+            n_pages = len(pages)
+            n_words = sum(len(p.words) for p in pages)
+            text = f"{prose} {payload} {_rand_word(rng)}"
+        else:
+            text = prose
+        rows.append(
+            {
+                "conv_id": conv_id,
+                "turn_idx": t,
+                "role": role,
+                "text": text,
+                "tool": tool,
+                "ts": start + dt.timedelta(minutes=t),
+            }
+        )
+        if gt_text is not None:
+            gts.append(
+                {
+                    "conv_id": conv_id,
+                    "turn_idx": t,
+                    "gt_text": gt_text,
+                    "n_pages": n_pages,
+                    "n_words": n_words,
+                }
+            )
+    return rows, gts
+
+
+TRANSCRIPTS_SCHEMA = "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+GT_SCHEMA = "conv_id string, turn_idx int, gt_text string, n_pages int, n_words int"
+
+
+def generate_transcripts(spark, n_convs: int, seed: int = 42, with_gt: bool = False, parallelism: int | None = None):
+    """Distributed generation: returns transcripts_df (and gt_df if asked)."""
+    from pyspark.sql import functions as F  # noqa: N812
+
+    parallelism = parallelism or max(spark.sparkContext.defaultParallelism, 8)
+    base = spark.range(0, n_convs, 1, min(parallelism, max(1, n_convs))).withColumnRenamed("id", "conv_no")
+
+    _COLS = {
+        "rows": ["conv_id", "turn_idx", "role", "text", "tool", "ts"],
+        "gt": ["conv_id", "turn_idx", "gt_text", "n_pages", "n_words"],
+    }
+
+    def _gen(kind: str):
+        cols = _COLS[kind]
+
+        def fn(batches):
+            for pdf in batches:
+                all_rows = []
+                for conv_no in pdf["conv_no"].tolist():
+                    rows, gts = gen_conversation(int(conv_no), seed)
+                    all_rows.extend(gts if kind == "gt" else rows)
+                yield pd.DataFrame(all_rows, columns=cols)
+
+        return fn
+
+    tdf = base.mapInPandas(_gen("rows"), schema=TRANSCRIPTS_SCHEMA)
+    if not with_gt:
+        return tdf
+    gdf = base.mapInPandas(_gen("gt"), schema=GT_SCHEMA)
+    return tdf, gdf
+
+
+def n_convs_for_sf(sf: float) -> int:
+    """Scale-factor mapping used by entry()/bench: ~300 conversations per
+    0.01 sf (~2k turns, ~800 payload-bearing)."""
+    return max(8, int(round(sf * 30_000)))

@@ -1,0 +1,137 @@
+"""Recognition: crop -> (text, confidence), with wide-crop split/merge.
+
+* CTC best-path decode reimplements
+  `doctr/models/recognition/crnn/pytorch.py:56-93`: per-frame softmax, word
+  confidence = min over frames of the max class probability, best path =
+  framewise argmax collapsed by run-length then blank-stripped.
+* Wide-crop handling reimplements
+  `doctr/models/recognition/predictor/_utils.py:16-136` (split_crops /
+  remap_preds) and `doctr/models/recognition/utils.py:12-110`
+  (merge_strings / merge_multi_strings, Hamming-distance overlap alignment)
+  — pure python here, rapidfuzz is not available.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from ..config import GLYPH_H, MAX_ASPECT_RATIO, SPLIT_OVERLAP_RATIO, TARGET_ASPECT_RATIO
+from .glyphs import forward_logits
+from .vocab import DEFAULT_VOCAB, decode_sequence
+
+
+def ctc_best_path(logits: np.ndarray, vocab: str = DEFAULT_VOCAB) -> tuple[str, float]:
+    """(T, C+1) logits -> (word, confidence); blank index = len(vocab)."""
+    if logits.shape[0] == 0:
+        return "", 0.0
+    # stable softmax -> per-frame max prob; sequence confidence = min of those
+    shifted = logits - logits.max(axis=1, keepdims=True)
+    ex = np.exp(shifted)
+    probs = ex / ex.sum(axis=1, keepdims=True)
+    confidence = float(probs.max(axis=1).min())
+
+    path = logits.argmax(axis=1)
+    blank = len(vocab)
+    # run-length collapse, then drop blanks
+    keep = np.ones(path.shape[0], dtype=bool)
+    keep[1:] = path[1:] != path[:-1]
+    collapsed = path[keep]
+    chars = collapsed[collapsed != blank]
+    return decode_sequence(chars, vocab), confidence
+
+
+def _hamming(a: str, b: str) -> int:
+    return sum(x != y for x, y in zip(a, b))
+
+
+def merge_strings(a: str, b: str, overlap_ratio: float) -> str:
+    """Best-overlap merge of two split-crop predictions.
+
+    Same decision procedure as the reference
+    (`doctr/models/recognition/utils.py:12-69`): crop one uncertain edge char
+    from each side, score every candidate overlap length by Hamming
+    distance, prefer a unique zero-distance alignment, tie-break multiple
+    zeros (repeated characters) toward the overlap length the split geometry
+    predicts, and otherwise minimize distance + deviation from the expected
+    overlap.
+    """
+    if min(len(a), len(b)) <= 1:
+        return a + b
+    a_crop, b_crop = a[:-1], b[1:]
+    max_overlap = min(len(a_crop), len(b_crop))
+    scores = [_hamming(a_crop[-i:], b_crop[:i]) for i in range(1, max_overlap + 1)]
+    expected = round(len(b) * overlap_ratio) - 3
+
+    zeros = [i for i, s in enumerate(scores) if s == 0]
+    if len(zeros) == 1:
+        best = zeros[0]
+    elif zeros:
+        best = min(zeros, key=lambda i: abs(i - expected))
+    elif expected < -1:
+        return a + b
+    elif expected < 0:
+        return a_crop + b_crop
+    else:
+        combined = [s + abs(i - expected) for i, s in enumerate(scores)]
+        best = combined.index(min(combined))
+    return a_crop + b_crop[best + 1 :]
+
+
+def merge_multi_strings(parts: list[str], overlap_ratio: float, last_overlap_ratio: float) -> str:
+    """Left fold of merge_strings (`recognition/utils.py:72-110`)."""
+    if not parts:
+        return ""
+    out = parts[0]
+    for i in range(1, len(parts)):
+        ratio = last_overlap_ratio if i == len(parts) - 1 else overlap_ratio
+        out = merge_strings(out, parts[i], ratio)
+    return out
+
+
+def split_wide_crop(
+    crop: np.ndarray,
+    max_ratio: float = MAX_ASPECT_RATIO,
+    target_ratio: float = TARGET_ASPECT_RATIO,
+    overlap_ratio: float = SPLIT_OVERLAP_RATIO,
+) -> tuple[list[np.ndarray], float]:
+    """Split a crop wider than max_ratio*h into overlapping windows.
+
+    Returns (windows, last_overlap_ratio). Window width = ceil(h *
+    target_ratio), stride = width - floor(width * overlap_ratio), final
+    window right-aligned — the same geometry as the reference
+    `_split_horizontally` (`recognition/predictor/_utils.py:73-110`).
+    """
+    h, w = crop.shape[:2]
+    if w / h <= max_ratio:
+        return [crop], 0.0
+    split_width = max(1, math.ceil(h * target_ratio))
+    overlap_width = max(0, math.floor(split_width * overlap_ratio))
+    if w <= split_width:
+        return [crop], 0.0
+    step = split_width - overlap_width
+    starts = list(range(0, w - split_width + 1, step))
+    if starts[-1] + split_width < w:
+        starts.append(w - split_width)
+    windows = [crop[:, s : s + split_width] for s in starts]
+    last_overlap = 0.0
+    if len(starts) > 1:
+        last_overlap = (starts[-2] + split_width) - starts[-1]
+    return windows, (last_overlap / split_width if split_width else 0.0)
+
+
+def recognize_crop(crop: np.ndarray, vocab: str = DEFAULT_VOCAB) -> tuple[str, float]:
+    """Full recognition of one word crop: optional split -> forward -> CTC ->
+    merge. Mirrors `RecognitionPredictor.forward`
+    (`doctr/models/recognition/predictor/pytorch.py:44-85`)."""
+    if crop.shape[0] != GLYPH_H:
+        raise ValueError(f"expected {GLYPH_H}-px-tall crop, got {crop.shape}")
+    windows, last_overlap = split_wide_crop(crop)
+    preds = [ctc_best_path(forward_logits(w, vocab), vocab) for w in windows]
+    if len(preds) == 1:
+        return preds[0]
+    texts = [t for t, _ in preds]
+    confs = [c for _, c in preds]
+    merged = merge_multi_strings(texts, SPLIT_OVERLAP_RATIO, last_overlap)
+    return merged, float(sum(confs) / len(confs))

@@ -1,0 +1,54 @@
+"""Character vocabularies and string<->index codecs.
+
+Reimplements the vocab-composition and encode/decode semantics of
+`/root/reference/doctr/datasets/vocabs.py:11-60` and
+`/root/reference/doctr/datasets/utils.py:75-179`, restricted to ASCII
+alphabets (the glyph font encodes a vocab index in CODE_BITS=7 bits, so the
+working vocab must stay < 128 characters).
+"""
+
+from __future__ import annotations
+
+DIGITS = "0123456789"
+ASCII_LOWER = "abcdefghijklmnopqrstuvwxyz"
+ASCII_UPPER = ASCII_LOWER.upper()
+PUNCTUATION = "!\"#$%&'()*+,-./:;<=>?@[\\]^_`{|}~"
+
+VOCABS: dict[str, str] = {
+    "digits": DIGITS,
+    "ascii_letters": ASCII_LOWER + ASCII_UPPER,
+    "punctuation": PUNCTUATION,
+    # the engine default (94 chars, fits in 7 bits with room for blank)
+    "latin": DIGITS + ASCII_LOWER + ASCII_UPPER + PUNCTUATION,
+}
+
+DEFAULT_VOCAB = VOCABS["latin"]
+
+# CTC blank index convention follows the reference CRNN postprocessor:
+# blank = len(vocab) (`doctr/models/recognition/crnn/pytorch.py:93`).
+def blank_index(vocab: str = DEFAULT_VOCAB) -> int:
+    return len(vocab)
+
+
+_CHAR_TO_IDX = {c: i for i, c in enumerate(DEFAULT_VOCAB)}
+
+
+def encode_string(value: str, vocab: str = DEFAULT_VOCAB) -> list[int]:
+    """Map a string to vocab indices (reference `datasets/utils.py:75-96`).
+
+    Raises on out-of-vocab characters — the synthetic generators only emit
+    vocab characters, so an OOV here is a bug, not data noise.
+    """
+    if vocab is DEFAULT_VOCAB:
+        table = _CHAR_TO_IDX
+    else:
+        table = {c: i for i, c in enumerate(vocab)}
+    try:
+        return [table[c] for c in value]
+    except KeyError as e:
+        raise ValueError(f"character {e} not in vocab") from e
+
+
+def decode_sequence(indices, vocab: str = DEFAULT_VOCAB) -> str:
+    """Map vocab indices back to a string (reference `datasets/utils.py:99-119`)."""
+    return "".join(vocab[int(i)] for i in indices)
