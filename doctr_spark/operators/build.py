@@ -1,0 +1,88 @@
+"""Stage 4 — document reconstruction: word rows -> nested pages -> documents.
+
+Per-page assembly is an `applyInPandas` over ``(conv_id, turn_idx,
+page_idx)`` running the DocumentBuilder kernel (sort -> lines -> blocks ->
+nested export + render). Document assembly — ordering pages and folding the
+page renders with the reference's "\\n\\n\\n\\n" page separator — is pure
+native Spark (`collect_list` + `array_sort` + `concat_ws`), so it stays in
+whole-stage codegen.
+
+Group sizes are bounded by words-per-page (a few hundred), so this groupBy
+cannot skew regardless of conversation length.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F  # noqa: N812
+
+from ..kernels.builder import PAGE_BREAK, build_page
+
+PAGE_DOC_SCHEMA = (
+    "conv_id string, turn_idx int, page_idx int, n_words int, page_text string, page_json string"
+)
+
+
+def _make_builder(resolve_lines: bool, resolve_blocks: bool, paragraph_break: float):
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        conv_id = pdf["conv_id"].iloc[0]
+        turn_idx = int(pdf["turn_idx"].iloc[0])
+        page_idx = int(pdf["page_idx"].iloc[0])
+        dims = (int(pdf["page_h"].iloc[0]), int(pdf["page_w"].iloc[0]))
+        pdf = pdf[pdf["word_idx"] >= 0]
+        boxes = pdf[["xmin", "ymin", "xmax", "ymax"]].to_numpy()
+        page = build_page(
+            boxes,
+            pdf["score"].to_numpy(),
+            pdf["value"].tolist(),
+            pdf["confidence"].tolist(),
+            dims,
+            page_idx=page_idx,
+            do_resolve_lines=resolve_lines,
+            do_resolve_blocks=resolve_blocks,
+            paragraph_break=paragraph_break,
+        )
+        text = page.pop("text")
+        return pd.DataFrame(
+            [(conv_id, turn_idx, page_idx, int(boxes.shape[0]), text, json.dumps(page))],
+            columns=["conv_id", "turn_idx", "page_idx", "n_words", "page_text", "page_json"],
+        )
+
+    return fn
+
+
+def build_pages(
+    words: DataFrame,
+    resolve_lines: bool = True,
+    resolve_blocks: bool = False,
+    paragraph_break: float = 0.035,
+) -> DataFrame:
+    fn = _make_builder(resolve_lines, resolve_blocks, paragraph_break)
+    return words.groupBy("conv_id", "turn_idx", "page_idx").applyInPandas(fn, PAGE_DOC_SCHEMA)
+
+
+def assemble_documents(pages: DataFrame) -> DataFrame:
+    """Page rows -> one row per turn with the reference page-join fold."""
+    return (
+        pages.groupBy("conv_id", "turn_idx")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("page_idx", "page_text", "page_json", "n_words"))
+            ).alias("_pages")
+        )
+        .select(
+            "conv_id",
+            "turn_idx",
+            F.concat_ws(PAGE_BREAK, F.transform("_pages", lambda p: p["page_text"])).alias(
+                "extracted_text"
+            ),
+            F.size("_pages").alias("n_pages"),
+            F.aggregate(
+                F.transform("_pages", lambda p: p["n_words"]), F.lit(0), lambda a, b: a + b
+            ).alias("n_words"),
+            F.transform("_pages", lambda p: p["page_json"]).alias("pages_json"),
+        )
+    )

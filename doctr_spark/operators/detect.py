@@ -1,0 +1,60 @@
+"""Stage 2 — detection + crop explode: page rows -> word-crop rows.
+
+Fuses the reference's detection forward/postprocess
+(`doctr/models/detection/...`) with crop extraction
+(`doctr/models/predictor/base.py:163-196`) in one `mapInPandas` stage so the
+page bytes are read exactly once and never shuffled again. Output rows are
+keyed ``(conv_id, turn_idx, page_idx, word_idx)`` — the keyed-join
+replacement for the reference's positional flatten/re-split bookkeeping
+(`predictor/base.py:217-233`).
+
+Pages with zero detections emit one sentinel row (word_idx = -1, null crop)
+so the builder stage still materializes the empty page without a second
+scan of the decode output.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from ..kernels.detection import detect_words, extract_crops
+from ..kernels.imgcodec import decode_page, encode_page
+
+CROPS_SCHEMA = (
+    "conv_id string, turn_idx int, page_idx int, page_h int, page_w int, "
+    "word_idx int, xmin double, ymin double, xmax double, ymax double, "
+    "score double, crop binary"
+)
+_COLS = [
+    "conv_id", "turn_idx", "page_idx", "page_h", "page_w",
+    "word_idx", "xmin", "ymin", "xmax", "ymax", "score", "crop",
+]  # fmt: skip
+
+
+def _detect_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = []
+        for conv_id, turn_idx, page_idx, page_h, page_w, blob in zip(
+            pdf["conv_id"], pdf["turn_idx"], pdf["page_idx"], pdf["page_h"], pdf["page_w"], pdf["page"]
+        ):
+            key = (conv_id, int(turn_idx), int(page_idx), int(page_h), int(page_w))
+            img = decode_page(bytes(blob))
+            abs_boxes, rel_boxes, scores = detect_words(img)
+            if abs_boxes.shape[0] == 0:
+                rows.append(key + (-1, 0.0, 0.0, 0.0, 0.0, 0.0, None))
+                continue
+            crops = extract_crops(img, abs_boxes)
+            for w_idx, (rel, score, crop) in enumerate(zip(rel_boxes, scores, crops)):
+                rows.append(
+                    key
+                    + (w_idx, float(rel[0]), float(rel[1]), float(rel[2]), float(rel[3]),
+                       float(score), encode_page(crop))
+                )  # fmt: skip
+        yield pd.DataFrame(rows, columns=_COLS)
+
+
+def detect_and_crop(pages: DataFrame) -> DataFrame:
+    return pages.mapInPandas(_detect_batches, schema=CROPS_SCHEMA)

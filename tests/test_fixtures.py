@@ -1,0 +1,64 @@
+import numpy as np
+
+from doctr_spark.fixtures.layout import layout_paragraphs, layout_two_columns
+from doctr_spark.fixtures.payloads import (
+    decode_payload,
+    html_to_paragraphs,
+    make_html_payload,
+    make_img_payload,
+    make_pdf_payload,
+    strip_boilerplate,
+)
+from doctr_spark.fixtures.transcripts import gen_conversation
+from doctr_spark.kernels.imgcodec import decode_multipage, decode_page, encode_multipage, encode_page
+
+
+def test_imgcodec_roundtrip():
+    img = (np.arange(256 * 64) % 251).astype(np.uint8).reshape(64, 256)
+    assert (decode_page(encode_page(img)) == img).all()
+    pages = [img, img[::2]]
+    back = decode_multipage(encode_multipage(pages))
+    assert len(back) == 2 and (back[1] == img[::2]).all()
+
+
+def test_strip_boilerplate_removes_furniture():
+    html = "<body><header>x</header><nav><li>h</li></nav><p>keep me</p><footer>y</footer></body>"
+    assert html_to_paragraphs(html) == [["keep", "me"]]
+    assert "header" not in strip_boilerplate(html)
+
+
+def test_html_payload_roundtrip():
+    paras = [["alpha", "beta"], ["gamma"]]
+    pages = decode_payload("prefix " + make_html_payload(paras) + " suffix")
+    expected = layout_paragraphs(paras)
+    assert len(pages) == len(expected)
+    assert all((a == b.canvas).all() for a, b in zip(pages, expected))
+
+
+def test_img_pdf_payload_roundtrip():
+    expected = layout_paragraphs([["one", "two", "three"]])
+    img_pages = decode_payload(make_img_payload(expected[0].canvas))
+    assert (img_pages[0] == expected[0].canvas).all()
+    pdf_pages = decode_payload(make_pdf_payload([p.canvas for p in expected]))
+    assert len(pdf_pages) == len(expected)
+
+
+def test_layout_gt_structure():
+    pages = layout_paragraphs([["a", "b"], ["c"]])
+    assert pages[0].gt_text == "a b\nc"
+    tc = layout_two_columns(["l1", "l2"], ["r1", "r2"])
+    assert tc.gt_text.splitlines()[0] == "l1 l2"
+
+
+def test_generator_deterministic_and_skewed():
+    r1, g1 = gen_conversation(7, seed=42)
+    r2, g2 = gen_conversation(7, seed=42)
+    assert r1 == r2 and g1 == g2
+    r3, _ = gen_conversation(7, seed=43)
+    assert r3 != r1
+    # schema shape
+    row = r1[0]
+    assert list(row) == ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    # find at least one skewed conversation in a window
+    lengths = [len(gen_conversation(i)[0]) for i in range(300)]
+    assert max(lengths) > 50  # ~1% skew at 50x

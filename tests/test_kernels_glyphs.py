@@ -1,0 +1,52 @@
+import numpy as np
+import pytest
+
+from doctr_spark.config import GLYPH_H, GLYPH_W, INK
+from doctr_spark.kernels.glyphs import draw_word, forward_logits, read_codes, word_width
+from doctr_spark.kernels.vocab import DEFAULT_VOCAB, VOCABS, blank_index, decode_sequence, encode_string
+
+
+def test_vocab_fits_code_bits():
+    assert len(DEFAULT_VOCAB) < 128
+    assert len(set(DEFAULT_VOCAB)) == len(DEFAULT_VOCAB)
+    assert VOCABS["latin"] == DEFAULT_VOCAB
+
+
+def test_encode_decode_roundtrip():
+    s = "Hello,W0rld!"
+    assert decode_sequence(encode_string(s)) == s
+    with pytest.raises(ValueError):
+        encode_string("space not in vocab ")
+
+
+def test_draw_read_roundtrip():
+    canvas = np.zeros((64, 256), dtype=np.uint8)
+    box = draw_word(canvas, 8, 8, "spark123")
+    assert box == (8, 8, 8 + word_width("spark123"), 8 + GLYPH_H)
+    crop = canvas[box[1] : box[3], box[0] : box[2]]
+    assert decode_sequence(read_codes(crop)) == "spark123"
+    # ink bbox is exactly the word box
+    ys, xs = np.nonzero(canvas)
+    assert (xs.min(), ys.min(), xs.max() + 1, ys.max() + 1) == box
+    assert canvas.max() == INK
+
+
+def test_read_codes_skips_partial_cells():
+    canvas = np.zeros((GLYPH_H, 40), dtype=np.uint8)
+    draw_word(canvas, 0, 0, "abcde")
+    full = canvas[:, : word_width("abcde")]
+    # truncated tail cell (not a full GLYPH_W) is ignored
+    assert decode_sequence(read_codes(full[:, :-2])) == "abcd"
+    # a damaged marker bar invalidates that cell only
+    damaged = full.copy()
+    damaged[3, 2 * GLYPH_W] = 0  # break 'c' marker
+    assert decode_sequence(read_codes(damaged)) == "abde"
+
+
+def test_forward_logits_ctc_shape():
+    canvas = np.zeros((GLYPH_H, 40), dtype=np.uint8)
+    draw_word(canvas, 0, 0, "aabb")
+    logits = forward_logits(canvas[:, : word_width("aabb")])
+    assert logits.shape == (12, len(DEFAULT_VOCAB) + 1)
+    # blank frames between repeated chars are present
+    assert logits[2].argmax() == blank_index()
