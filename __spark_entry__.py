@@ -1,38 +1,148 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract for the doctr_spark engine.
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship extraction (detection -> recognition ->
+reconstruction over payload-bearing transcripts derived from the sf0.001
+documents table). ``queries()`` exposes every implemented operator;
+``oracle_sql()`` gives the DuckDB twin for each SQL-expressible one —
+including the flagship OCR pipeline itself, whose expected per-turn output
+is a pure string transformation of the source documents.
 """
 
 from __future__ import annotations
 
+import re
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F  # noqa: N812
+
+from doctr_spark.io.sources import transcripts_from_documents
+from doctr_spark.operators import dedup, relational, similarity, text_analysis
+from doctr_spark.operators.decode import decode_pages
+from doctr_spark.operators.multimodal import media_metadata
+from doctr_spark.operators.pipeline import extract_documents
+
+# ---------------------------------------------------------------------------
+# OCR pipeline queries
+# ---------------------------------------------------------------------------
+
+_FLAGSHIP_ORACLE = """
+SELECT source AS conv_id,
+       (ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) - 1)::INT AS turn_idx,
+       trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                           ' +', ' ', 'g')) AS flat_text
+FROM documents
+"""
+
+_WORD_STATS_ORACLE = """
+WITH c AS (
+    SELECT source AS conv_id,
+           (ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) - 1)::INT AS turn_idx,
+           trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                               ' +', ' ', 'g')) AS cleaned
+    FROM documents
+)
+SELECT conv_id, turn_idx,
+       (CASE WHEN cleaned = '' THEN 0 ELSE len(string_split(cleaned, ' ')) END)::BIGINT AS n_words
+FROM c
+"""
+
+
+def ocr_extract_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: full OCR pipeline over documents-derived transcripts; the
+    flattened text must equal the cleaned source token stream."""
+    t = transcripts_from_documents(spark, sf_dir)
+    docs = extract_documents(t)
+    return docs.select(
+        "conv_id",
+        "turn_idx",
+        F.regexp_replace("extracted_text", "\n+", " ").alias("flat_text"),
+    )
+
+
+def ocr_word_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = transcripts_from_documents(spark, sf_dir)
+    docs = extract_documents(t)
+    return docs.select("conv_id", "turn_idx", F.col("n_words").cast("long").alias("n_words"))
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else 0.01
+
+
+def ocr_extract_synthetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native synthetic transcripts (skewed conversations, img/pdf/html
+    payloads, multi-page docs, wide-word split path). Not SQL-expressible —
+    covered by the pytest golden-equality suite instead."""
+    from doctr_spark.fixtures.transcripts import generate_transcripts, n_convs_for_sf
+
+    tdf = generate_transcripts(spark, n_convs_for_sf(_sf_from_dir(sf_dir)))
+    return extract_documents(tdf).select(
+        "conv_id", "turn_idx", "extracted_text", "n_pages", "n_words"
+    )
+
+
+def ocr_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary page column -> typed metadata + features."""
+    from doctr_spark.fixtures.transcripts import generate_transcripts
+
+    tdf = generate_transcripts(spark, 50)
+    return media_metadata(decode_pages(tdf))
+
+
+# ---------------------------------------------------------------------------
+# contract
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001; driver checks rows > 0."""
+    return ocr_extract_documents(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        # OCR pipeline
+        "ocr_extract_documents": ocr_extract_documents,
+        "ocr_word_stats": ocr_word_stats,
+        "ocr_extract_synthetic": ocr_extract_synthetic,
+        "ocr_media_metadata": ocr_media_metadata,
+        # dedup suite
+        "dedup_exact": dedup.exact_dedup,
+        "dedup_minhash": dedup.minhash_signatures,
+        "dedup_minhash_lsh_pairs": dedup.minhash_lsh_pairs,
+        "dedup_simhash": dedup.simhash,
+        "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
+        # similarity search
+        "similarity_cosine_topk": similarity.cosine_topk,
+        "similarity_lsh_ann": similarity.lsh_bucket_ann,
+        "similarity_near_dups": similarity.embedding_near_dups,
+        # text analysis
+        "text_stats": text_analysis.text_stats,
+        "text_lang_id": text_analysis.lang_id,
+        "text_token_count": text_analysis.token_count_bpe,
+        "text_fingerprint": text_analysis.fingerprint,
+        "text_match_rates": text_analysis.match_rates,
+        # relational / window
+        "rel_pricing_summary": relational.pricing_summary,
+        "rel_top_customers": relational.top_customers,
+        "rel_events_sessionize": relational.events_sessionize,
+        "rel_events_topk": relational.events_topk,
+        "rel_bbox_aggregate": relational.bbox_aggregate,
+    }
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    oracles: dict[str, str] = {
+        "ocr_extract_documents": _FLAGSHIP_ORACLE,
+        "ocr_word_stats": _WORD_STATS_ORACLE,
+        # ocr_extract_synthetic / ocr_media_metadata: non-SQL-expressible
+        # (full raster pipeline); validated by tests/test_pipeline_spark.py
+    }
+    oracles.update(dedup.ORACLES)
+    oracles.update(similarity.ORACLES)
+    oracles.update(text_analysis.ORACLES)
+    oracles.update(relational.ORACLES)
+    return oracles

@@ -1,0 +1,91 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+
+The headline workload is the flagship extraction pipeline (the north-rule
+metric is end-to-end turns/sec) plus the heaviest analytics operators.
+`tools/scaling_report.py` runs this same workload at two parallelism
+levels for the N -> 4N scaling-efficiency evidence.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def run_bench(sf_dir: str, cpus: str, shuffle_partitions: int | None = None) -> dict:
+    from doctr_spark.fixtures.transcripts import generate_transcripts, n_convs_for_sf
+    from doctr_spark.io.sources import transcripts_from_documents
+    from doctr_spark.operators import dedup, similarity
+    from doctr_spark.operators.pipeline import extract_documents
+    from doctr_spark.session import get_spark
+
+    n_cores = int(cpus) if str(cpus).isdigit() else (os.cpu_count() or 8)
+    spark = get_spark(
+        master=f"local[{cpus}]",
+        app_name=f"doctr_spark_bench_{cpus}",
+        shuffle_partitions=shuffle_partitions or max(2 * n_cores, 16),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import re
+
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else 0.1
+    n_convs = n_convs_for_sf(sf)
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        return out
+
+    # q1: flagship extraction over documents-derived transcripts
+    n_doc_turns = timed(
+        "q1_ocr_documents",
+        lambda: extract_documents(transcripts_from_documents(spark, sf_dir)).count(),
+    )
+    # q2: extraction over native synthetic transcripts (skew + multi-page)
+    tdf = generate_transcripts(spark, n_convs)
+    n_turns_total = tdf.count()
+    n_syn_turns = timed(
+        "q2_ocr_synthetic",
+        lambda: extract_documents(tdf).count(),
+    )
+    # q3: minhash-LSH near-dup pairs
+    timed("q3_dedup_minhash_lsh", lambda: dedup.minhash_lsh_pairs(spark, sf_dir).count())
+    # q4: brute-force cosine top-k
+    timed("q4_similarity_topk", lambda: similarity.cosine_topk(spark, sf_dir).count())
+    # q5: simhash
+    timed("q5_dedup_simhash", lambda: dedup.simhash(spark, sf_dir).count())
+
+    total = round(sum(timings.values()), 3)
+    ocr_sec = timings["q1_ocr_documents"] + timings["q2_ocr_synthetic"]
+    extracted_turns = n_doc_turns + n_syn_turns
+    extras["turns_per_sec"] = round(extracted_turns / ocr_sec, 2)
+    extras["extracted_turns"] = extracted_turns
+    extras["total_turns_scanned"] = n_turns_total + n_doc_turns
+    spark.stop()
+
+    return {
+        "metric": "headline_suite_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": n_cores,
+        **extras,
+    }
+
+
+if __name__ == "__main__":
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    result = run_bench(sf_dir, cpus)
+    print(json.dumps(result))
+    sys.stdout.flush()

@@ -47,9 +47,19 @@ def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame(rows, columns=_COLS)
 
 
-def decode_pages(transcripts: DataFrame) -> DataFrame:
-    """(conv_id, turn_idx, ..., text, ...) -> one row per decoded page."""
+def decode_pages(transcripts: DataFrame, num_partitions: int | None = None) -> DataFrame:
+    """(conv_id, turn_idx, ..., text, ...) -> one row per decoded page.
+
+    The payload turns are explicitly hash-repartitioned before the UDF:
+    payload text is tiny in bytes but minutes-per-MB in decode cost, so the
+    scan's file-split parallelism (or an AQE-coalesced shuffle) is the wrong
+    partitioning for this stage — without this, a small input collapses the
+    whole decode onto a couple of tasks.
+    """
     src = transcripts.where(F.col("text").contains(PAYLOAD_MARK)).select(
         "conv_id", "turn_idx", "text"
     )
+    if num_partitions is None:
+        num_partitions = transcripts.sparkSession.sparkContext.defaultParallelism * 2
+    src = src.repartition(num_partitions, F.xxhash64("conv_id", "turn_idx"))
     return src.mapInPandas(_decode_batches, schema=PAGES_SCHEMA)

@@ -1,0 +1,78 @@
+"""Multimodal column plumbing: opaque binary media + typed metadata.
+
+Image/audio/video payloads are carried as `binary` columns with struct
+metadata; decode / feature-extract run as Arrow-batched `mapInPandas`
+kernels. The page-image codec is real (it is the engine's own raster
+format); the generic media decoders (JPEG/PNG/audio) are STUBBED — the
+container has no imaging/audio libraries — behind `NotImplementedError`
+with a deterministic fake used for tests, so the Spark-side schema,
+batching, and partitioning are real and tested while the codec swap-in is
+a one-function change.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from ..kernels.imgcodec import decode_page
+
+MEDIA_META_SCHEMA = (
+    "conv_id string, turn_idx int, page_idx int, media_kind string, "
+    "height int, width int, n_bytes long, ink_ratio double, feature array<double>"
+)
+_COLS = ["conv_id", "turn_idx", "page_idx", "media_kind", "height", "width", "n_bytes", "ink_ratio", "feature"]
+
+N_FEATURES = 8
+
+
+def decode_media(blob: bytes, kind: str) -> np.ndarray:
+    """Decode an opaque media blob to a dense array.
+
+    Only the engine's own page raster is implemented; real codecs plug in
+    here (cv2.imdecode / soundfile / pyav) when available.
+    """
+    if kind == "page":
+        return decode_page(blob)
+    raise NotImplementedError(
+        f"media kind {kind!r}: no codec in this container (stub per SURVEY.md §2.1)"
+    )
+
+
+def extract_features(img: np.ndarray, n: int = N_FEATURES) -> np.ndarray:
+    """Deterministic feature extraction: column-band mean-pool — the
+    vectorized stand-in for an embedding model forward."""
+    h, w = img.shape
+    bands = np.array_split(np.arange(w), n)
+    return np.array([float(img[:, b].mean()) / 255.0 for b in bands])
+
+
+def _meta_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = []
+        for conv_id, turn_idx, page_idx, blob in zip(
+            pdf["conv_id"], pdf["turn_idx"], pdf["page_idx"], pdf["page"]
+        ):
+            img = decode_media(bytes(blob), "page")
+            rows.append(
+                (
+                    conv_id,
+                    int(turn_idx),
+                    int(page_idx),
+                    "page",
+                    img.shape[0],
+                    img.shape[1],
+                    len(blob),
+                    float((img > 0).mean()),
+                    extract_features(img).tolist(),
+                )
+            )
+        yield pd.DataFrame(rows, columns=_COLS)
+
+
+def media_metadata(pages: DataFrame) -> DataFrame:
+    """Page rows (from operators.decode) -> typed media metadata + features."""
+    return pages.mapInPandas(_meta_batches, schema=MEDIA_META_SCHEMA)

@@ -1,0 +1,169 @@
+"""Relational/analytic operators over the TPC-H-ish testdata tables.
+
+These exercise the engine surfaces the extraction job leans on — hash
+aggregation with map-side combine, broadcast joins, window functions, and
+session (gap-break) windows, which are the analytic twins of the builder's
+geometry heuristics (`_resolve_sub_lines` gap-split == sessionize;
+`resolve_enclosing_bbox` == min/max group fold).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F  # noqa: N812
+
+SESSION_GAP_MIN = 30
+
+
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary (group agg with partial aggregation)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").cast("long").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by customer nation: fact table joined to two broadcast dims."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    return (
+        orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+            F.count("*").cast("long").alias("n_orders"),
+        )
+    )
+
+
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-break sessionization: a new session starts when the time since
+    the user's previous event exceeds SESSION_GAP_MIN minutes — the exact
+    window-function analogue of the builder's sub-line gap split."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # parquet timestamps load as TIMESTAMP_NTZ: route through LTZ (session tz
+    # pinned to UTC in the session factory) to get epoch seconds
+    epoch = F.col("ts").cast("timestamp_ltz").cast("long")
+    gap = epoch - F.lag(epoch).over(w)
+    with_break = ev.withColumn(
+        "is_break", F.when(gap.isNull() | (gap > SESSION_GAP_MIN * 60), 1).otherwise(0)
+    )
+    sessions = with_break.withColumn(
+        "session_id", F.sum("is_break").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        sessions.groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("session_value"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+def events_topk(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    """Top-k events per user by value (window row_number)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        ev.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("user_id", "event_id", "value", "rank")
+    )
+
+
+def bbox_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`resolve_enclosing_bbox` as a Spark aggregation
+    (`doctr/utils/geometry.py:128-147`): synthetic boxes derived
+    deterministically from events, folded to the per-user enclosing box."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    x0 = (F.col("event_id") * 37 % 1000) / 1000.0
+    y0 = (F.col("event_id") * 73 % 1000) / 1000.0
+    boxes = ev.select(
+        "user_id",
+        x0.alias("x0"),
+        y0.alias("y0"),
+        (x0 + 0.05).alias("x1"),
+        (y0 + 0.02).alias("y1"),
+    )
+    return boxes.groupBy("user_id").agg(
+        F.min("x0").alias("xmin"),
+        F.min("y0").alias("ymin"),
+        F.max("x1").alias("xmax"),
+        F.max("y1").alias("ymax"),
+        F.count("*").cast("long").alias("n_boxes"),
+    )
+
+
+ORACLES: dict[str, str] = {
+    "rel_pricing_summary": """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 4) AS sum_qty,
+           round(sum(l_extendedprice), 4) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+           round(avg(l_quantity), 6) AS avg_qty,
+           round(avg(l_discount), 6) AS avg_disc,
+           count(*)::BIGINT AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    "rel_top_customers": """
+    SELECT n_name, round(sum(o_totalprice), 4) AS revenue, count(*)::BIGINT AS n_orders
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+    "rel_events_sessionize": f"""
+    WITH g AS (
+        SELECT user_id, event_id, value, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR date_diff('second', lag(ts) OVER w, ts) > {SESSION_GAP_MIN * 60}
+                    THEN 1 ELSE 0 END AS is_break
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+        SELECT user_id, value,
+               sum(is_break) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM g
+    )
+    SELECT user_id, session_id::BIGINT AS session_id, count(*)::BIGINT AS n_events,
+           round(sum(value), 4) AS session_value
+    FROM s GROUP BY user_id, session_id
+    """,
+    "rel_events_topk": """
+    SELECT user_id, event_id, value, rank::INT AS rank FROM (
+        SELECT user_id, event_id, value,
+               row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS rank
+        FROM events
+    ) WHERE rank <= 3
+    """,
+    "rel_bbox_aggregate": """
+    WITH b AS (
+        SELECT user_id,
+               (event_id * 37 % 1000) / 1000.0 AS x0,
+               (event_id * 73 % 1000) / 1000.0 AS y0
+        FROM events
+    )
+    SELECT user_id, min(x0) AS xmin, min(y0) AS ymin,
+           max(x0 + 0.05) AS xmax, max(y0 + 0.02) AS ymax,
+           count(*)::BIGINT AS n_boxes
+    FROM b GROUP BY user_id
+    """,
+}

@@ -1,0 +1,166 @@
+"""Text-analysis operators over the `documents` table.
+
+All native Spark column expressions (JVM-side, codegen'd) with DuckDB
+oracle twins: quality scoring, language-ID heuristic, BPE-ish token
+counting, rolling-hash fingerprinting, and the TextMatch-style match-rate
+aggregation (reference `doctr/utils/metrics.py:46-124` computes raw /
+caseless / unicase match rates; anyascii folding is skipped — no anyascii
+in this container and no non-ASCII in the corpus).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F  # noqa: N812
+
+# language-ID heuristic: marker-token hit counts per language
+_LANG_MARKERS = {
+    "en": ["the", "and", "with", "for"],
+    "query": ["query", "scan", "join", "filter"],
+    "data": ["data", "row", "table", "batch"],
+}
+
+# BPE-ish tokenization: letter runs, digit runs, or single non-space symbols
+_BPE_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-scoring features: lengths, token stats, stopword ratio."""
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin("the", "a", "and", "of")))
+    return d.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars_actual"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.round(F.length("text") / F.size(toks), 4).alias("avg_token_len"),
+        F.round(stop_hits / F.size(toks), 4).alias("stopword_ratio"),
+    )
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram/marker-token language-ID heuristic (stand-in for the
+    reference's langdetect call, `doctr/models/_utils.py:202-218`):
+    predicted class = argmax of marker hits, ties broken lexicographically."""
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    scores = [
+        F.struct(
+            F.size(F.filter(toks, lambda t: t.isin(*words))).alias("hits"),
+            F.lit(lang).alias("lang"),
+        )
+        for lang, words in sorted(_LANG_MARKERS.items())
+    ]
+    # argmax by (hits, lang): array_max on structs compares fields in order;
+    # invert lang ordering is unnecessary — ties pick the max lang name, so
+    # mirror exactly in SQL
+    best = F.array_max(F.array(*scores))
+    return d.select(
+        "doc_id",
+        best["lang"].alias("pred_lang"),
+        best["hits"].cast("long").alias("marker_hits"),
+    )
+
+
+def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting with a BPE-ish regex (letter runs / digit runs /
+    symbols) plus whitespace token count."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_BPE_RE), 0)).cast("long").alias("bpe_tokens"),
+    )
+
+
+def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: minimum rolling (shingle) hash — the
+    winnowing-style content signature used for fuzzy identity."""
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    sh = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, 3)),
+    )
+    return d.select(
+        "doc_id",
+        F.array_min(F.transform(sh, F.md5)).alias("fingerprint"),
+    )
+
+
+def match_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextMatch-style aggregation: raw + caseless exact-match rates between
+    text and a deterministically mutated variant (upper-cased for even
+    doc_ids), grouped by source."""
+    d = _docs(spark, sf_dir)
+    variant = F.when(F.col("doc_id") % 2 == 0, F.upper(F.col("text"))).otherwise(F.col("text"))
+    return (
+        d.withColumn("variant", variant)
+        .groupBy("source")
+        .agg(
+            F.round(F.avg((F.col("text") == F.col("variant")).cast("int")), 6).alias("raw_rate"),
+            F.round(
+                F.avg((F.lower(F.col("text")) == F.lower(F.col("variant"))).cast("int")), 6
+            ).alias("caseless_rate"),
+            F.count("*").cast("long").alias("n"),
+        )
+    )
+
+
+def _marker_sql(words: list[str]) -> str:
+    lst = ", ".join(f"'{w}'" for w in words)
+    return f"len(list_filter(string_split(text, ' '), t -> t IN ({lst})))"
+
+
+_LANG_STRUCTS = ", ".join(
+    "{'hits': " + _marker_sql(words) + f", 'lang': '{lang}'" + "}"
+    for lang, words in sorted(_LANG_MARKERS.items())
+)
+
+ORACLES: dict[str, str] = {
+    "text_stats": """
+    SELECT doc_id,
+           len(text)::BIGINT AS n_chars_actual,
+           len(string_split(text, ' '))::BIGINT AS n_tokens,
+           round(len(text) / len(string_split(text, ' ')), 4) AS avg_token_len,
+           round(len(list_filter(string_split(text, ' '), t -> t IN ('the','a','and','of')))
+                 / len(string_split(text, ' ')), 4) AS stopword_ratio
+    FROM documents
+    """,
+    "text_lang_id": f"""
+    WITH scored AS (
+        SELECT doc_id, list_max([{_LANG_STRUCTS}]) AS best FROM documents
+    )
+    SELECT doc_id, best.lang AS pred_lang, best.hits::BIGINT AS marker_hits FROM scored
+    """,
+    "text_token_count": f"""
+    SELECT doc_id,
+           len(string_split(text, ' '))::BIGINT AS ws_tokens,
+           len(regexp_extract_all(text, '{_BPE_RE}'))::BIGINT AS bpe_tokens
+    FROM documents
+    """,
+    "text_fingerprint": """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents)
+    SELECT doc_id,
+           list_min(list_transform(range(1, greatest(len(ts) - 2, 1) + 1),
+                    i -> md5(ts[i] || CASE WHEN ts[i+1] IS NULL THEN '' ELSE ' ' || ts[i+1] END
+                             || CASE WHEN ts[i+2] IS NULL THEN '' ELSE ' ' || ts[i+2] END))) AS fingerprint
+    FROM toks
+    """,
+    "text_match_rates": """
+    WITH v AS (
+        SELECT source, text,
+               CASE WHEN doc_id % 2 = 0 THEN upper(text) ELSE text END AS variant
+        FROM documents
+    )
+    SELECT source,
+           round(avg((text = variant)::INT), 6) AS raw_rate,
+           round(avg((lower(text) = lower(variant))::INT), 6) AS caseless_rate,
+           count(*)::BIGINT AS n
+    FROM v GROUP BY source
+    """,
+}

@@ -1,0 +1,54 @@
+"""Resumable checkpointed execution: manifest anti-join on restart."""
+
+import pytest
+from pyspark.sql import functions as F  # noqa: N812
+
+from doctr_spark.fixtures.transcripts import generate_transcripts
+from doctr_spark.operators.pipeline import extract_documents
+from doctr_spark.streaming.incremental import completed_buckets, run_checkpointed
+
+
+@pytest.fixture(scope="module")
+def transcripts(spark):
+    return generate_transcripts(spark, 12)
+
+
+def test_checkpoint_resume(spark, transcripts, tmp_path):
+    out = str(tmp_path / "out")
+    manifest = str(tmp_path / "manifest")
+    n_buckets = 4
+
+    # first run crashes after 2 buckets
+    done1 = run_checkpointed(spark, transcripts, out, manifest, n_buckets=n_buckets, fail_after=2)
+    assert done1 == 2
+    assert len(completed_buckets(spark, manifest)) == 2
+
+    # resume: only the remaining buckets run
+    done2 = run_checkpointed(spark, transcripts, out, manifest, n_buckets=n_buckets)
+    assert done2 == n_buckets - 2
+    assert sorted(completed_buckets(spark, manifest)) == list(range(n_buckets))
+
+    # checkpointed output == single-shot output
+    full = extract_documents(transcripts)
+    chunked = spark.read.parquet(out)
+    assert chunked.count() == full.count()
+    diff = (
+        chunked.select("conv_id", "turn_idx", "extracted_text")
+        .exceptAll(full.select("conv_id", "turn_idx", "extracted_text"))
+        .count()
+    )
+    assert diff == 0
+
+    # manifest carries lineage + metrics
+    m = spark.read.parquet(manifest)
+    row = m.first()
+    assert row["status"] == "done"
+    assert row["run_id"] is not None
+    assert m.agg(F.sum("n_turns")).first()[0] == full.count()
+
+
+def test_rerun_is_noop(spark, transcripts, tmp_path):
+    out = str(tmp_path / "out")
+    manifest = str(tmp_path / "manifest")
+    run_checkpointed(spark, transcripts, out, manifest, n_buckets=2)
+    assert run_checkpointed(spark, transcripts, out, manifest, n_buckets=2) == 0

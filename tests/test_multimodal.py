@@ -1,0 +1,38 @@
+import numpy as np
+import pytest
+
+from doctr_spark.fixtures.layout import layout_paragraphs
+from doctr_spark.fixtures.transcripts import generate_transcripts
+from doctr_spark.kernels.imgcodec import encode_page
+from doctr_spark.operators.decode import decode_pages
+from doctr_spark.operators.multimodal import N_FEATURES, decode_media, extract_features, media_metadata
+
+
+def test_decode_media_page_kind():
+    img = layout_paragraphs([["hello"]])[0].canvas
+    assert (decode_media(encode_page(img), "page") == img).all()
+
+
+def test_decode_media_unknown_kind_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        decode_media(b"\x00", "jpeg")
+
+
+def test_extract_features_deterministic():
+    img = layout_paragraphs([["hello", "world"]])[0].canvas
+    f1 = extract_features(img)
+    assert f1.shape == (N_FEATURES,)
+    assert (f1 == extract_features(img)).all()
+    assert f1.max() <= 1.0 and f1.min() >= 0.0
+    assert f1.sum() > 0  # ink present
+
+
+def test_media_metadata_spark(spark):
+    tdf = generate_transcripts(spark, 10)
+    meta = media_metadata(decode_pages(tdf)).collect()
+    assert len(meta) > 0
+    for r in meta:
+        assert r["media_kind"] == "page"
+        assert r["height"] > 0 and r["width"] > 0
+        assert len(r["feature"]) == N_FEATURES
+        assert 0.0 <= r["ink_ratio"] < 0.5
