@@ -66,6 +66,43 @@ def ocr_word_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("conv_id", "turn_idx", F.col("n_words").cast("long").alias("n_words"))
 
 
+_KIE_ORACLE = """
+WITH c AS (
+    SELECT source AS conv_id,
+           (ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) - 1)::INT AS turn_idx,
+           string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                             ' +', ' ', 'g')), ' ') AS toks
+    FROM documents
+)
+SELECT conv_id, turn_idx,
+       len(list_filter(toks, t -> regexp_full_match(t, '[0-9]+')))::BIGINT AS n_number,
+       len(list_filter(toks, t -> regexp_full_match(t, '[a-z]+')))::BIGINT AS n_alpha,
+       len(list_filter(toks, t -> NOT regexp_full_match(t, '[0-9]+')
+                                  AND NOT regexp_full_match(t, '[a-z]+')))::BIGINT AS n_mixed
+FROM c
+"""
+
+
+def kie_counts_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full KIE pipeline (per-class span grouping) over documents-derived
+    transcripts; per-turn class counts must equal SQL token classification."""
+    from doctr_spark.operators.kie import kie_class_counts, kie_extract
+
+    return kie_class_counts(kie_extract(transcripts_from_documents(spark, sf_dir)))
+
+
+def export_hocr_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-format export surface (hOCR XML with pixel bboxes); rows-only."""
+    from doctr_spark.operators.build import build_pages
+    from doctr_spark.operators.detect import detect_and_crop
+    from doctr_spark.operators.kie import export_documents
+    from doctr_spark.operators.recognize import recognize
+
+    t = transcripts_from_documents(spark, sf_dir)
+    built = build_pages(recognize(detect_and_crop(decode_pages(t))))
+    return export_documents(built, "hocr")
+
+
 def _sf_from_dir(sf_dir: str) -> float:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     return float(m.group(1)) if m else 0.01
@@ -108,6 +145,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ocr_word_stats": ocr_word_stats,
         "ocr_extract_synthetic": ocr_extract_synthetic,
         "ocr_media_metadata": ocr_media_metadata,
+        "kie_class_counts": kie_counts_documents,
+        "export_hocr": export_hocr_documents,
         # dedup suite
         "dedup_exact": dedup.exact_dedup,
         "dedup_minhash": dedup.minhash_signatures,
@@ -138,6 +177,7 @@ def oracle_sql() -> dict[str, str]:
     oracles: dict[str, str] = {
         "ocr_extract_documents": _FLAGSHIP_ORACLE,
         "ocr_word_stats": _WORD_STATS_ORACLE,
+        "kie_class_counts": _KIE_ORACLE,
         # ocr_extract_synthetic / ocr_media_metadata: non-SQL-expressible
         # (full raster pipeline); validated by tests/test_pipeline_spark.py
     }

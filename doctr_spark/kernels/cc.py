@@ -15,20 +15,31 @@ from __future__ import annotations
 import numpy as np
 
 
-def _find(parent: np.ndarray, i: int) -> int:
-    root = i
-    while parent[root] != root:
-        root = parent[root]
-    while parent[i] != root:  # path compression
-        parent[i], i = root, parent[i]
-    return root
+def _min_label_components(n: int, pi: np.ndarray, pj: np.ndarray) -> np.ndarray:
+    """Connected components over edge list (pi, pj): iterative min-label
+    propagation with pointer jumping — fully vectorized, converges in
+    O(log diameter) passes."""
+    labels = np.arange(n, dtype=np.int64)
+    while True:
+        nxt = labels.copy()
+        np.minimum.at(nxt, pi, labels[pj])
+        np.minimum.at(nxt, pj, labels[pi])
+        nxt = nxt[nxt]  # pointer jump
+        if np.array_equal(nxt, labels):
+            return labels
+        labels = nxt
 
 
 def label_runs(mask: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Extract horizontal runs of True pixels.
 
     Returns (rows, starts, ends, labels) where ends are exclusive and labels
-    are root ids (not yet compacted) after 8-connectivity unioning.
+    are per-component representative ids after 8-connectivity unioning.
+
+    Adjacency is computed without any per-row loop: runs are globally sorted
+    row-major, so shifting coordinates by row*(w+2) turns "overlapping or
+    diagonally touching run in the previous row" into a single pair of
+    searchsorted range queries over the whole run list at once.
     """
     h, w = mask.shape
     padded = np.zeros((h, w + 2), dtype=bool)
@@ -41,30 +52,47 @@ def label_runs(mask: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray, np
     ends = end_pos[:, 1]  # exclusive
 
     n = rows.shape[0]
-    parent = np.arange(n, dtype=np.int64)
-    if n:
-        # row boundaries in the run arrays (rows are sorted ascending)
-        row_first = np.searchsorted(rows, np.arange(h), side="left")
-        row_last = np.searchsorted(rows, np.arange(h), side="right")
-        for r in range(1, h):
-            lo, hi = row_first[r], row_last[r]
-            plo, phi = row_first[r - 1], row_last[r - 1]
-            if lo == hi or plo == phi:
-                continue
-            cur_s, cur_e = starts[lo:hi], ends[lo:hi]
-            prev_s, prev_e = starts[plo:phi], ends[plo:phi]
-            # 8-connectivity: runs [s,e) touch iff prev_s <= cur_e and cur_s <= prev_e
-            j_lo = np.searchsorted(prev_e, cur_s, side="left")
-            j_hi = np.searchsorted(prev_s, cur_e, side="right")
-            for i in range(hi - lo):
-                a = _find(parent, lo + i)
-                for j in range(j_lo[i], j_hi[i]):
-                    b = _find(parent, plo + j)
-                    if a != b:
-                        parent[b] = a
-        for i in range(n):
-            parent[i] = _find(parent, i)
-    return rows, starts, ends, parent
+    if n == 0:
+        return rows, starts, ends, np.empty(0, dtype=np.int64)
+
+    # 8-connectivity with exclusive ends: run j (row r-1) touches run i
+    # (row r) iff s_j <= e_i and e_j >= s_i
+    stride = w + 2
+    key_s = rows * stride + starts  # globally ascending
+    key_e = rows * stride + ends  # globally ascending
+    q_lo = (rows - 1) * stride + starts
+    q_hi = (rows - 1) * stride + ends
+    j_lo = np.searchsorted(key_e, q_lo, side="left")
+    j_hi = np.searchsorted(key_s, q_hi, side="right")
+    counts = np.maximum(j_hi - j_lo, 0)
+    total = int(counts.sum())
+    if total:
+        pi = np.repeat(np.arange(n, dtype=np.int64), counts)
+        cum = np.concatenate(([0], np.cumsum(counts)))
+        pj = np.arange(total, dtype=np.int64) - np.repeat(cum[:-1], counts) + np.repeat(j_lo, counts)
+        labels = _min_label_components(n, pi, pj)
+    else:
+        labels = np.arange(n, dtype=np.int64)
+    return rows, starts, ends, labels
+
+
+def _run_sums(values: np.ndarray, rows: np.ndarray, starts: np.ndarray, ends: np.ndarray) -> np.ndarray:
+    """Sum ``values`` over each run [start, end) — one reduceat pass over the
+    flattened image (cheaper in memory traffic than a full-page cumsum)."""
+    h, w = values.shape
+    flat = values.reshape(-1)
+    if flat.dtype.kind in "ui":  # reduceat accumulates in-dtype: avoid uint8 overflow
+        flat = flat.astype(np.int32)
+    lo = rows * w + starts
+    hi = rows * w + ends
+    idx = np.empty(lo.shape[0] * 2, dtype=np.int64)
+    idx[0::2] = lo
+    idx[1::2] = hi
+    trailing_end = idx[-1] == flat.shape[0]
+    if trailing_end:
+        idx = idx[:-1]
+    sums = np.add.reduceat(flat, idx)
+    return sums[0::2].astype(np.float64)
 
 
 def component_boxes(prob: np.ndarray, bin_thresh: float) -> tuple[np.ndarray, np.ndarray]:
@@ -73,16 +101,16 @@ def component_boxes(prob: np.ndarray, bin_thresh: float) -> tuple[np.ndarray, np
     boxes: (N, 4) int64 abs pixel coords (xmin, ymin, xmax, ymax), max
     exclusive; scores: (N,) mean probability over the component's ink pixels
     (the reference scores the contour region the same way,
-    `detection/core.py:36-58`).
+    `detection/core.py:36-58`). ``prob`` may be any numeric dtype scaled so
+    that dividing by ``prob_scale`` yields probabilities — detection passes
+    the uint8 page directly with scale 255 to avoid a float page copy.
     """
     mask = prob >= bin_thresh
     rows, starts, ends, labels = label_runs(mask)
     if rows.shape[0] == 0:
         return np.empty((0, 4), dtype=np.int64), np.empty(0, dtype=np.float64)
 
-    # per-run probability sums via row-wise cumsum
-    cs = np.cumsum(prob, axis=1, dtype=np.float64)
-    run_sum = cs[rows, ends - 1] - np.where(starts > 0, cs[rows, starts - 1], 0.0)
+    run_sum = _run_sums(prob, rows, starts, ends)
     run_px = (ends - starts).astype(np.int64)
 
     roots, inv = np.unique(labels, return_inverse=True)

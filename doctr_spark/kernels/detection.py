@@ -34,8 +34,11 @@ def detect_words(
     pixel slice for crop extraction; rel boxes are the same normalized by
     (W, H, W, H).
     """
-    prob = page.astype(np.float32) / 255.0
-    boxes, scores = component_boxes(prob, bin_thresh)
+    # binarize/score directly on the uint8 page (prob = ink/255): avoids a
+    # full-page float copy per page, which matters for memory bandwidth when
+    # every core is running detection
+    boxes, scores = component_boxes(page, bin_thresh * 255.0)
+    scores = scores / 255.0
     if boxes.shape[0]:
         keep = (
             (scores >= box_thresh)

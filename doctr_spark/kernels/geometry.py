@@ -1,0 +1,100 @@
+"""Geometry kernels (reference `/root/reference/doctr/utils/geometry.py`).
+
+Pure numpy reimplementations of the coordinate utilities the reference
+pipeline uses around detection and the builder. Straight-box variants are
+also expressible as native Spark column arithmetic (see
+operators/relational.bbox_aggregate for the aggregation form); the polygon
+paths live here for the rotated-page option.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def bbox_to_polygon(box: np.ndarray) -> np.ndarray:
+    """(xmin, ymin, xmax, ymax) -> 4x2 polygon TL, TR, BR, BL
+    (`geometry.py:58-73`)."""
+    x0, y0, x1, y1 = box
+    return np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1]], dtype=float)
+
+
+def polygon_to_bbox(poly: np.ndarray) -> np.ndarray:
+    """4x2 polygon -> enclosing straight box (`geometry.py:76-88`)."""
+    return np.concatenate([poly.min(axis=0), poly.max(axis=0)])
+
+
+def order_points(pts: np.ndarray) -> np.ndarray:
+    """Order 4 points TL, TR, BR, BL by the sum/diff heuristic
+    (`geometry.py:33-55`)."""
+    s = pts.sum(axis=1)
+    d = np.diff(pts, axis=1).ravel()
+    tl = pts[np.argmin(s)]
+    br = pts[np.argmax(s)]
+    tr = pts[np.argmin(d)]
+    bl = pts[np.argmax(d)]
+    return np.stack([tl, tr, br, bl])
+
+
+def convert_to_relative_coords(boxes: np.ndarray, shape: tuple[int, int]) -> np.ndarray:
+    """Absolute pixel geometry -> page-relative [0, 1]
+    (`geometry.py:480-502`). shape = (height, width)."""
+    h, w = shape
+    boxes = boxes.astype(np.float64).copy()
+    if boxes.ndim == 3:  # (N, 4, 2) polygons
+        boxes[..., 0] /= w
+        boxes[..., 1] /= h
+    else:  # (N, 4) straight
+        boxes[:, [0, 2]] /= w
+        boxes[:, [1, 3]] /= h
+    return np.clip(boxes, 0.0, 1.0)
+
+
+def rotate_boxes(
+    boxes: np.ndarray, angle_deg: float, orig_shape: tuple[int, int], min_angle: float = 1.0
+) -> np.ndarray:
+    """Rotate relative boxes around the page center by ``angle_deg``
+    (`geometry.py:171-238` semantics: no-op below min_angle; aspect-aware
+    rotation in absolute space). Input (N, 4) straight or (N, 4, 2)
+    polygons; output (N, 4, 2) polygons (straight boxes pass through
+    unchanged below min_angle as (N, 4))."""
+    if abs(angle_deg) < min_angle:
+        return boxes
+    h, w = orig_shape
+    polys = np.stack([bbox_to_polygon(b) for b in boxes]) if boxes.ndim == 2 else boxes.astype(float)
+    abs_pts = polys * np.array([w, h], dtype=float)
+    center = np.array([w / 2.0, h / 2.0])
+    theta = np.deg2rad(angle_deg)
+    rot = np.array([[np.cos(theta), -np.sin(theta)], [np.sin(theta), np.cos(theta)]])
+    # image y-axis points down: rotate in math coords by flipping y
+    shifted = abs_pts - center
+    shifted[..., 1] *= -1
+    rotated = shifted @ rot.T
+    rotated[..., 1] *= -1
+    out = (rotated + center) / np.array([w, h], dtype=float)
+    return np.clip(out, 0.0, 1.0)
+
+
+def estimate_page_angle(polys: np.ndarray) -> float:
+    """Median skew angle over polygon top edges in degrees
+    (`geometry.py:463-477`): angle of the TL->TR edge, y down."""
+    if polys.shape[0] == 0:
+        return 0.0
+    edges = polys[:, 1] - polys[:, 0]  # TR - TL
+    angles = np.rad2deg(np.arctan2(-edges[:, 1], edges[:, 0]))
+    return float(np.median(angles))
+
+
+def box_iou(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Pairwise IoU matrix between straight-box sets (N, 4) x (M, 4)
+    (`doctr/utils/metrics.py:126-151`)."""
+    if a.shape[0] == 0 or b.shape[0] == 0:
+        return np.zeros((a.shape[0], b.shape[0]))
+    lt = np.maximum(a[:, None, :2], b[None, :, :2])
+    rb = np.minimum(a[:, None, 2:], b[None, :, 2:])
+    wh = np.clip(rb - lt, 0, None)
+    inter = wh[..., 0] * wh[..., 1]
+    area_a = (a[:, 2] - a[:, 0]) * (a[:, 3] - a[:, 1])
+    area_b = (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
+    union = area_a[:, None] + area_b[None, :] - inter
+    return np.where(union > 0, inter / np.where(union > 0, union, 1.0), 0.0)

@@ -1,0 +1,116 @@
+"""KIE extraction pipeline + export stage.
+
+Shares the decode/detect/recognize stages with the OCR pipeline (the
+reference's KIEPredictor shares preprocess/detect/reco with OCRPredictor,
+`doctr/models/kie_predictor/pytorch.py:76-208`) and swaps the builder for
+the per-class KIE variant. Also hosts the multi-format export operator.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F  # noqa: N812
+
+from ..kernels.exporters import EXPORTERS, PAGE_BREAKS
+from ..kernels.kie import kie_build_page, render_kie_page
+from .decode import decode_pages
+from .detect import detect_and_crop
+from .recognize import recognize
+
+KIE_PAGE_SCHEMA = (
+    "conv_id string, turn_idx int, page_idx int, kie_text string, "
+    "predictions_json string, class_counts map<string, int>"
+)
+
+
+def _kie_builder(pdf: pd.DataFrame) -> pd.DataFrame:
+    conv_id = pdf["conv_id"].iloc[0]
+    turn_idx = int(pdf["turn_idx"].iloc[0])
+    page_idx = int(pdf["page_idx"].iloc[0])
+    dims = (int(pdf["page_h"].iloc[0]), int(pdf["page_w"].iloc[0]))
+    pdf = pdf[pdf["word_idx"] >= 0]
+    page = kie_build_page(
+        pdf[["xmin", "ymin", "xmax", "ymax"]].to_numpy(),
+        pdf["score"].to_numpy(),
+        pdf["value"].tolist(),
+        pdf["confidence"].tolist(),
+        dims,
+        page_idx=page_idx,
+    )
+    counts = {cls: len(preds) for cls, preds in page["predictions"].items()}
+    return pd.DataFrame(
+        [
+            (
+                conv_id,
+                turn_idx,
+                page_idx,
+                render_kie_page(page),
+                json.dumps(page["predictions"]),
+                counts,
+            )
+        ],
+        columns=["conv_id", "turn_idx", "page_idx", "kie_text", "predictions_json", "class_counts"],
+    )
+
+
+def kie_extract(transcripts: DataFrame, crop_partitions: int | None = None) -> DataFrame:
+    """KIE pipeline -> one row per page with per-class predictions."""
+    if crop_partitions is None:
+        crop_partitions = transcripts.sparkSession.sparkContext.defaultParallelism * 2
+    words = recognize(detect_and_crop(decode_pages(transcripts)), num_partitions=crop_partitions)
+    return words.groupBy("conv_id", "turn_idx", "page_idx").applyInPandas(
+        _kie_builder, KIE_PAGE_SCHEMA
+    )
+
+
+def kie_class_counts(kie_pages: DataFrame) -> DataFrame:
+    """Per-turn token counts by KIE class (native map explode + pivot)."""
+    exploded = kie_pages.select(
+        "conv_id", "turn_idx", F.explode_outer("class_counts").alias("cls", "n")
+    )
+    return (
+        exploded.groupBy("conv_id", "turn_idx")
+        .agg(
+            F.sum(F.when(F.col("cls") == "number", F.col("n")).otherwise(0)).cast("long").alias("n_number"),
+            F.sum(F.when(F.col("cls") == "alpha", F.col("n")).otherwise(0)).cast("long").alias("n_alpha"),
+            F.sum(F.when(F.col("cls") == "mixed", F.col("n")).otherwise(0)).cast("long").alias("n_mixed"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# multi-format export over built pages
+# ---------------------------------------------------------------------------
+
+EXPORT_SCHEMA = "conv_id string, turn_idx int, page_idx int, content string"
+
+
+def export_pages(built_pages: DataFrame, fmt: str) -> DataFrame:
+    """Built pages (operators.build.build_pages output) -> per-page export
+    string in the requested format (text/markdown/html/hocr)."""
+    renderer = EXPORTERS[fmt]
+
+    def fn(batches):
+        for pdf in batches:
+            out = pdf[["conv_id", "turn_idx", "page_idx"]].copy()
+            out["content"] = [renderer(json.loads(pj)) for pj in pdf["page_json"]]
+            yield out
+
+    return built_pages.mapInPandas(fn, EXPORT_SCHEMA)
+
+
+def export_documents(built_pages: DataFrame, fmt: str) -> DataFrame:
+    """Assemble per-turn export documents with the format's page break."""
+    pages = export_pages(built_pages, fmt)
+    return (
+        pages.groupBy("conv_id", "turn_idx")
+        .agg(F.array_sort(F.collect_list(F.struct("page_idx", "content"))).alias("_p"))
+        .select(
+            "conv_id",
+            "turn_idx",
+            F.concat_ws(PAGE_BREAKS[fmt], F.transform("_p", lambda p: p["content"])).alias("content"),
+        )
+    )

@@ -1,0 +1,90 @@
+"""Evaluation metrics as Spark aggregations.
+
+Reference: `doctr/utils/metrics.py` — TextMatch (`:46-124`) accumulates
+raw/caseless/unicase exact-match counters; LocalizationConfusion /
+OCRMetric (`:222-313, 398-525`) match predicted to ground-truth boxes at
+IoU >= 0.5 and report recall/precision/meanIoU. Here the counters are
+`groupBy().agg()` folds (distributed, map-side partial) and the IoU match
+runs vectorized per page inside a grouped kernel.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F  # noqa: N812
+
+from ..kernels.geometry import box_iou
+
+
+def text_match(df: DataFrame, pred: str = "pred", gt: str = "gt") -> DataFrame:
+    """Corpus-level TextMatch: raw / caseless / unicase match rates."""
+    p, g = F.col(pred), F.col(gt)
+    return df.agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.avg((p == g).cast("int")), 6).alias("raw"),
+        F.round(F.avg((F.lower(p) == F.lower(g)).cast("int")), 6).alias("caseless"),
+        F.round(F.avg((F.upper(p) == F.upper(g)).cast("int")), 6).alias("unicase"),
+    )
+
+
+def iou_expr(a: str, b: str) -> Column:
+    """Straight-box IoU as a native column expression over two
+    array<double>(4) columns — stays in whole-stage codegen."""
+    ax0, ay0, ax1, ay1 = (F.element_at(F.col(a), i) for i in (1, 2, 3, 4))
+    bx0, by0, bx1, by1 = (F.element_at(F.col(b), i) for i in (1, 2, 3, 4))
+    iw = F.greatest(F.least(ax1, bx1) - F.greatest(ax0, bx0), F.lit(0.0))
+    ih = F.greatest(F.least(ay1, by1) - F.greatest(ay0, by0), F.lit(0.0))
+    inter = iw * ih
+    union = (ax1 - ax0) * (ay1 - ay0) + (bx1 - bx0) * (by1 - by0) - inter
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+LOC_SCHEMA = "page_key string, n_gt long, n_pred long, n_matched long, sum_iou double"
+
+
+def localization_confusion(
+    pairs: DataFrame,
+    page_key: str = "page_key",
+    iou_thresh: float = 0.5,
+) -> DataFrame:
+    """Per-page greedy IoU matching, then global recall/precision/meanIoU.
+
+    ``pairs`` holds one row per page with array columns ``gt_boxes`` and
+    ``pred_boxes`` (each array<array<double>>). The reference uses a
+    Hungarian assignment (`metrics.py:268-290`); greedy best-first on the
+    IoU matrix is used here and is exact whenever matches don't compete,
+    which holds for non-overlapping word boxes.
+    """
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for key, gt, pred in zip(pdf[page_key], pdf["gt_boxes"], pdf["pred_boxes"]):
+            g = np.array([list(b) for b in gt], dtype=float) if len(gt) else np.zeros((0, 4))
+            p = np.array([list(b) for b in pred], dtype=float) if len(pred) else np.zeros((0, 4))
+            iou = box_iou(g, p)
+            matched, sum_iou = 0, 0.0
+            used_g, used_p = set(), set()
+            if iou.size:
+                order = np.dstack(np.unravel_index(np.argsort(-iou, axis=None), iou.shape))[0]
+                for gi, pi in order:
+                    if iou[gi, pi] < iou_thresh:
+                        break
+                    if gi in used_g or pi in used_p:
+                        continue
+                    used_g.add(gi)
+                    used_p.add(pi)
+                    matched += 1
+                    sum_iou += float(iou[gi, pi])
+            out.append((key, len(g), len(p), matched, sum_iou))
+        return pd.DataFrame(out, columns=["page_key", "n_gt", "n_pred", "n_matched", "sum_iou"])
+
+    per_page = pairs.groupBy(page_key).applyInPandas(fn, LOC_SCHEMA)
+    return per_page.agg(
+        F.sum("n_gt").cast("long").alias("n_gt"),
+        F.sum("n_pred").cast("long").alias("n_pred"),
+        F.round(F.sum("n_matched") / F.sum("n_gt"), 6).alias("recall"),
+        F.round(F.sum("n_matched") / F.sum("n_pred"), 6).alias("precision"),
+        F.round(F.sum("sum_iou") / F.sum("n_matched"), 6).alias("mean_iou"),
+    )

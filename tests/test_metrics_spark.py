@@ -1,0 +1,68 @@
+import pytest
+
+from doctr_spark.operators.metrics import iou_expr, localization_confusion, text_match
+
+
+def test_text_match_rates(spark):
+    df = spark.createDataFrame(
+        [("abc", "abc"), ("ABC", "abc"), ("xyz", "abc"), ("Mixed", "mixed")],
+        "pred string, gt string",
+    )
+    row = text_match(df).first()
+    assert row["n"] == 4
+    assert row["raw"] == 0.25
+    assert row["caseless"] == 0.75
+    assert row["unicase"] == 0.75
+
+
+def test_iou_expr_native(spark):
+    df = spark.createDataFrame(
+        [([0.0, 0.0, 1.0, 1.0], [0.5, 0.0, 1.5, 1.0])],
+        "a array<double>, b array<double>",
+    )
+    val = df.select(iou_expr("a", "b").alias("iou")).first()["iou"]
+    assert abs(val - 0.5 / 1.5) < 1e-9
+
+
+def test_localization_confusion(spark):
+    # page 1: both boxes matched exactly; page 2: one gt missed, one spurious pred
+    rows = [
+        ("p1", [[0.1, 0.1, 0.2, 0.2], [0.3, 0.3, 0.4, 0.4]], [[0.1, 0.1, 0.2, 0.2], [0.3, 0.3, 0.4, 0.4]]),
+        ("p2", [[0.1, 0.1, 0.2, 0.2]], [[0.7, 0.7, 0.8, 0.8]]),
+    ]
+    df = spark.createDataFrame(
+        rows, "page_key string, gt_boxes array<array<double>>, pred_boxes array<array<double>>"
+    )
+    m = localization_confusion(df).first()
+    assert m["n_gt"] == 3 and m["n_pred"] == 3
+    assert m["recall"] == pytest.approx(2 / 3, abs=1e-6)
+    assert m["precision"] == pytest.approx(2 / 3, abs=1e-6)
+    assert m["mean_iou"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_kie_pipeline_spark(spark):
+    from doctr_spark.fixtures.transcripts import generate_transcripts
+    from doctr_spark.operators.kie import kie_class_counts, kie_extract
+
+    tdf = generate_transcripts(spark, 8)
+    pages = kie_extract(tdf, crop_partitions=4)
+    counts = kie_class_counts(pages).collect()
+    assert len(counts) > 0
+    assert all(r["n_number"] + r["n_alpha"] + r["n_mixed"] > 0 for r in counts)
+
+
+def test_export_formats_spark(spark):
+    from doctr_spark.fixtures.transcripts import generate_transcripts
+    from doctr_spark.operators.build import build_pages
+    from doctr_spark.operators.decode import decode_pages
+    from doctr_spark.operators.detect import detect_and_crop
+    from doctr_spark.operators.kie import export_documents
+    from doctr_spark.operators.recognize import recognize
+
+    tdf = generate_transcripts(spark, 6)
+    built = build_pages(recognize(detect_and_crop(decode_pages(tdf)), num_partitions=4))
+    html = export_documents(built, "html").collect()
+    assert len(html) > 0
+    assert any("<p>" in r["content"] for r in html if r["content"])
+    hocr = export_documents(built, "hocr").collect()
+    assert any("ocrx_word" in r["content"] for r in hocr if r["content"])

