@@ -30,6 +30,18 @@ _WORD_CHARS = ASCII_LOWER + DIGITS
 _FANCY_CHARS = ASCII_LOWER + ASCII_UPPER + DIGITS + ".,:;!?"
 _ROLES = ("user", "assistant", "tool")
 _TOOLS = ("search", "browser", "python", "calculator")
+ROTATED_WORD_FRAC = 0.15  # img/pdf payloads: words drawn upside-down
+
+
+def _rotate_some_words(pages, rng: np.random.Generator, frac: float = ROTATED_WORD_FRAC) -> None:
+    """Rotate a fraction of word patches 180 deg in place (exercises the
+    crop-orientation classifier + rectification path). Only applied to
+    img/pdf payloads whose pixels are baked into the payload bytes — html
+    payloads are re-rendered upright by the decoder."""
+    for p in pages:
+        for _, (x0, y0, x1, y1) in p.words:
+            if rng.random() < frac:
+                p.canvas[y0:y1, x0:x1] = np.rot90(p.canvas[y0:y1, x0:x1], 2)
 
 
 def _rand_word(rng: np.random.Generator) -> str:
@@ -81,10 +93,12 @@ def gen_conversation(
             elif kind < 0.75:
                 paragraphs = _rand_paragraphs(rng, max_paras=2)
                 pages = layout_paragraphs(paragraphs)[:1]
+                _rotate_some_words(pages, rng)
                 payload = make_img_payload(pages[0].canvas)
             else:
                 paragraphs = _rand_paragraphs(rng)
                 pages = layout_paragraphs(paragraphs)
+                _rotate_some_words(pages, rng)
                 payload = make_pdf_payload([p.canvas for p in pages])
             gt_text = render_document([p.gt_text for p in pages])
             n_pages = len(pages)

@@ -182,6 +182,7 @@ def build_page(
     do_resolve_lines: bool = True,
     do_resolve_blocks: bool = False,
     paragraph_break: float = PARAGRAPH_BREAK,
+    crop_orientations: list[tuple[int, float]] | None = None,
 ) -> dict[str, Any]:
     """Assemble one page dict (the Spark-row analogue of `Page.export()`,
     `doctr/io/elements.py:424-512`) plus its rendered text.
@@ -213,7 +214,11 @@ def build_page(
                     "confidence": float(confidences[i]),
                     "geometry": [float(v) for v in boxes[i]],
                     "objectness_score": float(scores[i]),
-                    "crop_orientation": {"value": 0, "confidence": 1.0},
+                    "crop_orientation": (
+                        {"value": int(crop_orientations[i][0]), "confidence": float(crop_orientations[i][1])}
+                        if crop_orientations is not None
+                        else {"value": 0, "confidence": 1.0}
+                    ),
                 }
                 for i in line
             ]

@@ -34,6 +34,9 @@ def _make_builder(resolve_lines: bool, resolve_blocks: bool, paragraph_break: fl
         dims = (int(pdf["page_h"].iloc[0]), int(pdf["page_w"].iloc[0]))
         pdf = pdf[pdf["word_idx"] >= 0]
         boxes = pdf[["xmin", "ymin", "xmax", "ymax"]].to_numpy()
+        orientations = None
+        if "crop_orient" in pdf.columns:
+            orientations = list(zip(pdf["crop_orient"].tolist(), pdf["crop_orient_conf"].tolist()))
         page = build_page(
             boxes,
             pdf["score"].to_numpy(),
@@ -44,6 +47,7 @@ def _make_builder(resolve_lines: bool, resolve_blocks: bool, paragraph_break: fl
             do_resolve_lines=resolve_lines,
             do_resolve_blocks=resolve_blocks,
             paragraph_break=paragraph_break,
+            crop_orientations=orientations,
         )
         text = page.pop("text")
         return pd.DataFrame(

@@ -35,6 +35,7 @@ def extract_documents(
     resolve_lines: bool = True,
     resolve_blocks: bool = False,
     paragraph_break: float = 0.035,
+    detect_crop_orientation: bool = True,
 ) -> DataFrame:
     """Run the detection->recognition->reconstruction pipeline.
 
@@ -49,7 +50,7 @@ def extract_documents(
 
     pages = decode_pages(transcripts)
     crops = detect_and_crop(pages)
-    words = recognize(crops, num_partitions=crop_partitions)
+    words = recognize(crops, num_partitions=crop_partitions, detect_orientation=detect_crop_orientation)
     built = build_pages(
         words,
         resolve_lines=resolve_lines,

@@ -27,33 +27,62 @@ from ..kernels.recognition import recognize_crop
 WORDS_SCHEMA = (
     "conv_id string, turn_idx int, page_idx int, page_h int, page_w int, "
     "word_idx int, xmin double, ymin double, xmax double, ymax double, "
-    "score double, value string, confidence double"
+    "score double, value string, confidence double, "
+    "crop_orient int, crop_orient_conf double"
 )
 _PASS = ["conv_id", "turn_idx", "page_idx", "page_h", "page_w",
          "word_idx", "xmin", "ymin", "xmax", "ymax", "score"]  # fmt: skip
 
 
-def _recognize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    for pdf in batches:
-        values, confs = [], []
-        for blob in pdf["crop"]:
-            if blob is None:  # empty-page sentinel passes through
-                values.append(None)
-                confs.append(0.0)
-            else:
-                v, c = recognize_crop(decode_page(bytes(blob)))
+def _make_recognizer(detect_orientation: bool):
+    from ..kernels.orientation import estimate_crop_orientation, rectify_crop
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            values, confs, orients, oconfs = [], [], [], []
+            for blob in pdf["crop"]:
+                if blob is None:  # empty-page sentinel passes through
+                    values.append(None)
+                    confs.append(0.0)
+                    orients.append(0)
+                    oconfs.append(0.0)
+                    continue
+                crop = decode_page(bytes(blob))
+                if detect_orientation:
+                    angle, oconf = estimate_crop_orientation(crop)
+                    if angle:
+                        crop = rectify_crop(crop, angle)
+                else:
+                    angle, oconf = 0, 1.0
+                v, c = recognize_crop(crop)
                 values.append(v)
                 confs.append(c)
-        out = pdf[_PASS].copy()
-        out["value"] = values
-        out["confidence"] = confs
-        yield out
+                orients.append(angle)
+                oconfs.append(oconf)
+            out = pdf[_PASS].copy()
+            out["value"] = values
+            out["confidence"] = confs
+            out["crop_orient"] = orients
+            out["crop_orient_conf"] = oconfs
+            yield out
+
+    return fn
 
 
-def recognize(crops: DataFrame, num_partitions: int | None = None) -> DataFrame:
-    """Recognize every crop; optionally rebalance onto ``num_partitions``."""
+def recognize(
+    crops: DataFrame,
+    num_partitions: int | None = None,
+    detect_orientation: bool = True,
+) -> DataFrame:
+    """Recognize every crop; optionally rebalance onto ``num_partitions``.
+
+    ``detect_orientation`` enables the crop-orientation classifier +
+    rectification (the reference's ``detect_crop_orientation`` predictor
+    option); disabled it reports 0deg/1.0 like the identity predictor
+    (`classification/predictor/pytorch.py:47-50`).
+    """
     if num_partitions:
         crops = crops.repartition(
             num_partitions, F.xxhash64("conv_id", "turn_idx", "page_idx", "word_idx")
         )
-    return crops.mapInPandas(_recognize_batches, schema=WORDS_SCHEMA)
+    return crops.mapInPandas(_make_recognizer(detect_orientation), schema=WORDS_SCHEMA)
