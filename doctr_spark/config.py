@@ -43,3 +43,11 @@ DEFAULT_SHUFFLE_PARTITIONS = 32
 # Arrow batch size for the image-bearing stages: pages are ~tens of KB
 # compressed, keep batches modest so executor memory stays bounded.
 ARROW_MAX_RECORDS = 1024
+
+# --- table structure ---------------------------------------------------------
+RULING_INK = 60  # ruling-line intensity: below BIN_THRESH*255 so the word
+#                  detector ignores grid lines; the table-structure head
+#                  thresholds at RULING_THRESH instead
+RULING_THRESH = 40
+TABLE_CELL_H = 24  # rendered cell pitch (rows)
+TABLE_NEAREST_FRAC = 0.5  # nearest-cell capture radius: 0.5 * median cell diagonal

@@ -86,20 +86,54 @@ def gen_conversation(
             if kind < 0.01:  # blank page: the zero-detection path
                 pages = layout_paragraphs([])
                 payload = make_img_payload(pages[0].canvas)
-            elif kind < 0.5:
+            elif kind < 0.45:
                 paragraphs = _rand_paragraphs(rng)
                 payload = make_html_payload(paragraphs)
                 pages = layout_paragraphs(paragraphs)  # decode replays this
-            elif kind < 0.75:
+            elif kind < 0.65:
                 paragraphs = _rand_paragraphs(rng, max_paras=2)
                 pages = layout_paragraphs(paragraphs)[:1]
                 _rotate_some_words(pages, rng)
                 payload = make_img_payload(pages[0].canvas)
-            else:
+            elif kind < 0.82:
                 paragraphs = _rand_paragraphs(rng)
                 pages = layout_paragraphs(paragraphs)
                 _rotate_some_words(pages, rng)
                 payload = make_pdf_payload([p.canvas for p in pages])
+            else:  # ruled table page (table-structure + word->cell joins)
+                from .tables import render_table_page
+
+                n_r = int(rng.integers(2, 5))
+                n_c = int(rng.integers(2, 4))
+                cells = [
+                    [
+                        ["".join(_WORD_CHARS[k] for k in rng.integers(0, len(_WORD_CHARS), int(rng.integers(1, 6))))
+                         for _ in range(int(rng.integers(1, 3)))]
+                        for _ in range(n_c)
+                    ]
+                    for _ in range(n_r)
+                ]  # fmt: skip
+                tp = render_table_page(cells)
+                rows.append(
+                    {
+                        "conv_id": conv_id,
+                        "turn_idx": t,
+                        "role": role,
+                        "text": f"{prose} {make_img_payload(tp.canvas)}",
+                        "tool": tool,
+                        "ts": start + dt.timedelta(minutes=t),
+                    }
+                )
+                gts.append(
+                    {
+                        "conv_id": conv_id,
+                        "turn_idx": t,
+                        "gt_text": tp.gt_tsv,
+                        "n_pages": 1,
+                        "n_words": tp.n_words,
+                    }
+                )
+                continue
             gt_text = render_document([p.gt_text for p in pages])
             n_pages = len(pages)
             n_words = sum(len(p.words) for p in pages)

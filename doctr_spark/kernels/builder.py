@@ -183,12 +183,17 @@ def build_page(
     do_resolve_blocks: bool = False,
     paragraph_break: float = PARAGRAPH_BREAK,
     crop_orientations: list[tuple[int, float]] | None = None,
+    tables: list[dict[str, Any]] | None = None,
 ) -> dict[str, Any]:
     """Assemble one page dict (the Spark-row analogue of `Page.export()`,
     `doctr/io/elements.py:424-512`) plus its rendered text.
 
-    boxes: (N, 4) relative straight boxes; scores: (N,) objectness;
-    values/confidences: recognition output aligned with boxes.
+    boxes: (N, 4) relative straight boxes (words already consumed by a
+    table must be filtered out by the caller, builder.py:780-787); scores:
+    (N,) objectness; values/confidences: recognition output aligned with
+    boxes; tables: pre-built table export dicts (kernels/tables.py) —
+    rendered as TSV after the blocks, the way the text exporter linearizes
+    tables (`doctr/io/exporters.py:416-433`).
     """
     n = boxes.shape[0]
     if n:
@@ -242,13 +247,18 @@ def build_page(
         )
         block_texts.append("\n".join(line_texts))
 
+    from .tables import render_table
+
+    text_parts = [t for t in [BLOCK_BREAK.join(block_texts)] if t]
+    text_parts += [render_table(t) for t in (tables or [])]
     return {
         "page_idx": int(page_idx),
         "dimensions": [int(dimensions[0]), int(dimensions[1])],
         "orientation": {"value": 0, "confidence": 1.0},
         "language": {"value": "", "confidence": 0.0},
         "blocks": blocks,
-        "text": BLOCK_BREAK.join(block_texts),
+        "tables": tables or [],
+        "text": BLOCK_BREAK.join(text_parts),
     }
 
 

@@ -28,30 +28,56 @@ PAGE_DOC_SCHEMA = (
 
 def _make_builder(resolve_lines: bool, resolve_blocks: bool, paragraph_break: float):
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        from ..kernels.tables import build_tables
+
         conv_id = pdf["conv_id"].iloc[0]
         turn_idx = int(pdf["turn_idx"].iloc[0])
         page_idx = int(pdf["page_idx"].iloc[0])
         dims = (int(pdf["page_h"].iloc[0]), int(pdf["page_w"].iloc[0]))
+
+        raw_tables = []
+        if "aux" in pdf.columns:
+            for blob in pdf.loc[pdf["word_idx"] == -2, "aux"]:
+                if blob:
+                    raw_tables.extend(json.loads(blob))
         pdf = pdf[pdf["word_idx"] >= 0]
         boxes = pdf[["xmin", "ymin", "xmax", "ymax"]].to_numpy()
+        values = pdf["value"].tolist()
+        confs = pdf["confidence"].tolist()
+        scores = pdf["score"].to_numpy()
         orientations = None
         if "crop_orient" in pdf.columns:
             orientations = list(zip(pdf["crop_orient"].tolist(), pdf["crop_orient_conf"].tolist()))
+
+        # table assignment consumes words out of the blocks (anti-join,
+        # reference builder.py:780-787)
+        tables, consumed = build_tables(boxes, values, confs, raw_tables)
+        if consumed.any():
+            keep = ~consumed
+            boxes = boxes[keep]
+            scores = scores[keep]
+            values = [v for v, k in zip(values, keep) if k]
+            confs = [c for c, k in zip(confs, keep) if k]
+            if orientations is not None:
+                orientations = [o for o, k in zip(orientations, keep) if k]
+
         page = build_page(
             boxes,
-            pdf["score"].to_numpy(),
-            pdf["value"].tolist(),
-            pdf["confidence"].tolist(),
+            scores,
+            values,
+            confs,
             dims,
             page_idx=page_idx,
             do_resolve_lines=resolve_lines,
             do_resolve_blocks=resolve_blocks,
             paragraph_break=paragraph_break,
             crop_orientations=orientations,
+            tables=tables,
         )
         text = page.pop("text")
+        n_words = int(boxes.shape[0]) + int(consumed.sum())
         return pd.DataFrame(
-            [(conv_id, turn_idx, page_idx, int(boxes.shape[0]), text, json.dumps(page))],
+            [(conv_id, turn_idx, page_idx, n_words, text, json.dumps(page))],
             columns=["conv_id", "turn_idx", "page_idx", "n_words", "page_text", "page_json"],
         )
 

@@ -26,15 +26,22 @@ from ..kernels.imgcodec import decode_page, encode_page
 CROPS_SCHEMA = (
     "conv_id string, turn_idx int, page_idx int, page_h int, page_w int, "
     "word_idx int, xmin double, ymin double, xmax double, ymax double, "
-    "score double, crop binary"
+    "score double, crop binary, aux string"
 )
 _COLS = [
     "conv_id", "turn_idx", "page_idx", "page_h", "page_w",
-    "word_idx", "xmin", "ymin", "xmax", "ymax", "score", "crop",
+    "word_idx", "xmin", "ymin", "xmax", "ymax", "score", "crop", "aux",
 ]  # fmt: skip
+
+# word_idx sentinels: -1 = empty page (no words, no tables); -2 = per-page
+# table-structure prediction carried in `aux` as JSON
 
 
 def _detect_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import json
+
+    from ..kernels.tables import detect_table_structure
+
     for pdf in batches:
         rows = []
         for conv_id, turn_idx, page_idx, page_h, page_w, blob in zip(
@@ -43,15 +50,19 @@ def _detect_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             key = (conv_id, int(turn_idx), int(page_idx), int(page_h), int(page_w))
             img = decode_page(bytes(blob))
             abs_boxes, rel_boxes, scores = detect_words(img)
+            tables = detect_table_structure(img)
+            if tables:
+                rows.append(key + (-2, 0.0, 0.0, 0.0, 0.0, 0.0, None, json.dumps(tables)))
             if abs_boxes.shape[0] == 0:
-                rows.append(key + (-1, 0.0, 0.0, 0.0, 0.0, 0.0, None))
+                if not tables:
+                    rows.append(key + (-1, 0.0, 0.0, 0.0, 0.0, 0.0, None, None))
                 continue
             crops = extract_crops(img, abs_boxes)
             for w_idx, (rel, score, crop) in enumerate(zip(rel_boxes, scores, crops)):
                 rows.append(
                     key
                     + (w_idx, float(rel[0]), float(rel[1]), float(rel[2]), float(rel[3]),
-                       float(score), encode_page(crop))
+                       float(score), encode_page(crop), None)
                 )  # fmt: skip
         yield pd.DataFrame(rows, columns=_COLS)
 

@@ -42,7 +42,7 @@ def test_export_structure(results):
     rows, _ = results
     r = next(r for r in rows if r["got_words"] > 0)
     page = json.loads(r["pages_json"][0])
-    assert set(page) == {"page_idx", "dimensions", "orientation", "language", "blocks"}
+    assert set(page) == {"page_idx", "dimensions", "orientation", "language", "blocks", "tables"}
     word = page["blocks"][0]["lines"][0]["words"][0]
     assert set(word) == {"value", "confidence", "geometry", "objectness_score", "crop_orientation"}
     geom = word["geometry"]
