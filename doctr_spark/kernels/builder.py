@@ -184,6 +184,8 @@ def build_page(
     paragraph_break: float = PARAGRAPH_BREAK,
     crop_orientations: list[tuple[int, float]] | None = None,
     tables: list[dict[str, Any]] | None = None,
+    keep_reading_order: bool = False,
+    detect_language: bool = False,
 ) -> dict[str, Any]:
     """Assemble one page dict (the Spark-row analogue of `Page.export()`,
     `doctr/io/elements.py:424-512`) plus its rendered text.
@@ -203,6 +205,16 @@ def build_page(
             order, boxes_s = sort_boxes(boxes)
             boxes = boxes_s
             lines = [[int(i) for i in order]]
+        if keep_reading_order and len(lines) > 1:
+            # reorder lines with the column-aware topological sort
+            # (`DocumentBuilder._apply_reading_order`, builder.py:660-691);
+            # direction inferred from the recognized text
+            from .reading_order import detect_text_direction, sort_reading_order
+
+            line_boxes = np.stack([enclosing_bbox(boxes[np.asarray(line)]) for line in lines])
+            direction = detect_text_direction([values[i] for line in lines for i in line])
+            perm = sort_reading_order(line_boxes, direction=direction)
+            lines = [lines[i] for i in perm]
         blocks_idx = resolve_blocks(boxes, lines) if do_resolve_blocks else ([lines] if lines else [])
     else:
         blocks_idx = []
@@ -251,14 +263,22 @@ def build_page(
 
     text_parts = [t for t in [BLOCK_BREAK.join(block_texts)] if t]
     text_parts += [render_table(t) for t in (tables or [])]
+    text = BLOCK_BREAK.join(text_parts)
+    if detect_language:
+        from .language import get_language
+
+        lang, lang_conf = get_language(text)
+        language = {"value": lang, "confidence": round(lang_conf, 6)}
+    else:
+        language = {"value": "", "confidence": 0.0}
     return {
         "page_idx": int(page_idx),
         "dimensions": [int(dimensions[0]), int(dimensions[1])],
         "orientation": {"value": 0, "confidence": 1.0},
-        "language": {"value": "", "confidence": 0.0},
+        "language": language,
         "blocks": blocks,
         "tables": tables or [],
-        "text": BLOCK_BREAK.join(text_parts),
+        "text": text,
     }
 
 

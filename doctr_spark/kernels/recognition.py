@@ -22,14 +22,39 @@ from .glyphs import forward_logits
 from .vocab import DEFAULT_VOCAB, decode_sequence
 
 
-def ctc_best_path(logits: np.ndarray, vocab: str = DEFAULT_VOCAB) -> tuple[str, float]:
-    """(T, C+1) logits -> (word, confidence); blank index = len(vocab)."""
+def whitelist_mask(vocab: str, whitelist: str) -> np.ndarray:
+    """(C+1,) additive logit mask: -inf on characters outside the whitelist
+    (blank always allowed). Reimplements the reference's "mask" whitelist
+    mode, which forbids logits via a forward hook on the final projection
+    (`doctr/models/utils/pytorch.py:230-355`, add_whitelist)."""
+    allowed = set(whitelist)
+    mask = np.zeros(len(vocab) + 1, dtype=np.float32)
+    for i, c in enumerate(vocab):
+        if c not in allowed:
+            mask[i] = -np.inf
+    # nudge blank so a frame whose true character was masked collapses to
+    # blank instead of an arbitrary surviving class (ties in the fake flat
+    # logits would otherwise hallucinate vocab[0])
+    mask[-1] = 1e-3
+    return mask
+
+
+def ctc_best_path(
+    logits: np.ndarray, vocab: str = DEFAULT_VOCAB, whitelist: str | None = None
+) -> tuple[str, float]:
+    """(T, C+1) logits -> (word, confidence); blank index = len(vocab).
+
+    ``whitelist`` constrains decoding to a character subset (masked logits).
+    """
     if logits.shape[0] == 0:
         return "", 0.0
+    if whitelist is not None:
+        logits = logits + whitelist_mask(vocab, whitelist)
     # stable softmax -> per-frame max prob; sequence confidence = min of those
     shifted = logits - logits.max(axis=1, keepdims=True)
     ex = np.exp(shifted)
-    probs = ex / ex.sum(axis=1, keepdims=True)
+    ex[~np.isfinite(ex)] = 0.0
+    probs = ex / np.clip(ex.sum(axis=1, keepdims=True), 1e-30, None)
     confidence = float(probs.max(axis=1).min())
 
     path = logits.argmax(axis=1)
@@ -121,14 +146,16 @@ def split_wide_crop(
     return windows, (last_overlap / split_width if split_width else 0.0)
 
 
-def recognize_crop(crop: np.ndarray, vocab: str = DEFAULT_VOCAB) -> tuple[str, float]:
+def recognize_crop(
+    crop: np.ndarray, vocab: str = DEFAULT_VOCAB, whitelist: str | None = None
+) -> tuple[str, float]:
     """Full recognition of one word crop: optional split -> forward -> CTC ->
     merge. Mirrors `RecognitionPredictor.forward`
     (`doctr/models/recognition/predictor/pytorch.py:44-85`)."""
     if crop.shape[0] != GLYPH_H:
         raise ValueError(f"expected {GLYPH_H}-px-tall crop, got {crop.shape}")
     windows, last_overlap = split_wide_crop(crop)
-    preds = [ctc_best_path(forward_logits(w, vocab), vocab) for w in windows]
+    preds = [ctc_best_path(forward_logits(w, vocab), vocab, whitelist) for w in windows]
     if len(preds) == 1:
         return preds[0]
     texts = [t for t, _ in preds]

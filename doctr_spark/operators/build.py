@@ -26,7 +26,12 @@ PAGE_DOC_SCHEMA = (
 )
 
 
-def _make_builder(resolve_lines: bool, resolve_blocks: bool, paragraph_break: float):
+def _make_builder(
+    resolve_lines: bool,
+    resolve_blocks: bool,
+    paragraph_break: float,
+    keep_reading_order: bool = False,
+):
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         from ..kernels.tables import build_tables
 
@@ -73,6 +78,7 @@ def _make_builder(resolve_lines: bool, resolve_blocks: bool, paragraph_break: fl
             paragraph_break=paragraph_break,
             crop_orientations=orientations,
             tables=tables,
+            keep_reading_order=keep_reading_order,
         )
         text = page.pop("text")
         n_words = int(boxes.shape[0]) + int(consumed.sum())
@@ -89,8 +95,9 @@ def build_pages(
     resolve_lines: bool = True,
     resolve_blocks: bool = False,
     paragraph_break: float = 0.035,
+    keep_reading_order: bool = False,
 ) -> DataFrame:
-    fn = _make_builder(resolve_lines, resolve_blocks, paragraph_break)
+    fn = _make_builder(resolve_lines, resolve_blocks, paragraph_break, keep_reading_order)
     return words.groupBy("conv_id", "turn_idx", "page_idx").applyInPandas(fn, PAGE_DOC_SCHEMA)
 
 

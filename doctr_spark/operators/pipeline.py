@@ -36,6 +36,7 @@ def extract_documents(
     resolve_blocks: bool = False,
     paragraph_break: float = 0.035,
     detect_crop_orientation: bool = True,
+    keep_reading_order: bool = False,
 ) -> DataFrame:
     """Run the detection->recognition->reconstruction pipeline.
 
@@ -56,6 +57,7 @@ def extract_documents(
         resolve_lines=resolve_lines,
         resolve_blocks=resolve_blocks,
         paragraph_break=paragraph_break,
+        keep_reading_order=keep_reading_order,
     )
     docs = assemble_documents(built)
 

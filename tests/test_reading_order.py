@@ -1,0 +1,86 @@
+import numpy as np
+import pytest
+
+from doctr_spark.kernels.reading_order import (
+    detect_text_direction,
+    sort_reading_order,
+    topological_order,
+)
+
+
+def test_reference_docstring_oracle():
+    # reference sort_reading_order docstring (reading_order/base.py:394-402)
+    geoms = [
+        ((0.55, 0.2), (0.9, 0.8)),  # right column
+        ((0.1, 0.05), (0.9, 0.15)),  # title
+        ((0.1, 0.2), (0.45, 0.8)),  # left column
+    ]
+    assert sort_reading_order(geoms) == [1, 2, 0]
+
+
+def test_two_columns_of_lines():
+    # 3 lines per column; default row-major order would interleave
+    geoms = []
+    for r in range(3):
+        geoms.append((0.1, 0.1 + r * 0.1, 0.45, 0.15 + r * 0.1))  # left col: 0,2,4
+        geoms.append((0.55, 0.1 + r * 0.1, 0.9, 0.15 + r * 0.1))  # right col: 1,3,5
+    order = sort_reading_order(geoms)
+    assert order == [0, 2, 4, 1, 3, 5]
+
+
+def test_rtl_direction_mirrors_columns():
+    geoms = [
+        (0.1, 0.1, 0.45, 0.8),  # left column
+        (0.55, 0.1, 0.9, 0.8),  # right column
+    ]
+    assert sort_reading_order(geoms, direction="ltr") == [0, 1]
+    assert sort_reading_order(geoms, direction="rtl") == [1, 0]
+
+
+def test_detect_text_direction():
+    assert detect_text_direction(["Hello", "world"]) == "ltr"
+    assert detect_text_direction(["مرحبا", "بالعالم"]) == "rtl"
+    assert detect_text_direction(["123", "!!"]) == "ltr"  # no strong chars
+    assert detect_text_direction(["123"], language="ar") == "rtl"
+
+
+def test_labels_roles_and_caption_attachment():
+    geoms = [
+        (0.1, 0.9, 0.9, 0.95),  # footer
+        (0.1, 0.05, 0.9, 0.1),  # header
+        (0.1, 0.2, 0.9, 0.5),   # figure (float)
+        (0.1, 0.52, 0.9, 0.56), # caption just below the figure
+        (0.1, 0.6, 0.9, 0.8),   # body text
+    ]  # fmt: skip
+    labels = ["page_footer", "page_header", "picture", "caption", "text"]
+    order = sort_reading_order(geoms, labels=labels)
+    assert order == [1, 2, 3, 4, 0]  # header, figure, caption after it, body, footer
+
+
+def test_topological_order_single_and_empty():
+    assert topological_order(np.zeros((0, 4))) == []
+    assert topological_order(np.array([[0.1, 0.1, 0.2, 0.2]])) == [0]
+
+
+def test_invalid_direction():
+    with pytest.raises(ValueError):
+        sort_reading_order([(0.1, 0.1, 0.2, 0.2)] * 2, direction="btt")
+
+
+def test_builder_keep_reading_order_two_columns():
+    from doctr_spark.kernels.builder import build_page
+
+    boxes, values = [], []
+    for r in range(3):
+        y0 = 0.1 + r * 0.1
+        boxes.append([0.05, y0, 0.3, y0 + 0.0625])
+        values.append(f"L{r}")
+        boxes.append([0.55, y0, 0.8, y0 + 0.0625])
+        values.append(f"R{r}")
+    boxes = np.array(boxes)
+    scores = np.full(6, 0.8)
+    confs = [0.9] * 6
+    default = build_page(boxes, scores, values, confs, (256, 512))
+    assert default["text"] == "L0\nR0\nL1\nR1\nL2\nR2"  # interleaved sub-lines
+    ro = build_page(boxes, scores, values, confs, (256, 512), keep_reading_order=True)
+    assert ro["text"] == "L0\nL1\nL2\nR0\nR1\nR2"  # column-major

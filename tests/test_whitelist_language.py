@@ -1,0 +1,48 @@
+import numpy as np
+
+from doctr_spark.config import GLYPH_H
+from doctr_spark.kernels.builder import build_page
+from doctr_spark.kernels.glyphs import draw_word, word_width
+from doctr_spark.kernels.language import get_language
+from doctr_spark.kernels.recognition import recognize_crop, whitelist_mask
+from doctr_spark.kernels.vocab import DEFAULT_VOCAB
+
+
+def _crop(text):
+    canvas = np.zeros((GLYPH_H, word_width(text)), dtype=np.uint8)
+    draw_word(canvas, 0, 0, text)
+    return canvas
+
+
+def test_whitelist_mask_shape():
+    m = whitelist_mask(DEFAULT_VOCAB, "abc")
+    assert m.shape == (len(DEFAULT_VOCAB) + 1,)
+    assert m[DEFAULT_VOCAB.index("a")] == 0.0
+    assert np.isneginf(m[DEFAULT_VOCAB.index("z")])
+    assert m[-1] > 0.0  # blank always allowed (with a masked-frame tie-break nudge)
+
+
+def test_whitelist_constrains_decoding():
+    # digits-only whitelist drops the letters from a mixed word
+    value, conf = recognize_crop(_crop("ab12cd"), whitelist="0123456789")
+    assert value == "12"
+    # unconstrained baseline
+    assert recognize_crop(_crop("ab12cd"))[0] == "ab12cd"
+
+
+def test_get_language():
+    lang, conf = get_language("the cat and the dog of a house")
+    assert lang == "en" and conf == 1.0
+    lang, conf = get_language("el perro y la casa de los gatos")
+    assert lang == "es"
+    assert get_language("") == ("unknown", 0.0)
+    assert get_language("zzz qqq")[0] == "unknown"
+
+
+def test_build_page_language_detection():
+    boxes = np.array([[0.05, 0.1, 0.15, 0.16], [0.17, 0.1, 0.25, 0.16]])
+    page = build_page(
+        boxes, np.array([0.8, 0.8]), ["the", "and"], [0.9, 0.9], (256, 512), detect_language=True
+    )
+    assert page["language"]["value"] == "en"
+    assert page["language"]["confidence"] == 1.0
