@@ -42,6 +42,8 @@ def estimate_crop_orientation(crop: np.ndarray) -> tuple[int, float]:
         score = _validity(np.rot90(crop, -k) if k else crop)
         if score > best_score:
             best_angle, best_score = angle, score
+        if score == 1.0:  # fully readable: no other orientation can beat it
+            break
     return best_angle, max(best_score, 0.0)
 
 

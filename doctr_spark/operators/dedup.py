@@ -77,6 +77,10 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "band")
         .agg(F.concat_ws(",", F.array_sort(F.collect_list("minhash"))).alias("band_key"))
     )
+    # materialize the band table before the self-join: otherwise the whole
+    # shingle->signature subtree is computed once per join side (at corpus
+    # scale the band table is written out/bucketed before pairing)
+    bands = bands.persist()
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.band_key") == F.col("b.band_key")))
