@@ -169,8 +169,6 @@ GT_SCHEMA = "conv_id string, turn_idx int, gt_text string, n_pages int, n_words 
 
 def generate_transcripts(spark, n_convs: int, seed: int = 42, with_gt: bool = False, parallelism: int | None = None):
     """Distributed generation: returns transcripts_df (and gt_df if asked)."""
-    from pyspark.sql import functions as F  # noqa: N812
-
     parallelism = parallelism or max(spark.sparkContext.defaultParallelism, 8)
     base = spark.range(0, n_convs, 1, min(parallelism, max(1, n_convs))).withColumnRenamed("id", "conv_no")
 

@@ -35,16 +35,41 @@ PAGE_BREAK = "\n\n\n\n"  # doctr/io/exporters.py:1187-1197 (pages join)
 BLOCK_BREAK = "\n\n"  # doctr/io/elements.py render (blocks join)
 
 
-def straighten(boxes: np.ndarray) -> np.ndarray:
-    """(N, 4) passthrough; (N, 4, 2) polygons -> enclosing straight boxes."""
-    if boxes.ndim == 3:
-        return np.concatenate((boxes.min(1), boxes.max(1)), axis=-1)
-    return boxes
+def straighten(boxes: np.ndarray, shape: tuple[int, int] | None = None) -> np.ndarray:
+    """(N, 4) passthrough; (N, 4, 2) polygons -> straight boxes fitted to
+    the de-skewed page.
+
+    Rotated-page semantics per `_sort_boxes` (builder.py:68-107): estimate
+    the page angle from the polygon top edges, counter-rotate every polygon
+    around the page center, and keep axis-aligned outliers (boxes whose own
+    angle is less than half the page angle carry no rotation to remove —
+    they are translated to their de-skewed center instead of rotated).
+    """
+    if boxes.ndim != 3:
+        return boxes
+    from .geometry import estimate_page_angle, rotate_boxes
+
+    height, width = shape if shape is not None else (1024, 1024)
+    scale = np.array([width, height], dtype=float)
+    angle = estimate_page_angle(boxes * scale)
+    rotated = rotate_boxes(boxes, -angle, (height, width), min_angle=1.0)
+    if rotated.ndim == 2:  # below min_angle: rotate_boxes passed through
+        rotated = boxes
+    if abs(angle) >= 1.0:
+        edges = (boxes[:, 1] - boxes[:, 0]) * scale
+        own_angle = np.rad2deg(np.arctan2(-edges[:, 1], edges[:, 0]))
+        keep = np.abs(own_angle) < abs(angle) / 2
+        if keep.any():
+            centers = boxes.mean(axis=1, keepdims=True)
+            new_centers = rotated.mean(axis=1, keepdims=True)
+            rotated = rotated.copy()
+            rotated[keep] = boxes[keep] - centers[keep] + new_centers[keep]
+    return np.concatenate((rotated.min(1), rotated.max(1)), axis=-1)
 
 
-def sort_boxes(boxes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+def sort_boxes(boxes: np.ndarray, shape: tuple[int, int] | None = None) -> tuple[np.ndarray, np.ndarray]:
     """Return (reading-order indices, straight boxes)."""
-    boxes = straighten(boxes)
+    boxes = straighten(boxes, shape)
     med_h = float(np.median(boxes[:, 3] - boxes[:, 1])) if boxes.shape[0] else 1.0
     if not np.isfinite(med_h) or med_h <= 0:
         med_h = 1.0
@@ -107,7 +132,7 @@ def resolve_lines(
     """Group word boxes into lines; returns lists of word indices."""
     if boxes.shape[0] == 0:
         return []
-    idxs, boxes = sort_boxes(boxes)
+    idxs, boxes = sort_boxes(boxes, shape)
     y_med = float(np.median(boxes[:, 3] - boxes[:, 1]))
 
     # visual rows: running-mean y-center clustering over the sorted sequence

@@ -1,0 +1,86 @@
+"""Layout-region operators.
+
+* `assign_layout_labels` — the area-coverage join
+  (`doctr/models/reading_order/base.py:534-578`, same criterion in
+  `doctr/io/exporters.py:71-89`): each element takes the label of the
+  region covering >= `min_coverage` of its own area, argmax over the
+  N x R intersection-over-area matrix; uncovered elements keep None.
+* `detect_layout_regions` — deterministic stand-in for the LW-DETR layout
+  predictor (`doctr/models/layout/predictor/pytorch.py:19-84`): regions
+  are the vertical ink bands of the page (blank-row splits), labeled by
+  simple position/shape heuristics (header/footer margins, short first
+  band as title, ruled areas as table). Enough to drive the role handling
+  in reading order and the furniture filter with real geometry.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+
+from ..config import BIN_THRESH, RULING_THRESH
+
+
+def intersection_over_area(elements: np.ndarray, regions: np.ndarray) -> np.ndarray:
+    """(N, 4) x (R, 4) -> (N, R) matrix of |elem ∩ region| / |elem|."""
+    if elements.shape[0] == 0 or regions.shape[0] == 0:
+        return np.zeros((elements.shape[0], regions.shape[0]))
+    lt = np.maximum(elements[:, None, :2], regions[None, :, :2])
+    rb = np.minimum(elements[:, None, 2:], regions[None, :, 2:])
+    wh = np.clip(rb - lt, 0.0, None)
+    inter = wh[..., 0] * wh[..., 1]
+    area = np.clip(
+        (elements[:, 2] - elements[:, 0]) * (elements[:, 3] - elements[:, 1]), 1e-12, None
+    )
+    return inter / area[:, None]
+
+
+def assign_layout_labels(
+    elements: np.ndarray,
+    regions: np.ndarray,
+    labels: list[str],
+    min_coverage: float = 0.5,
+) -> list[str | None]:
+    """Label of the region covering >= min_coverage of each element
+    (argmax over coverage); None when uncovered."""
+    cov = intersection_over_area(elements, regions)
+    out: list[str | None] = []
+    for i in range(elements.shape[0]):
+        if cov.shape[1] == 0 or cov[i].max() < min_coverage:
+            out.append(None)
+        else:
+            out.append(labels[int(cov[i].argmax())])
+    return out
+
+
+def detect_layout_regions(page: np.ndarray) -> dict[str, Any]:
+    """Page -> `{"boxes": (R, 4) relative, "class_names": [...], "scores": [...]}`
+    (the LayoutPredictor output contract, builder.py:290-312)."""
+    h, w = page.shape
+    ink = page >= BIN_THRESH * 255.0
+    ruling = (page >= RULING_THRESH) & ~ink
+    any_ink = ink.any(axis=1) | ruling.any(axis=1)
+    rows = np.flatnonzero(any_ink)
+    boxes, names = [], []
+    if rows.size:
+        splits = np.split(rows, np.flatnonzero(np.diff(rows) > 1) + 1)
+        for band in splits:
+            y0, y1 = int(band[0]), int(band[-1]) + 1
+            cols = np.flatnonzero(ink[y0:y1].any(axis=0) | ruling[y0:y1].any(axis=0))
+            x0, x1 = int(cols[0]), int(cols[-1]) + 1
+            if ruling[y0:y1, x0:x1].any():
+                name = "table"
+            elif y1 <= 0.12 * h:
+                name = "page_header"
+            elif y0 >= 0.88 * h:
+                name = "page_footer"
+            else:
+                name = "text"
+            boxes.append([x0 / w, y0 / h, x1 / w, y1 / h])
+            names.append(name)
+    return {
+        "boxes": np.asarray(boxes, dtype=float).reshape(-1, 4),
+        "class_names": names,
+        "scores": [1.0] * len(names),
+    }

@@ -1,0 +1,60 @@
+import numpy as np
+
+from doctr_spark.fixtures.layout import layout_paragraphs
+from doctr_spark.fixtures.tables import render_table_page
+from doctr_spark.kernels.builder import sort_boxes, straighten
+from doctr_spark.kernels.geometry import bbox_to_polygon, rotate_boxes
+from doctr_spark.kernels.layout import assign_layout_labels, detect_layout_regions, intersection_over_area
+
+
+def test_straighten_passthrough_straight():
+    boxes = np.array([[0.1, 0.1, 0.3, 0.2]])
+    assert straighten(boxes) is boxes
+
+
+def test_straighten_deskews_rotated_page():
+    # three word boxes on a row, page rotated by 8 degrees: after
+    # straighten, the boxes realign on a common baseline
+    base = np.array([
+        [0.1, 0.50, 0.2, 0.55],
+        [0.3, 0.50, 0.4, 0.55],
+        [0.5, 0.50, 0.6, 0.55],
+    ])
+    polys = np.stack([bbox_to_polygon(b) for b in base])
+    skewed = rotate_boxes(polys, 8.0, (512, 512), min_angle=0.0)
+    out = straighten(skewed, shape=(512, 512))
+    assert out.shape == (3, 4)
+    assert np.ptp(out[:, 1]) < 0.01  # y0 realigned within 1% of page height
+    order, _ = sort_boxes(skewed, shape=(512, 512))
+    assert order.tolist() == [0, 1, 2]
+
+
+def test_intersection_over_area_and_labels():
+    elements = np.array([
+        [0.1, 0.1, 0.2, 0.2],   # fully inside region 0
+        [0.45, 0.1, 0.55, 0.2], # straddles: 50/50 -> below 0.5+eps of either? exactly 0.5 each
+        [0.8, 0.8, 0.9, 0.9],   # uncovered
+    ])  # fmt: skip
+    regions = np.array([[0.0, 0.0, 0.5, 0.5], [0.5, 0.0, 1.0, 0.5]])
+    cov = intersection_over_area(elements, regions)
+    assert np.allclose(cov[0], [1.0, 0.0])
+    assert np.allclose(cov[1], [0.5, 0.5])
+    labels = assign_layout_labels(elements, regions, ["left", "right"])
+    assert labels[0] == "left" and labels[2] is None
+    assert labels[1] in ("left", "right")  # exact 50/50 straddle: fp tie
+
+
+def test_detect_layout_regions_bands():
+    pages = layout_paragraphs([["top", "band"], ["second", "paragraph", "words"]])
+    reg = detect_layout_regions(pages[0].canvas)
+    assert len(reg["class_names"]) >= 2
+    assert all(n in ("text", "page_header", "page_footer", "table") for n in reg["class_names"])
+    # a ruled table page is labeled as a table region
+    tp = render_table_page([[["a"], ["b"]]])
+    reg2 = detect_layout_regions(tp.canvas)
+    assert "table" in reg2["class_names"]
+
+
+def test_detect_layout_regions_empty():
+    reg = detect_layout_regions(np.zeros((64, 64), dtype=np.uint8))
+    assert reg["boxes"].shape == (0, 4) and reg["class_names"] == []
