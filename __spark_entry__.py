@@ -103,6 +103,12 @@ def export_hocr_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return export_documents(built, "hocr")
 
 
+def _metric_box_iou(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from doctr_spark.operators.metrics import box_iou_events
+
+    return box_iou_events(spark, sf_dir)
+
+
 def _sf_from_dir(sf_dir: str) -> float:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     return float(m.group(1)) if m else 0.01
@@ -163,6 +169,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_count": text_analysis.token_count_bpe,
         "text_fingerprint": text_analysis.fingerprint,
         "text_match_rates": text_analysis.match_rates,
+        # metrics
+        "metric_box_iou": _metric_box_iou,
         # relational / window
         "rel_pricing_summary": relational.pricing_summary,
         "rel_top_customers": relational.top_customers,
@@ -178,9 +186,12 @@ def oracle_sql() -> dict[str, str]:
         "ocr_extract_documents": _FLAGSHIP_ORACLE,
         "ocr_word_stats": _WORD_STATS_ORACLE,
         "kie_class_counts": _KIE_ORACLE,
-        # ocr_extract_synthetic / ocr_media_metadata: non-SQL-expressible
-        # (full raster pipeline); validated by tests/test_pipeline_spark.py
     }
+    # ocr_extract_synthetic / ocr_media_metadata / export_hocr have no SQL
+    # twin (full raster pipeline); validated by the pytest golden suite
+    from doctr_spark.operators.metrics import BOX_IOU_ORACLE
+
+    oracles["metric_box_iou"] = BOX_IOU_ORACLE
     oracles.update(dedup.ORACLES)
     oracles.update(similarity.ORACLES)
     oracles.update(text_analysis.ORACLES)

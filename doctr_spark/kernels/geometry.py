@@ -85,6 +85,25 @@ def estimate_page_angle(polys: np.ndarray) -> float:
     return float(np.median(angles))
 
 
+def nms(boxes: np.ndarray, scores: np.ndarray, thresh: float = 0.5) -> list[int]:
+    """Greedy non-maximum suppression (`doctr/utils/metrics.py:184-219`):
+    keep boxes in descending score order, suppressing any remaining box
+    whose IoU with a kept box exceeds ``thresh``. Returns kept indices."""
+    if boxes.shape[0] == 0:
+        return []
+    order = np.argsort(-scores, kind="stable")
+    iou = box_iou(boxes, boxes)
+    keep: list[int] = []
+    suppressed = np.zeros(boxes.shape[0], dtype=bool)
+    for i in order:
+        i = int(i)
+        if suppressed[i]:
+            continue
+        keep.append(i)
+        suppressed |= iou[i] > thresh
+    return keep
+
+
 def box_iou(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """Pairwise IoU matrix between straight-box sets (N, 4) x (M, 4)
     (`doctr/utils/metrics.py:126-151`)."""

@@ -41,6 +41,42 @@ def iou_expr(a: str, b: str) -> Column:
     return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
 
 
+def box_iou_events(spark, sf_dir: str) -> DataFrame:
+    """Native-column IoU over deterministic box pairs derived from events —
+    the SQL-checkable demonstration of the metrics-suite IoU primitive."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    a_x0 = (F.col("event_id") * 13 % 100) / 100.0
+    a_y0 = (F.col("event_id") * 29 % 100) / 100.0
+    b_x0 = (F.col("event_id") * 17 % 100) / 100.0
+    b_y0 = (F.col("event_id") * 31 % 100) / 100.0
+    boxed = ev.select(
+        "event_id",
+        F.array(a_x0, a_y0, a_x0 + 0.2, a_y0 + 0.1).alias("box_a"),
+        F.array(b_x0, b_y0, b_x0 + 0.15, b_y0 + 0.12).alias("box_b"),
+    )
+    return boxed.select(
+        "event_id", F.round(iou_expr("box_a", "box_b"), 6).alias("iou")
+    ).where(F.col("iou") > 0)
+
+
+BOX_IOU_ORACLE = """
+WITH b AS (
+    SELECT event_id,
+           (event_id * 13 % 100) / 100.0 AS ax0, (event_id * 29 % 100) / 100.0 AS ay0,
+           (event_id * 17 % 100) / 100.0 AS bx0, (event_id * 31 % 100) / 100.0 AS by0
+    FROM events
+), i AS (
+    SELECT event_id,
+           greatest(least(ax0 + 0.2, bx0 + 0.15) - greatest(ax0, bx0), 0)
+         * greatest(least(ay0 + 0.1, by0 + 0.12) - greatest(ay0, by0), 0) AS inter
+    FROM b
+)
+SELECT event_id,
+       round(inter / (0.2 * 0.1 + 0.15 * 0.12 - inter), 6) AS iou
+FROM i WHERE round(inter / (0.2 * 0.1 + 0.15 * 0.12 - inter), 6) > 0
+"""
+
+
 LOC_SCHEMA = "page_key string, n_gt long, n_pred long, n_matched long, sum_iou double"
 
 

@@ -55,3 +55,18 @@ def test_box_iou_closed_form():
     iou = box_iou(a, b)
     assert np.allclose(iou, [[0.5 / 1.5, 0.0]])
     assert box_iou(np.zeros((0, 4)), b).shape == (0, 2)
+
+
+def test_nms_greedy_suppression():
+    from doctr_spark.kernels.geometry import nms
+
+    boxes = np.array([
+        [0.1, 0.1, 0.3, 0.3],
+        [0.12, 0.12, 0.32, 0.32],  # heavy overlap with 0, lower score
+        [0.6, 0.6, 0.8, 0.8],
+    ])
+    scores = np.array([0.9, 0.8, 0.7])
+    assert nms(boxes, scores, thresh=0.5) == [0, 2]
+    # raise threshold: nothing suppressed
+    assert nms(boxes, scores, thresh=0.95) == [0, 1, 2]
+    assert nms(np.zeros((0, 4)), np.zeros(0)) == []
