@@ -55,13 +55,17 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     window-function analogue of the builder's sub-line gap split."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    # parquet timestamps load as TIMESTAMP_NTZ: route through LTZ (session tz
-    # pinned to UTC in the session factory) to get epoch seconds
-    epoch = F.col("ts").cast("timestamp_ltz").cast("long")
-    gap = epoch - F.lag(epoch).over(w)
-    with_break = ev.withColumn(
+    # gap computed with timestampdiff on the NTZ values directly: immune to
+    # the session timezone (an LTZ epoch round-trip would shift across DST
+    # boundaries under a non-UTC driver session)
+    with_prev = ev.withColumn("prev_ts", F.lag("ts").over(w))
+    # truncate to whole seconds before differencing: Spark's timestampdiff
+    # floors the exact microsecond delta while SQL date_diff('second')
+    # counts boundary crossings — truncation makes them identical
+    gap = F.expr("timestampdiff(SECOND, date_trunc('second', prev_ts), date_trunc('second', ts))")
+    with_break = with_prev.withColumn(
         "is_break", F.when(gap.isNull() | (gap > SESSION_GAP_MIN * 60), 1).otherwise(0)
-    )
+    ).drop("prev_ts")
     sessions = with_break.withColumn(
         "session_id", F.sum("is_break").over(w.rowsBetween(Window.unboundedPreceding, 0))
     )
