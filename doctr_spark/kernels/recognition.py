@@ -67,6 +67,32 @@ def ctc_best_path(
     return decode_sequence(chars, vocab), confidence
 
 
+def attention_decode(logits: np.ndarray, vocab: str = DEFAULT_VOCAB) -> tuple[str, float]:
+    """ViTSTR-style attention decode (reference
+    `doctr/models/recognition/vitstr/pytorch.py:164-189`): per-step argmax,
+    word cut at the first <eos> class (index len(vocab)), confidence = mean
+    of the per-step max probabilities over the emitted characters.
+
+    The alternative recognizer head: same (T, C+1) logits contract as the
+    CTC path, no repeat-collapse (attention models emit one step per char).
+    """
+    if logits.shape[0] == 0:
+        return "", 0.0
+    shifted = logits - logits.max(axis=1, keepdims=True)
+    ex = np.exp(shifted)
+    probs = (ex / ex.sum(axis=1, keepdims=True)).max(axis=1)
+    eos = len(vocab)
+    idxs = logits.argmax(axis=1)
+    chars = []
+    for i in idxs:
+        if int(i) == eos:
+            break
+        chars.append(int(i))
+    word = decode_sequence(chars, vocab)
+    conf = float(np.clip(probs[: len(word)], 0, 1).mean()) if word else 0.0
+    return word, conf
+
+
 def _hamming(a: str, b: str) -> int:
     return sum(x != y for x, y in zip(a, b))
 

@@ -109,3 +109,35 @@ def test_split_geometry_right_aligned_tail():
     windows, last_overlap = split_wide_crop(crop)
     assert [w.shape[1] for w in windows] == [96, 96]
     assert last_overlap == 60 / 96
+
+
+def test_attention_decode_vitstr_style():
+    from doctr_spark.kernels.recognition import attention_decode
+    from doctr_spark.kernels.vocab import DEFAULT_VOCAB, blank_index
+
+    vocab = DEFAULT_VOCAB
+    eos = blank_index(vocab)
+    t = np.zeros((6, len(vocab) + 1), dtype=np.float32)
+    for i, cls in enumerate([vocab.index("h"), vocab.index("i"), eos, vocab.index("x"), eos, eos]):
+        t[i, cls] = 8.0
+    word, conf = attention_decode(t, vocab)
+    assert word == "hi"  # cut at first <eos>; trailing steps ignored
+    assert conf > 0.9
+    assert attention_decode(np.zeros((0, len(vocab) + 1), dtype=np.float32)) == ("", 0.0)
+
+
+def test_encode_sequences_eos_sos_pad():
+    from doctr_spark.kernels.vocab import DEFAULT_VOCAB, encode_sequences
+
+    V = len(DEFAULT_VOCAB)
+    out = encode_sequences(["ab", "a"], eos=V)
+    assert out.shape == (2, 3)
+    assert out[1].tolist()[1:] == [V, V]  # eos-padded
+    out2 = encode_sequences(["ab", "a"], eos=V, pad=V + 1, sos=V + 2)
+    assert out2[0, 0] == V + 2  # sos first
+    assert out2[0, 1:4].tolist() == [
+        DEFAULT_VOCAB.index("a"), DEFAULT_VOCAB.index("b"), V]  # word then eos
+    assert out2[1, -1] == V + 1  # padding symbol
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        encode_sequences(["a"], eos=2)
