@@ -51,6 +51,20 @@ def detect_words(
     return boxes, rel, scores
 
 
+def mask_regions(page: np.ndarray, rel_boxes: np.ndarray) -> np.ndarray:
+    """Blank out page regions before detection (reference `mask_boxes` /
+    ignore_regions, `doctr/models/_utils.py:221-258`,
+    `doctr/models/predictor/base.py:110-128`): ink inside the given
+    relative boxes is erased so the detector never sees it."""
+    if rel_boxes.shape[0] == 0:
+        return page
+    h, w = page.shape
+    out = page.copy()
+    for x0, y0, x1, y1 in rel_boxes:
+        out[int(round(y0 * h)) : int(round(y1 * h)), int(round(x0 * w)) : int(round(x1 * w))] = 0
+    return out
+
+
 def extract_crops(page: np.ndarray, abs_boxes: np.ndarray) -> list[np.ndarray]:
     """Slice word crops out of the page (reference
     `doctr/utils/geometry.py:505-531` extract_crops, straight-box path).

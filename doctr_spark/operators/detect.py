@@ -37,35 +37,51 @@ _COLS = [
 # table-structure prediction carried in `aux` as JSON
 
 
-def _detect_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+def _make_detector(mask_region_labels: tuple[str, ...] | None):
     import json
 
+    import numpy as np
+
+    from ..kernels.detection import mask_regions
+    from ..kernels.layout import detect_layout_regions
     from ..kernels.tables import detect_table_structure
 
-    for pdf in batches:
-        rows = []
-        for conv_id, turn_idx, page_idx, page_h, page_w, blob in zip(
-            pdf["conv_id"], pdf["turn_idx"], pdf["page_idx"], pdf["page_h"], pdf["page_w"], pdf["page"]
-        ):
-            key = (conv_id, int(turn_idx), int(page_idx), int(page_h), int(page_w))
-            img = decode_page(bytes(blob))
-            abs_boxes, rel_boxes, scores = detect_words(img)
-            tables = detect_table_structure(img)
-            if tables:
-                rows.append(key + (-2, 0.0, 0.0, 0.0, 0.0, 0.0, None, json.dumps(tables)))
-            if abs_boxes.shape[0] == 0:
-                if not tables:
-                    rows.append(key + (-1, 0.0, 0.0, 0.0, 0.0, 0.0, None, None))
-                continue
-            crops = extract_crops(img, abs_boxes)
-            for w_idx, (rel, score, crop) in enumerate(zip(rel_boxes, scores, crops)):
-                rows.append(
-                    key
-                    + (w_idx, float(rel[0]), float(rel[1]), float(rel[2]), float(rel[3]),
-                       float(score), encode_page(crop), None)
-                )  # fmt: skip
-        yield pd.DataFrame(rows, columns=_COLS)
+    def _detect_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for conv_id, turn_idx, page_idx, page_h, page_w, blob in zip(
+                pdf["conv_id"], pdf["turn_idx"], pdf["page_idx"], pdf["page_h"], pdf["page_w"], pdf["page"]
+            ):
+                key = (conv_id, int(turn_idx), int(page_idx), int(page_h), int(page_w))
+                img = decode_page(bytes(blob))
+                if mask_region_labels:
+                    regions = detect_layout_regions(img)
+                    drop = np.asarray(
+                        [b for b, n in zip(regions["boxes"], regions["class_names"])
+                         if n in mask_region_labels]
+                    ).reshape(-1, 4)  # fmt: skip
+                    img = mask_regions(img, drop)
+                abs_boxes, rel_boxes, scores = detect_words(img)
+                tables = detect_table_structure(img)
+                if tables:
+                    rows.append(key + (-2, 0.0, 0.0, 0.0, 0.0, 0.0, None, json.dumps(tables)))
+                if abs_boxes.shape[0] == 0:
+                    if not tables:
+                        rows.append(key + (-1, 0.0, 0.0, 0.0, 0.0, 0.0, None, None))
+                    continue
+                crops = extract_crops(img, abs_boxes)
+                for w_idx, (rel, score, crop) in enumerate(zip(rel_boxes, scores, crops)):
+                    rows.append(
+                        key
+                        + (w_idx, float(rel[0]), float(rel[1]), float(rel[2]), float(rel[3]),
+                           float(score), encode_page(crop), None)
+                    )  # fmt: skip
+            yield pd.DataFrame(rows, columns=_COLS)
+
+    return _detect_batches
 
 
-def detect_and_crop(pages: DataFrame) -> DataFrame:
-    return pages.mapInPandas(_detect_batches, schema=CROPS_SCHEMA)
+def detect_and_crop(pages: DataFrame, mask_region_labels: tuple[str, ...] | None = None) -> DataFrame:
+    """Detection + crop explode; ``mask_region_labels`` blanks matching
+    layout regions before detection (the ignore_regions option)."""
+    return pages.mapInPandas(_make_detector(mask_region_labels), schema=CROPS_SCHEMA)

@@ -58,3 +58,41 @@ def test_detect_layout_regions_bands():
 def test_detect_layout_regions_empty():
     reg = detect_layout_regions(np.zeros((64, 64), dtype=np.uint8))
     assert reg["boxes"].shape == (0, 4) and reg["class_names"] == []
+
+
+def test_mask_regions_kernel():
+    from doctr_spark.kernels.detection import detect_words, mask_regions
+    from doctr_spark.kernels.glyphs import draw_word
+
+    img = np.zeros((256, 512), dtype=np.uint8)
+    draw_word(img, 20, 8, "headerline")   # top margin
+    draw_word(img, 20, 120, "bodyword")
+    masked = mask_regions(img, np.array([[0.0, 0.0, 1.0, 0.12]]))
+    boxes, _, _ = detect_words(masked)
+    assert boxes.shape[0] == 1
+    assert boxes[0][1] == 120
+    # original untouched
+    assert detect_words(img)[0].shape[0] == 2
+
+
+def test_detect_stage_mask_region_labels(spark):
+    from pyspark.sql import functions as F
+
+    from doctr_spark.fixtures.payloads import make_img_payload
+    from doctr_spark.kernels.glyphs import draw_word
+    from doctr_spark.operators.decode import decode_pages
+    from doctr_spark.operators.detect import detect_and_crop
+
+    img = np.zeros((256, 512), dtype=np.uint8)
+    draw_word(img, 20, 8, "chrome")     # lands in the page_header band
+    draw_word(img, 20, 120, "content")
+    t = spark.createDataFrame(
+        [("c1", 0, "user", make_img_payload(img), None)],
+        "conv_id string, turn_idx int, role string, text string, tool string",
+    ).withColumn("ts", F.current_timestamp())
+    pages = decode_pages(t, num_partitions=2)
+    all_words = detect_and_crop(pages).where("word_idx >= 0").count()
+    kept = detect_and_crop(pages, mask_region_labels=("page_header", "page_footer")).where(
+        "word_idx >= 0"
+    ).count()
+    assert (all_words, kept) == (2, 1)
