@@ -19,6 +19,8 @@ one bounded groupBy, one native aggregation):
 
 from __future__ import annotations
 
+from collections.abc import Callable, Sequence
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F  # noqa: N812
 
@@ -37,6 +39,8 @@ def extract_documents(
     paragraph_break: float = 0.035,
     detect_crop_orientation: bool = True,
     keep_reading_order: bool = False,
+    mask_region_labels: tuple[str, ...] | None = None,
+    loc_hooks: Sequence[Callable[[DataFrame], DataFrame]] | None = None,
 ) -> DataFrame:
     """Run the detection->recognition->reconstruction pipeline.
 
@@ -44,13 +48,21 @@ def extract_documents(
     ``(conv_id, turn_idx, extracted_text, n_pages, n_words, pages_json)``,
     or one row per input turn (nulls for prose turns) when
     ``include_all_turns``.
+
+    ``loc_hooks`` is the Spark analogue of `OCRPredictor.add_hook`
+    (`doctr/models/predictor/base.py:310-316`): DataFrame -> DataFrame
+    transforms applied to the localization/crop rows between detection and
+    recognition (e.g. filtering or rewriting boxes). Word sentinel rows
+    (word_idx < 0) must be passed through.
     """
     if crop_partitions is None:
         sc = transcripts.sparkSession.sparkContext
         crop_partitions = sc.defaultParallelism * 2
 
     pages = decode_pages(transcripts)
-    crops = detect_and_crop(pages)
+    crops = detect_and_crop(pages, mask_region_labels=mask_region_labels)
+    for hook in loc_hooks or ():
+        crops = hook(crops)
     words = recognize(crops, num_partitions=crop_partitions, detect_orientation=detect_crop_orientation)
     built = build_pages(
         words,

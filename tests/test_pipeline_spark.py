@@ -70,3 +70,22 @@ def test_payload_predicate_pushdown(spark, tmp_path):
     plan = docs._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan
     assert "text" in plan and "StringContains" in plan.replace("string_contains", "StringContains") or "contains" in plan
+
+
+def test_loc_hooks_filter_crops(spark):
+    """The add_hook analogue: a crop-level DataFrame transform between
+    detection and recognition."""
+    from pyspark.sql import functions as F  # noqa: N812
+
+    from doctr_spark.fixtures.transcripts import generate_transcripts
+
+    tdf = generate_transcripts(spark, 6)
+    base = extract_documents(tdf, crop_partitions=4)
+    base_words = base.agg(F.sum("n_words")).first()[0]
+
+    def drop_left_half(crops):
+        return crops.where((F.col("word_idx") < 0) | (F.col("xmin") >= 0.5))
+
+    hooked = extract_documents(tdf, crop_partitions=4, loc_hooks=[drop_left_half])
+    hooked_words = hooked.agg(F.sum("n_words")).first()[0]
+    assert 0 < hooked_words < base_words
