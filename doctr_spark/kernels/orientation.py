@@ -51,3 +51,39 @@ def rectify_crop(crop: np.ndarray, angle: int) -> np.ndarray:
     """Undo a detected rotation (reference `_rectify_crops` rot90 path)."""
     k = ORIENTATIONS.index(angle)
     return np.rot90(crop, -k) if k else crop
+
+
+def estimate_page_orientation(page: np.ndarray, max_samples: int = 8) -> tuple[int, float]:
+    """Page-level orientation among {0, 90, 180, 270}.
+
+    Reference analogue: the page orientation classifier + straighten loop
+    (`doctr/models/classification/predictor/pytorch.py:17-70`,
+    `doctr/models/predictor/pytorch.py:110-142` re-detects after
+    straightening). Here each candidate rotation is scored by the mean
+    glyph readability of up to ``max_samples`` detected word crops; upright
+    pages short-circuit at score 1.0.
+    """
+    from .detection import detect_words, extract_crops
+
+    best_angle, best_score = 0, -1.0
+    for k, angle in enumerate(ORIENTATIONS):
+        candidate = np.rot90(page, -k) if k else page
+        abs_boxes, _, _ = detect_words(candidate)
+        if abs_boxes.shape[0] == 0:
+            score = 0.0
+        else:
+            crops = extract_crops(candidate, abs_boxes[:max_samples])
+            scores = [_validity(c) if c.shape[0] == GLYPH_H else 0.0 for c in crops]
+            score = float(np.mean(scores))
+        if score > best_score:
+            best_angle, best_score = angle, score
+        if score == 1.0:
+            break
+    return best_angle, max(best_score, 0.0)
+
+
+def straighten_page(page: np.ndarray, angle: int) -> np.ndarray:
+    """Rotate a page upright (`straighten_page`/`rotate_image` right-angle
+    path, `doctr/utils/geometry.py:333-460`)."""
+    k = ORIENTATIONS.index(angle)
+    return np.ascontiguousarray(np.rot90(page, -k)) if k else page

@@ -39,6 +39,12 @@ def _make_builder(
         turn_idx = int(pdf["turn_idx"].iloc[0])
         page_idx = int(pdf["page_idx"].iloc[0])
         dims = (int(pdf["page_h"].iloc[0]), int(pdf["page_w"].iloc[0]))
+        page_orientation = None
+        if "page_orient" in pdf.columns:
+            page_orientation = {
+                "value": int(pdf["page_orient"].iloc[0]),
+                "confidence": float(pdf["page_orient_conf"].iloc[0]),
+            }
 
         raw_tables = []
         if "aux" in pdf.columns:
@@ -80,6 +86,8 @@ def _make_builder(
             tables=tables,
             keep_reading_order=keep_reading_order,
         )
+        if page_orientation is not None:
+            page["orientation"] = page_orientation
         text = page.pop("text")
         n_words = int(boxes.shape[0]) + int(consumed.sum())
         return pd.DataFrame(

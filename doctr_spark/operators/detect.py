@@ -25,11 +25,12 @@ from ..kernels.imgcodec import decode_page, encode_page
 
 CROPS_SCHEMA = (
     "conv_id string, turn_idx int, page_idx int, page_h int, page_w int, "
+    "page_orient int, page_orient_conf double, "
     "word_idx int, xmin double, ymin double, xmax double, ymax double, "
     "score double, crop binary, aux string"
 )
 _COLS = [
-    "conv_id", "turn_idx", "page_idx", "page_h", "page_w",
+    "conv_id", "turn_idx", "page_idx", "page_h", "page_w", "page_orient", "page_orient_conf",
     "word_idx", "xmin", "ymin", "xmax", "ymax", "score", "crop", "aux",
 ]  # fmt: skip
 
@@ -37,13 +38,14 @@ _COLS = [
 # table-structure prediction carried in `aux` as JSON
 
 
-def _make_detector(mask_region_labels: tuple[str, ...] | None):
+def _make_detector(mask_region_labels: tuple[str, ...] | None, straighten_pages: bool = False):
     import json
 
     import numpy as np
 
     from ..kernels.detection import mask_regions
     from ..kernels.layout import detect_layout_regions
+    from ..kernels.orientation import estimate_page_orientation, straighten_page
     from ..kernels.tables import detect_table_structure
 
     def _detect_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -52,8 +54,16 @@ def _make_detector(mask_region_labels: tuple[str, ...] | None):
             for conv_id, turn_idx, page_idx, page_h, page_w, blob in zip(
                 pdf["conv_id"], pdf["turn_idx"], pdf["page_idx"], pdf["page_h"], pdf["page_w"], pdf["page"]
             ):
-                key = (conv_id, int(turn_idx), int(page_idx), int(page_h), int(page_w))
                 img = decode_page(bytes(blob))
+                orient, orient_conf = 0, 1.0
+                if straighten_pages:
+                    orient, orient_conf = estimate_page_orientation(img)
+                    if orient:
+                        img = straighten_page(img, orient)
+                key = (
+                    conv_id, int(turn_idx), int(page_idx),
+                    int(img.shape[0]), int(img.shape[1]), orient, float(orient_conf),
+                )  # fmt: skip
                 if mask_region_labels:
                     regions = detect_layout_regions(img)
                     drop = np.asarray(
@@ -81,7 +91,16 @@ def _make_detector(mask_region_labels: tuple[str, ...] | None):
     return _detect_batches
 
 
-def detect_and_crop(pages: DataFrame, mask_region_labels: tuple[str, ...] | None = None) -> DataFrame:
+def detect_and_crop(
+    pages: DataFrame,
+    mask_region_labels: tuple[str, ...] | None = None,
+    straighten_pages: bool = False,
+) -> DataFrame:
     """Detection + crop explode; ``mask_region_labels`` blanks matching
-    layout regions before detection (the ignore_regions option)."""
-    return pages.mapInPandas(_make_detector(mask_region_labels), schema=CROPS_SCHEMA)
+    layout regions before detection (the ignore_regions option);
+    ``straighten_pages`` classifies + undoes right-angle page rotation
+    before detection (reference straighten loop,
+    `doctr/models/predictor/pytorch.py:110-142`)."""
+    return pages.mapInPandas(
+        _make_detector(mask_region_labels, straighten_pages), schema=CROPS_SCHEMA
+    )

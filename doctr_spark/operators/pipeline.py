@@ -40,6 +40,7 @@ def extract_documents(
     detect_crop_orientation: bool = True,
     keep_reading_order: bool = False,
     mask_region_labels: tuple[str, ...] | None = None,
+    straighten_pages: bool = False,
     loc_hooks: Sequence[Callable[[DataFrame], DataFrame]] | None = None,
 ) -> DataFrame:
     """Run the detection->recognition->reconstruction pipeline.
@@ -60,7 +61,9 @@ def extract_documents(
         crop_partitions = sc.defaultParallelism * 2
 
     pages = decode_pages(transcripts)
-    crops = detect_and_crop(pages, mask_region_labels=mask_region_labels)
+    crops = detect_and_crop(
+        pages, mask_region_labels=mask_region_labels, straighten_pages=straighten_pages
+    )
     for hook in loc_hooks or ():
         crops = hook(crops)
     words = recognize(crops, num_partitions=crop_partitions, detect_orientation=detect_crop_orientation)

@@ -26,11 +26,12 @@ from ..kernels.recognition import recognize_crop
 
 WORDS_SCHEMA = (
     "conv_id string, turn_idx int, page_idx int, page_h int, page_w int, "
+    "page_orient int, page_orient_conf double, "
     "word_idx int, xmin double, ymin double, xmax double, ymax double, "
     "score double, aux string, value string, confidence double, "
     "crop_orient int, crop_orient_conf double"
 )
-_PASS = ["conv_id", "turn_idx", "page_idx", "page_h", "page_w",
+_PASS = ["conv_id", "turn_idx", "page_idx", "page_h", "page_w", "page_orient", "page_orient_conf",
          "word_idx", "xmin", "ymin", "xmax", "ymax", "score", "aux"]  # fmt: skip
 
 

@@ -39,3 +39,40 @@ def test_square_word_no_false_positive():
     crop = np.rot90(_crop("abcd"), 2)
     angle, conf = estimate_crop_orientation(crop)
     assert angle == 180
+
+
+def test_estimate_page_orientation_kernel():
+    from doctr_spark.fixtures.layout import layout_paragraphs
+    from doctr_spark.kernels.orientation import estimate_page_orientation, straighten_page
+
+    page = layout_paragraphs([["hello", "world"], ["again", "there"]])[0]
+    assert estimate_page_orientation(page.canvas) == (0, 1.0)
+    for k, expected in ((1, 90), (2, 180), (3, 270)):
+        rotated = np.rot90(page.canvas, k)
+        angle, conf = estimate_page_orientation(rotated)
+        assert angle == expected and conf == 1.0
+        assert (straighten_page(rotated, angle) == page.canvas).all()
+    blank = np.zeros((64, 64), dtype=np.uint8)
+    assert estimate_page_orientation(blank) == (0, 0.0)
+
+
+def test_straighten_pages_pipeline(spark):
+    from pyspark.sql import functions as F
+
+    from doctr_spark.fixtures.layout import layout_paragraphs
+    from doctr_spark.fixtures.payloads import make_img_payload
+    from doctr_spark.operators.pipeline import extract_documents
+
+    page = layout_paragraphs([["rotated", "page", "text"]])[0]
+    rotated = np.ascontiguousarray(np.rot90(page.canvas, 2))
+    t = spark.createDataFrame(
+        [("c1", 0, "user", make_img_payload(rotated), None)],
+        "conv_id string, turn_idx int, role string, text string, tool string",
+    ).withColumn("ts", F.current_timestamp())
+    r = extract_documents(t, crop_partitions=2, straighten_pages=True).first()
+    assert r.extracted_text == page.gt_text
+    import json
+    assert json.loads(r.pages_json[0])["orientation"] == {"value": 180, "confidence": 1.0}
+    # without straightening the rotated page is unreadable
+    r2 = extract_documents(t, crop_partitions=2).first()
+    assert r2.extracted_text != page.gt_text
