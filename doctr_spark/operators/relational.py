@@ -18,15 +18,25 @@ SESSION_GAP_MIN = 30
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-style pricing summary (group agg with partial aggregation)."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    # accumulate in DECIMAL: decimal addition is exact and order-independent,
+    # so the result is bit-identical across engines and partitionings
+    # (double sums over ~60k rows carry order-dependent rounding error that
+    # can flip the last rounded digit between Spark and the oracle)
+    dec = "decimal(28,6)"
+    qty = F.col("l_quantity").cast(dec)
+    price = F.col("l_extendedprice").cast(dec)
+    disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(dec)
     return (
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("sum_disc_price"),
-            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            # avg = exact decimal sum (as double) / count: one IEEE division,
+            # bit-identical in any engine
+            F.round(F.sum(qty).cast("double") / F.count("*"), 6).alias("avg_qty"),
+            F.round(F.sum(F.col("l_discount").cast(dec)).cast("double") / F.count("*"), 6).alias("avg_disc"),
             F.count("*").cast("long").alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -43,7 +53,7 @@ def top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
         .groupBy("n_name")
         .agg(
-            F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+            F.sum(F.col("o_totalprice").cast("decimal(28,6)")).cast("double").alias("revenue"),
             F.count("*").cast("long").alias("n_orders"),
         )
     )
@@ -73,7 +83,7 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         sessions.groupBy("user_id", "session_id")
         .agg(
             F.count("*").cast("long").alias("n_events"),
-            F.round(F.sum("value"), 4).alias("session_value"),
+            F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("session_value"),
         )
         .orderBy("user_id", "session_id")
     )
@@ -116,18 +126,18 @@ def bbox_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES: dict[str, str] = {
     "rel_pricing_summary": """
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 4) AS sum_qty,
-           round(sum(l_extendedprice), 4) AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
-           round(avg(l_quantity), 6) AS avg_qty,
-           round(avg(l_discount), 6) AS avg_disc,
+           sum(l_quantity::DECIMAL(28,6))::DOUBLE AS sum_qty,
+           sum(l_extendedprice::DECIMAL(28,6))::DOUBLE AS sum_base_price,
+           sum((l_extendedprice * (1 - l_discount))::DECIMAL(28,6))::DOUBLE AS sum_disc_price,
+           round(sum(l_quantity::DECIMAL(28,6))::DOUBLE / count(*), 6) AS avg_qty,
+           round(sum(l_discount::DECIMAL(28,6))::DOUBLE / count(*), 6) AS avg_disc,
            count(*)::BIGINT AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02'
     GROUP BY l_returnflag, l_linestatus
     """,
     "rel_top_customers": """
-    SELECT n_name, round(sum(o_totalprice), 4) AS revenue, count(*)::BIGINT AS n_orders
+    SELECT n_name, sum(o_totalprice::DECIMAL(28,6))::DOUBLE AS revenue, count(*)::BIGINT AS n_orders
     FROM orders
     JOIN customer ON o_custkey = c_custkey
     JOIN nation ON c_nationkey = n_nationkey
@@ -148,7 +158,7 @@ ORACLES: dict[str, str] = {
         FROM g
     )
     SELECT user_id, session_id::BIGINT AS session_id, count(*)::BIGINT AS n_events,
-           round(sum(value), 4) AS session_value
+           sum(value::DECIMAL(28,6))::DOUBLE AS session_value
     FROM s GROUP BY user_id, session_id
     """,
     "rel_events_topk": """
