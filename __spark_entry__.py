@@ -67,12 +67,16 @@ def ocr_word_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _KIE_ORACLE = """
-WITH c AS (
+WITH cleaned AS (
     SELECT source AS conv_id,
            (ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) - 1)::INT AS turn_idx,
-           string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
-                             ' +', ' ', 'g')), ' ') AS toks
+           trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                               ' +', ' ', 'g')) AS txt
     FROM documents
+), c AS (
+    SELECT conv_id, turn_idx,
+           CASE WHEN txt = '' THEN []::VARCHAR[] ELSE string_split(txt, ' ') END AS toks
+    FROM cleaned
 )
 SELECT conv_id, turn_idx,
        len(list_filter(toks, t -> regexp_full_match(t, '[0-9]+')))::BIGINT AS n_number,

@@ -77,17 +77,23 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "band")
         .agg(F.concat_ws(",", F.array_sort(F.collect_list("minhash"))).alias("band_key"))
     )
-    # materialize the band table before the self-join: otherwise the whole
-    # shingle->signature subtree is computed once per join side (at corpus
-    # scale the band table is written out/bucketed before pairing)
-    bands = bands.persist()
-    a, b = bands.alias("a"), bands.alias("b")
-    return (
-        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.band_key") == F.col("b.band_key")))
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+    # pair expansion by bucket grouping rather than a self-join: the
+    # signature subtree is computed exactly once (a self-join recomputes it
+    # per side, or forces a persist whose lifecycle the caller can't manage)
+    groups = (
+        bands.groupBy("band", "band_key")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .where(F.size("ids") >= 2)
     )
+    pairs = groups.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ids, (a, i) ->"
+                " transform(slice(ids, i + 2, size(ids)), b -> struct(a AS doc_a, b AS doc_b))))"
+            )
+        ).alias("p")
+    )
+    return pairs.select("p.doc_a", "p.doc_b").distinct()
 
 
 def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:

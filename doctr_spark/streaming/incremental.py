@@ -25,7 +25,7 @@ the same append-only, idempotent-redo semantics.
 from __future__ import annotations
 
 import datetime as dt
-import os
+
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -44,11 +44,12 @@ def with_bucket(transcripts: DataFrame, n_buckets: int) -> DataFrame:
 
 
 def completed_buckets(spark: SparkSession, manifest_dir: str) -> list[int]:
-    if not os.path.isdir(manifest_dir) or not any(
-        f.endswith(".parquet") for f in os.listdir(manifest_dir)
-    ):
+    # probe through Spark's filesystem layer (works on HDFS/S3/local alike,
+    # unlike os.path which would silently disable resume on a cluster)
+    try:
+        m = spark.read.parquet(manifest_dir)
+    except Exception:  # no manifest yet (AnalysisException: path not found)
         return []
-    m = spark.read.parquet(manifest_dir)
     return [r["bucket"] for r in m.where(F.col("status") == "done").select("bucket").distinct().collect()]
 
 
@@ -78,9 +79,13 @@ def run_checkpointed(
         part = bucketed.where(F.col("bucket") == bucket).drop("bucket")
         docs = extract_documents(part).withColumn("bucket", F.lit(bucket))
         docs.write.mode("overwrite").parquet(f"{output_dir}/bucket={bucket}")
-        stats = docs.agg(
-            F.count("*").alias("n_turns"), F.sum("n_words").alias("n_words")
-        ).collect()[0]
+        # stats from the files just written: a second action on `docs`
+        # would re-run the whole extraction lineage for this bucket
+        stats = (
+            spark.read.parquet(f"{output_dir}/bucket={bucket}")
+            .agg(F.count("*").alias("n_turns"), F.sum("n_words").alias("n_words"))
+            .collect()[0]
+        )
         manifest_row = spark.createDataFrame(
             [
                 (

@@ -37,7 +37,11 @@ def stream_extraction(
 
     def process_batch(batch_df, batch_id: int) -> None:
         docs = extract_documents(batch_df, crop_partitions=crop_partitions)
-        docs.write.mode("append").parquet(output_dir)
+        # idempotent per micro-batch: a replayed batch (crash after write,
+        # before the offset commit) overwrites its own batch directory
+        # instead of appending duplicates — this is what makes foreachBatch
+        # + file-source offsets exactly-once
+        docs.write.mode("overwrite").parquet(f"{output_dir}/batch_id={batch_id}")
 
     return (
         source.writeStream.foreachBatch(process_batch)
