@@ -107,9 +107,33 @@ def export_hocr(page: dict[str, Any]) -> str:
     return "\n".join(out)
 
 
+_ADOC_SPECIAL = set("*_`#+|")
+_ADOC_LINE_MARKERS = set("*.-=")
+
+
+def export_asciidoc(page: dict[str, Any]) -> str:
+    """AsciiDoc export (`exporters.py:474-509`): escaped text, line-marker
+    neutralization via {empty}, page break "\\n\\n<<<\\n\\n"."""
+    parts = []
+    for block in page["blocks"]:
+        lines = []
+        for line in block["lines"]:
+            text = " ".join(
+                "".join(f"\\{c}" if c in _ADOC_SPECIAL else c for c in w["value"])
+                for w in line["words"]
+            )
+            stripped = text.lstrip()
+            if stripped and stripped[0] in _ADOC_LINE_MARKERS:
+                text = "{empty}" + text
+            lines.append(text)
+        parts.append("\n".join(lines))
+    return "\n\n".join(parts)
+
+
 EXPORTERS = {
     "text": export_text,
     "markdown": export_markdown,
+    "asciidoc": export_asciidoc,
     "html": export_html,
     "hocr": export_hocr,
 }
@@ -117,6 +141,7 @@ EXPORTERS = {
 PAGE_BREAKS = {
     "text": "\n\n\n\n",
     "markdown": "\n\n---\n\n",
+    "asciidoc": "\n\n<<<\n\n",
     "html": "\n<hr>\n",
     "hocr": "\n",
 }

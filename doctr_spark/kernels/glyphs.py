@@ -71,6 +71,18 @@ def read_codes(crop: np.ndarray) -> np.ndarray:
     return codes[valid]
 
 
+def forward_logits_attention(crop: np.ndarray, vocab: str = DEFAULT_VOCAB) -> np.ndarray:
+    """Attention-head forward (ViTSTR-style): one frame per character plus
+    a terminating <eos> frame — no blanks, no repeats to collapse."""
+    codes = read_codes(crop)
+    c_plus_1 = len(vocab) + 1
+    logits = np.zeros((len(codes) + 1, c_plus_1), dtype=np.float32)
+    for i, code in enumerate(codes):
+        logits[i, code] = LOGIT_HI
+    logits[len(codes), blank_index(vocab)] = LOGIT_HI  # <eos>
+    return logits
+
+
 def forward_logits(crop: np.ndarray, vocab: str = DEFAULT_VOCAB) -> np.ndarray:
     """The recognition "model forward": crop -> (T, C+1) float32 logits.
 

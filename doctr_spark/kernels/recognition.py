@@ -173,15 +173,25 @@ def split_wide_crop(
 
 
 def recognize_crop(
-    crop: np.ndarray, vocab: str = DEFAULT_VOCAB, whitelist: str | None = None
+    crop: np.ndarray,
+    vocab: str = DEFAULT_VOCAB,
+    whitelist: str | None = None,
+    arch: str = "ctc",
 ) -> tuple[str, float]:
-    """Full recognition of one word crop: optional split -> forward -> CTC ->
-    merge. Mirrors `RecognitionPredictor.forward`
-    (`doctr/models/recognition/predictor/pytorch.py:44-85`)."""
+    """Full recognition of one word crop: optional split -> forward ->
+    decode -> merge. Mirrors `RecognitionPredictor.forward`
+    (`doctr/models/recognition/predictor/pytorch.py:44-85`). ``arch``
+    selects the decode head: "ctc" (CRNN best-path) or "attention"
+    (ViTSTR <eos>-cut)."""
     if crop.shape[0] != GLYPH_H:
         raise ValueError(f"expected {GLYPH_H}-px-tall crop, got {crop.shape}")
     windows, last_overlap = split_wide_crop(crop)
-    preds = [ctc_best_path(forward_logits(w, vocab), vocab, whitelist) for w in windows]
+    if arch == "attention":
+        from .glyphs import forward_logits_attention
+
+        preds = [attention_decode(forward_logits_attention(w, vocab), vocab) for w in windows]
+    else:
+        preds = [ctc_best_path(forward_logits(w, vocab), vocab, whitelist) for w in windows]
     if len(preds) == 1:
         return preds[0]
     texts = [t for t, _ in preds]

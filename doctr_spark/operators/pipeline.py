@@ -42,6 +42,7 @@ def extract_documents(
     mask_region_labels: tuple[str, ...] | None = None,
     straighten_pages: bool = False,
     loc_hooks: Sequence[Callable[[DataFrame], DataFrame]] | None = None,
+    reco_arch: str = "ctc",
 ) -> DataFrame:
     """Run the detection->recognition->reconstruction pipeline.
 
@@ -66,7 +67,12 @@ def extract_documents(
     )
     for hook in loc_hooks or ():
         crops = hook(crops)
-    words = recognize(crops, num_partitions=crop_partitions, detect_orientation=detect_crop_orientation)
+    words = recognize(
+        crops,
+        num_partitions=crop_partitions,
+        detect_orientation=detect_crop_orientation,
+        arch=reco_arch,
+    )
     built = build_pages(
         words,
         resolve_lines=resolve_lines,

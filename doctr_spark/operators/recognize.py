@@ -35,7 +35,7 @@ _PASS = ["conv_id", "turn_idx", "page_idx", "page_h", "page_w", "page_orient", "
          "word_idx", "xmin", "ymin", "xmax", "ymax", "score", "aux"]  # fmt: skip
 
 
-def _make_recognizer(detect_orientation: bool):
+def _make_recognizer(detect_orientation: bool, arch: str = "ctc"):
     from ..kernels.orientation import estimate_crop_orientation, rectify_crop
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -55,7 +55,7 @@ def _make_recognizer(detect_orientation: bool):
                         crop = rectify_crop(crop, angle)
                 else:
                     angle, oconf = 0, 1.0
-                v, c = recognize_crop(crop)
+                v, c = recognize_crop(crop, arch=arch)
                 values.append(v)
                 confs.append(c)
                 orients.append(angle)
@@ -74,6 +74,7 @@ def recognize(
     crops: DataFrame,
     num_partitions: int | None = None,
     detect_orientation: bool = True,
+    arch: str = "ctc",
 ) -> DataFrame:
     """Recognize every crop; optionally rebalance onto ``num_partitions``.
 
@@ -86,4 +87,4 @@ def recognize(
         crops = crops.repartition(
             num_partitions, F.xxhash64("conv_id", "turn_idx", "page_idx", "word_idx")
         )
-    return crops.mapInPandas(_make_recognizer(detect_orientation), schema=WORDS_SCHEMA)
+    return crops.mapInPandas(_make_recognizer(detect_orientation, arch), schema=WORDS_SCHEMA)
