@@ -95,8 +95,29 @@ def kie_counts_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kie_class_counts(kie_extract(transcripts_from_documents(spark, sf_dir)))
 
 
+# hOCR is XML the oracle can't re-derive bbox-for-bbox, but stripping tags
+# must give back exactly the flagship token stream, and the number of
+# ocrx_word spans must equal the SQL word count — so the export surface is
+# oracle-checked end-to-end modulo markup (markup itself is golden-tested
+# in tests/test_exporters_kie.py).
+_HOCR_ORACLE = """
+WITH c AS (
+    SELECT source AS conv_id,
+           (ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) - 1)::INT AS turn_idx,
+           trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                               ' +', ' ', 'g')) AS cleaned
+    FROM documents
+)
+SELECT conv_id, turn_idx, cleaned AS hocr_text,
+       (CASE WHEN cleaned = '' THEN 0
+             ELSE len(string_split(cleaned, ' ')) END)::BIGINT AS n_word_spans
+FROM c
+"""
+
+
 def export_hocr_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-format export surface (hOCR XML with pixel bboxes); rows-only."""
+    """Multi-format export surface: full hOCR XML per turn, projected to its
+    tag-stripped text + ocrx_word span count for the SQL oracle."""
     from doctr_spark.operators.build import build_pages
     from doctr_spark.operators.detect import detect_and_crop
     from doctr_spark.operators.kie import export_documents
@@ -104,7 +125,15 @@ def export_hocr_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = transcripts_from_documents(spark, sf_dir)
     built = build_pages(recognize(detect_and_crop(decode_pages(t))))
-    return export_documents(built, "hocr")
+    hocr = export_documents(built, "hocr")
+    return hocr.select(
+        "conv_id",
+        "turn_idx",
+        F.trim(
+            F.regexp_replace(F.regexp_replace("content", "<[^>]+>", " "), r"\s+", " ")
+        ).alias("hocr_text"),
+        (F.size(F.split("content", "class='ocrx_word'")) - 1).cast("long").alias("n_word_spans"),
+    )
 
 
 def _metric_box_iou(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -118,23 +147,58 @@ def _sf_from_dir(sf_dir: str) -> float:
     return float(m.group(1)) if m else 0.01
 
 
+# Expectation staging for queries whose input is the in-session synthetic
+# fixture rather than a driver parquet: the generator's ground truth (a pure
+# function of the layout engine, computed BEFORE payload packing) is written
+# to a scratch parquet at query-build time so the DuckDB oracle can read it.
+ORACLE_SCRATCH = "/root/repo/.oracle"
+
+
+def _stage_expectation(df: DataFrame, name: str) -> str:
+    path = f"{ORACLE_SCRATCH}/{name}"
+    df.write.mode("overwrite").parquet(path)
+    return path
+
+
+_SYNTH_ORACLE = f"""
+SELECT conv_id, turn_idx::INT AS turn_idx, gt_text AS extracted_text,
+       n_pages::BIGINT AS n_pages, n_words::BIGINT AS n_words
+FROM read_parquet('{ORACLE_SCRATCH}/synth_gt/*.parquet')
+"""
+
+
 def ocr_extract_synthetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native synthetic transcripts (skewed conversations, img/pdf/html
-    payloads, multi-page docs, wide-word split path). Not SQL-expressible —
-    covered by the pytest golden-equality suite instead."""
+    payloads, multi-page docs, wide-word split path). The oracle is the
+    generator's own ground-truth table, staged to parquet for DuckDB."""
     from doctr_spark.fixtures.transcripts import generate_transcripts, n_convs_for_sf
 
-    tdf = generate_transcripts(spark, n_convs_for_sf(_sf_from_dir(sf_dir)))
+    tdf, gdf = generate_transcripts(spark, n_convs_for_sf(_sf_from_dir(sf_dir)), with_gt=True)
+    _stage_expectation(gdf, "synth_gt")
     return extract_documents(tdf).select(
-        "conv_id", "turn_idx", "extracted_text", "n_pages", "n_words"
+        "conv_id",
+        "turn_idx",
+        "extracted_text",
+        F.col("n_pages").cast("long").alias("n_pages"),
+        F.col("n_words").cast("long").alias("n_words"),
     )
 
 
+_MEDIA_ORACLE = f"""
+SELECT conv_id, turn_idx::INT AS turn_idx, page_idx::INT AS page_idx, media_kind,
+       height::INT AS height, width::INT AS width, n_bytes::BIGINT AS n_bytes,
+       ink_ratio::DOUBLE AS ink_ratio, feature_json
+FROM read_parquet('{ORACLE_SCRATCH}/media_gt/*.parquet')
+"""
+
+
 def ocr_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing: binary page column -> typed metadata + features."""
+    """Multimodal plumbing: binary page column -> typed metadata + features.
+    Oracle: generation-time expectation rows (pre-payload canvases)."""
     from doctr_spark.fixtures.transcripts import generate_transcripts
 
-    tdf = generate_transcripts(spark, 50)
+    tdf, mdf = generate_transcripts(spark, 50, with_media=True)
+    _stage_expectation(mdf, "media_gt")
     return media_metadata(decode_pages(tdf))
 
 
@@ -190,9 +254,10 @@ def oracle_sql() -> dict[str, str]:
         "ocr_extract_documents": _FLAGSHIP_ORACLE,
         "ocr_word_stats": _WORD_STATS_ORACLE,
         "kie_class_counts": _KIE_ORACLE,
+        "export_hocr": _HOCR_ORACLE,
+        "ocr_extract_synthetic": _SYNTH_ORACLE,
+        "ocr_media_metadata": _MEDIA_ORACLE,
     }
-    # ocr_extract_synthetic / ocr_media_metadata / export_hocr have no SQL
-    # twin (full raster pipeline); validated by the pytest golden suite
     from doctr_spark.operators.metrics import BOX_IOU_ORACLE
 
     oracles["metric_box_iou"] = BOX_IOU_ORACLE

@@ -21,6 +21,7 @@ import numpy as np
 import pandas as pd
 
 from ..kernels.builder import render_document
+from ..kernels.features import media_meta_row
 from ..kernels.vocab import ASCII_LOWER, ASCII_UPPER, DIGITS
 from .layout import layout_paragraphs
 from .payloads import make_html_payload, make_img_payload, make_pdf_payload
@@ -66,8 +67,13 @@ def gen_conversation(
     payload_fraction: float = 0.4,
     skew_fraction: float = 0.01,
     skew_mult: int = 50,
-) -> tuple[list[dict], list[dict]]:
-    """Generate one conversation; returns (turn rows, ground-truth rows)."""
+) -> tuple[list[dict], list[dict], list[dict]]:
+    """Generate one conversation; returns (turn rows, ground-truth rows,
+    media-metadata expectation rows).
+
+    The media rows are computed from the layout-engine canvases at
+    generation time — BEFORE payload packing — so they are a genuine oracle
+    for the decode -> metadata pipeline (`operators.multimodal`)."""
     rng = np.random.default_rng([seed, conv_no])
     conv_id = f"conv{conv_no:07d}"
     n_turns = int(rng.integers(3, 11))
@@ -75,7 +81,25 @@ def gen_conversation(
         n_turns *= skew_mult
     start = _EPOCH + dt.timedelta(hours=conv_no % 100_000)
 
-    rows, gts = [], []
+    rows, gts, media = [], [], []
+
+    def _media_rows(t: int, canvases) -> None:
+        for page_idx, canvas in enumerate(canvases):
+            h, w, n_bytes, ink_ratio, fjson = media_meta_row(canvas)
+            media.append(
+                {
+                    "conv_id": conv_id,
+                    "turn_idx": t,
+                    "page_idx": page_idx,
+                    "media_kind": "page",
+                    "height": h,
+                    "width": w,
+                    "n_bytes": n_bytes,
+                    "ink_ratio": ink_ratio,
+                    "feature_json": fjson,
+                }
+            )
+
     for t in range(n_turns):
         role = _ROLES[t % 3]
         tool = _TOOLS[int(rng.integers(0, len(_TOOLS)))] if role == "tool" else None
@@ -133,10 +157,12 @@ def gen_conversation(
                         "n_words": tp.n_words,
                     }
                 )
+                _media_rows(t, [tp.canvas])
                 continue
             gt_text = render_document([p.gt_text for p in pages])
             n_pages = len(pages)
             n_words = sum(len(p.words) for p in pages)
+            _media_rows(t, [p.canvas for p in pages])
             text = f"{prose} {payload} {_rand_word(rng)}"
         else:
             text = prose
@@ -160,41 +186,58 @@ def gen_conversation(
                     "n_words": n_words,
                 }
             )
-    return rows, gts
+    return rows, gts, media
 
 
 TRANSCRIPTS_SCHEMA = "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
 GT_SCHEMA = "conv_id string, turn_idx int, gt_text string, n_pages int, n_words int"
+MEDIA_GT_SCHEMA = (
+    "conv_id string, turn_idx int, page_idx int, media_kind string, "
+    "height int, width int, n_bytes long, ink_ratio double, feature_json string"
+)
 
 
-def generate_transcripts(spark, n_convs: int, seed: int = 42, with_gt: bool = False, parallelism: int | None = None):
-    """Distributed generation: returns transcripts_df (and gt_df if asked)."""
+def generate_transcripts(
+    spark,
+    n_convs: int,
+    seed: int = 42,
+    with_gt: bool = False,
+    with_media: bool = False,
+    parallelism: int | None = None,
+):
+    """Distributed generation: returns transcripts_df (plus the gt_df and/or
+    media expectation df if asked, in that order)."""
     parallelism = parallelism or max(spark.sparkContext.defaultParallelism, 8)
     base = spark.range(0, n_convs, 1, min(parallelism, max(1, n_convs))).withColumnRenamed("id", "conv_no")
 
     _COLS = {
         "rows": ["conv_id", "turn_idx", "role", "text", "tool", "ts"],
         "gt": ["conv_id", "turn_idx", "gt_text", "n_pages", "n_words"],
+        "media": [
+            "conv_id", "turn_idx", "page_idx", "media_kind",
+            "height", "width", "n_bytes", "ink_ratio", "feature_json",
+        ],  # fmt: skip
     }
+    _IDX = {"rows": 0, "gt": 1, "media": 2}
 
     def _gen(kind: str):
-        cols = _COLS[kind]
+        cols, idx = _COLS[kind], _IDX[kind]
 
         def fn(batches):
             for pdf in batches:
                 all_rows = []
                 for conv_no in pdf["conv_no"].tolist():
-                    rows, gts = gen_conversation(int(conv_no), seed)
-                    all_rows.extend(gts if kind == "gt" else rows)
+                    all_rows.extend(gen_conversation(int(conv_no), seed)[idx])
                 yield pd.DataFrame(all_rows, columns=cols)
 
         return fn
 
-    tdf = base.mapInPandas(_gen("rows"), schema=TRANSCRIPTS_SCHEMA)
-    if not with_gt:
-        return tdf
-    gdf = base.mapInPandas(_gen("gt"), schema=GT_SCHEMA)
-    return tdf, gdf
+    out = [base.mapInPandas(_gen("rows"), schema=TRANSCRIPTS_SCHEMA)]
+    if with_gt:
+        out.append(base.mapInPandas(_gen("gt"), schema=GT_SCHEMA))
+    if with_media:
+        out.append(base.mapInPandas(_gen("media"), schema=MEDIA_GT_SCHEMA))
+    return out[0] if len(out) == 1 else tuple(out)
 
 
 def n_convs_for_sf(sf: float) -> int:

@@ -18,15 +18,20 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
+from ..kernels.features import N_FEATURES, extract_features, feature_json
 from ..kernels.imgcodec import decode_page
 
+# `feature_json` instead of array<double>: a canonical rounded-JSON string
+# keeps the column hashable/sortable by any engine (correctness harness,
+# DuckDB oracle) while staying a lossless 6dp rendering of the band means.
 MEDIA_META_SCHEMA = (
     "conv_id string, turn_idx int, page_idx int, media_kind string, "
-    "height int, width int, n_bytes long, ink_ratio double, feature array<double>"
+    "height int, width int, n_bytes long, ink_ratio double, feature_json string"
 )
-_COLS = ["conv_id", "turn_idx", "page_idx", "media_kind", "height", "width", "n_bytes", "ink_ratio", "feature"]
-
-N_FEATURES = 8
+_COLS = [
+    "conv_id", "turn_idx", "page_idx", "media_kind",
+    "height", "width", "n_bytes", "ink_ratio", "feature_json",
+]  # fmt: skip
 
 
 def decode_media(blob: bytes, kind: str) -> np.ndarray:
@@ -40,14 +45,6 @@ def decode_media(blob: bytes, kind: str) -> np.ndarray:
     raise NotImplementedError(
         f"media kind {kind!r}: no codec in this container (stub per SURVEY.md §2.1)"
     )
-
-
-def extract_features(img: np.ndarray, n: int = N_FEATURES) -> np.ndarray:
-    """Deterministic feature extraction: column-band mean-pool — the
-    vectorized stand-in for an embedding model forward."""
-    h, w = img.shape
-    bands = np.array_split(np.arange(w), n)
-    return np.array([float(img[:, b].mean()) / 255.0 for b in bands])
 
 
 def _meta_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -67,7 +64,7 @@ def _meta_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                     img.shape[1],
                     len(blob),
                     float((img > 0).mean()),
-                    extract_features(img).tolist(),
+                    feature_json(extract_features(img)),
                 )
             )
         yield pd.DataFrame(rows, columns=_COLS)

@@ -51,11 +51,13 @@ def test_layout_gt_structure():
 
 
 def test_generator_deterministic_and_skewed():
-    r1, g1 = gen_conversation(7, seed=42)
-    r2, g2 = gen_conversation(7, seed=42)
-    assert r1 == r2 and g1 == g2
-    r3, _ = gen_conversation(7, seed=43)
+    r1, g1, m1 = gen_conversation(7, seed=42)
+    r2, g2, m2 = gen_conversation(7, seed=42)
+    assert r1 == r2 and g1 == g2 and m1 == m2
+    r3, _, _ = gen_conversation(7, seed=43)
     assert r3 != r1
+    # one media expectation row per generated page
+    assert len(m1) == sum(g["n_pages"] for g in g1)
     # schema shape
     row = r1[0]
     assert list(row) == ["conv_id", "turn_idx", "role", "text", "tool", "ts"]

@@ -3,9 +3,10 @@ import pytest
 
 from doctr_spark.fixtures.layout import layout_paragraphs
 from doctr_spark.fixtures.transcripts import generate_transcripts
+from doctr_spark.kernels.features import N_FEATURES, extract_features
 from doctr_spark.kernels.imgcodec import encode_page
 from doctr_spark.operators.decode import decode_pages
-from doctr_spark.operators.multimodal import N_FEATURES, decode_media, extract_features, media_metadata
+from doctr_spark.operators.multimodal import decode_media, media_metadata
 
 
 def test_decode_media_page_kind():
@@ -28,11 +29,19 @@ def test_extract_features_deterministic():
 
 
 def test_media_metadata_spark(spark):
-    tdf = generate_transcripts(spark, 10)
+    import json
+
+    tdf, mdf = generate_transcripts(spark, 10, with_media=True)
     meta = media_metadata(decode_pages(tdf)).collect()
     assert len(meta) > 0
     for r in meta:
         assert r["media_kind"] == "page"
         assert r["height"] > 0 and r["width"] > 0
-        assert len(r["feature"]) == N_FEATURES
+        assert len(json.loads(r["feature_json"])) == N_FEATURES
         assert 0.0 <= r["ink_ratio"] < 0.5
+    # the generation-time expectation is an exact oracle for the pipeline
+    key = lambda r: (r["conv_id"], r["turn_idx"], r["page_idx"])  # noqa: E731
+    expected = {key(r): r.asDict() for r in mdf.collect()}
+    assert len(expected) == len(meta)
+    for r in meta:
+        assert r.asDict() == expected[key(r)]
