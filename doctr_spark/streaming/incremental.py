@@ -8,12 +8,16 @@ checkpoint, with no state store:
 * input is bucketed by ``pmod(xxhash64(conv_id), n_buckets)`` — a stable,
   data-independent partitioning (conversations never straddle buckets, so
   per-turn outputs are complete per bucket);
-* each completed bucket appends its extraction output (parquet/Iceberg
-  partitioned by bucket) and then a manifest row
-  ``(bucket, status, n_turns, n_words, started_at, finished_at, run_id)``
-  — the manifest write is the commit point, so a crash mid-bucket leaves
-  at most one bucket to redo (output overwrite per bucket is idempotent:
-  dynamic partition overwrite);
+* remaining buckets are processed in group passes (default: ALL remaining
+  buckets in ONE pass). Each pass is a single Spark job — one scan of the
+  input — writing the extraction output ``partitionBy("bucket")`` under
+  dynamic partition overwrite (idempotent redo), then appending one
+  manifest row per bucket
+  ``(bucket, status, n_turns, n_words, started_at, finished_at, run_id)``.
+  The manifest append is the commit point, so a crash mid-pass redoes at
+  most one pass. ``buckets_per_pass`` trades input rescans (ceil(todo /
+  group) scans of a 100 TB table) against redo granularity — the round-1
+  design was the degenerate group=1 case: 16 full input scans;
 * on restart, remaining work = all buckets anti-joined against
   ``manifest.status = 'done'``.
 
@@ -53,6 +57,17 @@ def completed_buckets(spark: SparkSession, manifest_dir: str) -> list[int]:
     return [r["bucket"] for r in m.where(F.col("status") == "done").select("bucket").distinct().collect()]
 
 
+def extract_bucketed(transcripts: DataFrame, n_buckets: int, buckets: list[int]) -> DataFrame:
+    """One-scan extraction of the given buckets, with the bucket column
+    re-derived on the output (conversations never straddle buckets, so the
+    same hash expression keys both sides)."""
+    from doctr_spark.operators.pipeline import extract_documents
+
+    bucketed = with_bucket(transcripts, n_buckets)
+    part = bucketed.where(F.col("bucket").isin([int(b) for b in buckets])).drop("bucket")
+    return with_bucket(extract_documents(part), n_buckets)
+
+
 def run_checkpointed(
     spark: SparkSession,
     transcripts: DataFrame,
@@ -60,48 +75,55 @@ def run_checkpointed(
     manifest_dir: str,
     n_buckets: int = 16,
     fail_after: int | None = None,
+    buckets_per_pass: int | None = None,
 ) -> int:
     """Process all not-yet-done buckets; returns the number processed.
 
-    ``fail_after`` aborts after N bucket commits (test hook for the
-    resume-from-checkpoint path).
+    ``fail_after`` crashes the run after N bucket commits (test hook for
+    the resume-from-checkpoint path).
     """
-    from doctr_spark.operators.pipeline import extract_documents
-
     run_id = uuid.uuid4().hex[:12]
-    bucketed = with_bucket(transcripts, n_buckets)
     done = set(completed_buckets(spark, manifest_dir))
     todo = [b for b in range(n_buckets) if b not in done]
+    if fail_after is not None:
+        todo = todo[:fail_after]
+    group_size = buckets_per_pass or max(len(todo), 1)
 
-    processed = 0
-    for bucket in todo:
-        started = dt.datetime.now()
-        part = bucketed.where(F.col("bucket") == bucket).drop("bucket")
-        docs = extract_documents(part).withColumn("bucket", F.lit(bucket))
-        docs.write.mode("overwrite").parquet(f"{output_dir}/bucket={bucket}")
-        # stats from the files just written: a second action on `docs`
-        # would re-run the whole extraction lineage for this bucket
-        stats = (
-            spark.read.parquet(f"{output_dir}/bucket={bucket}")
-            .agg(F.count("*").alias("n_turns"), F.sum("n_words").alias("n_words"))
-            .collect()[0]
-        )
-        manifest_row = spark.createDataFrame(
-            [
-                (
-                    bucket,
-                    "done",
-                    int(stats["n_turns"]),
-                    int(stats["n_words"] or 0),
-                    started,
-                    dt.datetime.now(),
-                    run_id,
+    overwrite_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        processed = 0
+        for i in range(0, len(todo), group_size):
+            group = todo[i : i + group_size]
+            started = dt.datetime.now()
+            docs = extract_bucketed(transcripts, n_buckets, group)
+            docs.write.mode("overwrite").partitionBy("bucket").parquet(output_dir)
+            # stats from the files just written: a second action on `docs`
+            # would re-run the whole extraction lineage for this pass
+            try:
+                written = (
+                    spark.read.parquet(output_dir)
+                    .where(F.col("bucket").isin(group))
+                    .groupBy("bucket")
+                    .agg(F.count("*").alias("n_turns"), F.sum("n_words").alias("n_words"))
+                    .collect()
                 )
-            ],
-            MANIFEST_SCHEMA,
-        )
-        manifest_row.write.mode("append").parquet(manifest_dir)
-        processed += 1
-        if fail_after is not None and processed >= fail_after:
-            break
+            except Exception:  # every bucket in the pass was empty
+                written = []
+            stats = {int(r["bucket"]): (int(r["n_turns"]), int(r["n_words"] or 0)) for r in written}
+            finished = dt.datetime.now()
+            manifest_rows = spark.createDataFrame(
+                [
+                    (b, "done", *stats.get(b, (0, 0)), started, finished, run_id)
+                    for b in group
+                ],
+                MANIFEST_SCHEMA,
+            )
+            manifest_rows.write.mode("append").parquet(manifest_dir)
+            processed += len(group)
+    finally:
+        if overwrite_mode is None:
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        else:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", overwrite_mode)
     return processed

@@ -52,3 +52,27 @@ def test_rerun_is_noop(spark, transcripts, tmp_path):
     manifest = str(tmp_path / "manifest")
     run_checkpointed(spark, transcripts, out, manifest, n_buckets=2)
     assert run_checkpointed(spark, transcripts, out, manifest, n_buckets=2) == 0
+
+
+def test_one_pass_scans_input_once(spark, transcripts):
+    """A multi-bucket pass must be a single plan branch over the input —
+    the round-1 design rescanned the full input once per bucket."""
+    from doctr_spark.streaming.incremental import extract_bucketed
+
+    docs = extract_bucketed(transcripts, 4, [0, 1, 2, 3])
+    plan = docs._jdf.queryExecution().optimizedPlan().toString()
+    # the synthetic source is a Range scan; exactly one of them
+    assert plan.count("Range (") == 1
+
+
+def test_grouped_passes_commit_per_group(spark, transcripts, tmp_path):
+    out = str(tmp_path / "out")
+    manifest = str(tmp_path / "manifest")
+    done = run_checkpointed(
+        spark, transcripts, out, manifest, n_buckets=4, buckets_per_pass=2
+    )
+    assert done == 4
+    m = spark.read.parquet(manifest)
+    assert m.count() == 4
+    # two passes -> two distinct commit timestamps
+    assert m.select("finished_at").distinct().count() == 2
