@@ -21,6 +21,17 @@ import numpy as np
 from ..config import BIN_THRESH, BOX_THRESH, MIN_BOX_SIZE
 from .cc import component_boxes
 
+# Architecture threshold presets, (bin_thresh, box_thresh). Reference
+# defaults: DBNet binarizes at 0.3 (differentiable_binarization/base.py:36-37),
+# FAST and LinkNet at 0.1 (fast/base.py:33-34, linknet/base.py:33-34) — the
+# only inference-time difference between the postprocessors once the unclip
+# ratio is 1.0 (see module docstring).
+DET_PRESETS: dict[str, tuple[float, float]] = {
+    "db_like": (BIN_THRESH, BOX_THRESH),
+    "fast_like": (0.1, 0.1),
+    "linknet_like": (0.1, 0.1),
+}
+
 
 def detect_words(
     page: np.ndarray,

@@ -38,12 +38,18 @@ _COLS = [
 # table-structure prediction carried in `aux` as JSON
 
 
-def _make_detector(mask_region_labels: tuple[str, ...] | None, straighten_pages: bool = False):
+def _make_detector(
+    mask_region_labels: tuple[str, ...] | None,
+    straighten_pages: bool = False,
+    det_arch: str = "db_like",
+):
     import json
 
     import numpy as np
 
-    from ..kernels.detection import mask_regions
+    from ..kernels.detection import DET_PRESETS, mask_regions
+
+    bin_thresh, box_thresh = DET_PRESETS[det_arch]
     from ..kernels.layout import detect_layout_regions
     from ..kernels.orientation import estimate_page_orientation, straighten_page
     from ..kernels.tables import detect_table_structure
@@ -71,7 +77,9 @@ def _make_detector(mask_region_labels: tuple[str, ...] | None, straighten_pages:
                          if n in mask_region_labels]
                     ).reshape(-1, 4)  # fmt: skip
                     img = mask_regions(img, drop)
-                abs_boxes, rel_boxes, scores = detect_words(img)
+                abs_boxes, rel_boxes, scores = detect_words(
+                    img, bin_thresh=bin_thresh, box_thresh=box_thresh
+                )
                 tables = detect_table_structure(img)
                 if tables:
                     rows.append(key + (-2, 0.0, 0.0, 0.0, 0.0, 0.0, None, json.dumps(tables)))
@@ -95,12 +103,15 @@ def detect_and_crop(
     pages: DataFrame,
     mask_region_labels: tuple[str, ...] | None = None,
     straighten_pages: bool = False,
+    det_arch: str = "db_like",
 ) -> DataFrame:
     """Detection + crop explode; ``mask_region_labels`` blanks matching
     layout regions before detection (the ignore_regions option);
     ``straighten_pages`` classifies + undoes right-angle page rotation
     before detection (reference straighten loop,
-    `doctr/models/predictor/pytorch.py:110-142`)."""
+    `doctr/models/predictor/pytorch.py:110-142`); ``det_arch`` selects the
+    architecture's binarization/objectness threshold preset
+    (`kernels.detection.DET_PRESETS`)."""
     return pages.mapInPandas(
-        _make_detector(mask_region_labels, straighten_pages), schema=CROPS_SCHEMA
+        _make_detector(mask_region_labels, straighten_pages, det_arch), schema=CROPS_SCHEMA
     )

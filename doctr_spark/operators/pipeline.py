@@ -43,6 +43,7 @@ def extract_documents(
     straighten_pages: bool = False,
     loc_hooks: Sequence[Callable[[DataFrame], DataFrame]] | None = None,
     reco_arch: str = "ctc",
+    det_arch: str = "db_like",
 ) -> DataFrame:
     """Run the detection->recognition->reconstruction pipeline.
 
@@ -63,7 +64,10 @@ def extract_documents(
 
     pages = decode_pages(transcripts)
     crops = detect_and_crop(
-        pages, mask_region_labels=mask_region_labels, straighten_pages=straighten_pages
+        pages,
+        mask_region_labels=mask_region_labels,
+        straighten_pages=straighten_pages,
+        det_arch=det_arch,
     )
     for hook in loc_hooks or ():
         crops = hook(crops)

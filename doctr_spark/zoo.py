@@ -22,7 +22,7 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
 
-DET_ARCHS = ("db_like", "fast_like")  # same postprocess, threshold presets
+DET_ARCHS = ("db_like", "fast_like", "linknet_like")  # threshold presets (kernels.detection.DET_PRESETS)
 RECO_ARCHS = ("ctc", "attention")
 
 
@@ -70,6 +70,7 @@ class OCRPredictor:
             straighten_pages=self.straighten_pages,
             loc_hooks=self.hooks,
             reco_arch=self.reco_arch,
+            det_arch=self.det_arch,
         )
 
 

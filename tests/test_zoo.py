@@ -42,6 +42,47 @@ def test_add_hook_and_kie_factory(spark):
     assert kie(tdf).count() > 0
 
 
+def _faint_word_page():
+    """A page with one full-ink word and one faint word whose ink sits
+    between the FAST (0.1) and DB (0.3) binarization thresholds."""
+    from doctr_spark.config import PAGE_H, PAGE_W
+    from doctr_spark.kernels.glyphs import draw_word
+
+    canvas = np.zeros((PAGE_H, PAGE_W), dtype=np.uint8)
+    draw_word(canvas, 32, 32, "strong")
+    x0, y0, x1, y1 = draw_word(canvas, 32, 96, "faint")
+    region = canvas[y0:y1, x0:x1]
+    region[region > 0] = 50  # prob 0.196: > 0.1, < 0.3
+    return canvas
+
+
+def test_det_arch_threshold_presets_diverge():
+    from doctr_spark.kernels.detection import DET_PRESETS, detect_words
+
+    page = _faint_word_page()
+    db_boxes, _, _ = detect_words(page, *DET_PRESETS["db_like"])
+    fast_boxes, _, _ = detect_words(page, *DET_PRESETS["fast_like"])
+    assert db_boxes.shape[0] == 1  # the faint word is below DB's bin_thresh
+    assert fast_boxes.shape[0] == 2
+
+
+def test_det_arch_wired_through_zoo(spark):
+    import datetime as dt
+
+    from doctr_spark.fixtures.payloads import make_img_payload
+
+    rows = [("c0", 0, "user", f"see {make_img_payload(_faint_word_page())}", None, dt.datetime(2024, 1, 1))]
+    tdf = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+    texts = {}
+    for arch in ("db_like", "fast_like"):
+        docs = ocr_predictor(det_arch=arch, crop_partitions=2)(tdf)
+        texts[arch] = docs.select("extracted_text").first()[0]
+    assert texts["db_like"] == "strong"
+    assert texts["fast_like"] == "strong\nfaint"
+
+
 def test_asciidoc_exporter():
     from doctr_spark.kernels.builder import build_page
     from doctr_spark.kernels.exporters import export_asciidoc
