@@ -184,6 +184,31 @@ def ocr_extract_synthetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SKEW_ORACLE = f"""
+SELECT conv_id, turn_idx::INT AS turn_idx, gt_text AS extracted_text,
+       n_pages::BIGINT AS n_pages, n_words::BIGINT AS n_words
+FROM read_parquet('{ORACLE_SCRATCH}/skew_gt/*.parquet')
+"""
+
+
+def ocr_extract_skewed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary-angle rotated pages: every payload page is skewed by a
+    random fractional angle (+/-2..14 deg); straighten_pages estimates the
+    skew (projection-profile search) and inverts the rotation losslessly
+    (Paeth three-shear), so extraction must still be bit-exact."""
+    from doctr_spark.fixtures.skew import generate_skewed_transcripts
+
+    tdf, gdf = generate_skewed_transcripts(spark, 60, with_gt=True)
+    _stage_expectation(gdf, "skew_gt")
+    return extract_documents(tdf, straighten_pages=True).select(
+        "conv_id",
+        "turn_idx",
+        "extracted_text",
+        F.col("n_pages").cast("long").alias("n_pages"),
+        F.col("n_words").cast("long").alias("n_words"),
+    )
+
+
 _MEDIA_ORACLE = f"""
 SELECT conv_id, turn_idx::INT AS turn_idx, page_idx::INT AS page_idx, media_kind,
        height::INT AS height, width::INT AS width, n_bytes::BIGINT AS n_bytes,
@@ -218,6 +243,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ocr_extract_documents": ocr_extract_documents,
         "ocr_word_stats": ocr_word_stats,
         "ocr_extract_synthetic": ocr_extract_synthetic,
+        "ocr_extract_skewed": ocr_extract_skewed,
         "ocr_media_metadata": ocr_media_metadata,
         "kie_class_counts": kie_counts_documents,
         "export_hocr": export_hocr_documents,
@@ -256,6 +282,7 @@ def oracle_sql() -> dict[str, str]:
         "kie_class_counts": _KIE_ORACLE,
         "export_hocr": _HOCR_ORACLE,
         "ocr_extract_synthetic": _SYNTH_ORACLE,
+        "ocr_extract_skewed": _SKEW_ORACLE,
         "ocr_media_metadata": _MEDIA_ORACLE,
     }
     from doctr_spark.operators.metrics import BOX_IOU_ORACLE

@@ -1,0 +1,338 @@
+"""Arbitrary-angle rotated-page geometry.
+
+Raster path — rotation by three shears (Paeth '86, "A Fast Algorithm for
+General Raster Rotation"): R(a) = Sx(-tan(a/2)) . Sy(sin a) . Sx(-tan(a/2)).
+Each shear shifts whole rows/columns by integer offsets, so it is a
+permutation of pixels — lossless and exactly invertible by applying the
+inverse shears in reverse order. This matters here because the engine's
+deterministic glyph ink must survive a rotate -> straighten round trip
+bit-for-bit for recognition to stay exact; interpolating rotation (the
+cv2.warpAffine path the reference uses, `doctr/utils/geometry.py:333-460`
+rotate_image) cannot guarantee that without a real NN's robustness.
+
+Skew estimation — projection-profile search (Baird '87 / Postl '86): for
+each candidate angle the ink pixels are projected onto the y axis after
+counter-rotation and the profile variance is scored; text lines realign at
+the true skew, maximizing variance. The top coarse candidates are then
+re-scored exactly (unrotate + row-profile variance). Reference analogue:
+`estimate_orientation` (`doctr/models/_utils.py:42-160`), which medians
+minAreaRect angles of elongated contours — the same "lines should be
+horizontal" prior, computed via contours because cv2 is available there.
+
+Polygon path — numpy re-expressions of the reference kernels:
+`rotate_abs_geoms` (`geometry.py:220-248`), `remap_boxes`
+(`geometry.py:251-276`), `resolve_enclosing_rbbox` (`geometry.py:150-168`,
+minAreaRect replaced by convex hull + rotating calipers), `extract_rcrops`
+(`geometry.py:533-648`, warpAffine replaced by an inverse-mapped
+nearest-neighbor affine sample).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+SKEW_GRID_DEG = 0.5  # skew search resolution
+SKEW_MAX_DEG = 15.0  # +/- search range
+_MIN_INK = 32  # below this many ink pixels, skew estimation abstains
+
+
+# ---------------------------------------------------------------------------
+# lossless shears + Paeth rotation
+# ---------------------------------------------------------------------------
+
+
+def _shifts(n: int, s: float) -> np.ndarray:
+    """Integer shift per row/column index (round-half-even, symmetric in s)."""
+    return np.rint(s * np.arange(n)).astype(np.int64)
+
+
+def shear_x(img: np.ndarray, s: float) -> np.ndarray:
+    """Shift row y right by rint(s*y) px (canvas grows to fit). Lossless."""
+    h, w = img.shape
+    sh = _shifts(h, s)
+    mn = int(sh.min())
+    out = np.zeros((h, w + int(sh.max()) - mn), dtype=img.dtype)
+    for y in range(h):
+        o = int(sh[y]) - mn
+        out[y, o : o + w] = img[y]
+    return out
+
+
+def unshear_x(img: np.ndarray, s: float) -> np.ndarray:
+    """Exact inverse of `shear_x` (input width is recomputed from s and h)."""
+    h = img.shape[0]
+    sh = _shifts(h, s)
+    mn = int(sh.min())
+    w = img.shape[1] - (int(sh.max()) - mn)
+    out = np.empty((h, w), dtype=img.dtype)
+    for y in range(h):
+        o = int(sh[y]) - mn
+        out[y] = img[y, o : o + w]
+    return out
+
+
+def shear_y(img: np.ndarray, s: float) -> np.ndarray:
+    return shear_x(img.T, s).T.copy()
+
+
+def unshear_y(img: np.ndarray, s: float) -> np.ndarray:
+    return unshear_x(img.T, s).T.copy()
+
+
+def _paeth_coeffs(angle_deg: float) -> tuple[float, float]:
+    a = np.deg2rad(angle_deg)
+    return -np.tan(a / 2.0), np.sin(a)
+
+
+def rotate_image_shear(img: np.ndarray, angle_deg: float) -> np.ndarray:
+    """Rotate by three lossless shears (canvas expands; no resampling)."""
+    if angle_deg == 0:
+        return img
+    sx, sy = _paeth_coeffs(angle_deg)
+    return shear_x(shear_y(shear_x(img, sx), sy), sx)
+
+
+def unrotate_image_shear(img: np.ndarray, angle_deg: float) -> np.ndarray:
+    """Exact inverse of `rotate_image_shear` at the same angle: applying it
+    to a rotated page returns the original raster bit-for-bit."""
+    if angle_deg == 0:
+        return img
+    sx, sy = _paeth_coeffs(angle_deg)
+    return unshear_x(unshear_y(unshear_x(img, sx), sy), sx)
+
+
+def rotate_points_shear(
+    points: np.ndarray, angle_deg: float, img_shape: tuple[int, int]
+) -> np.ndarray:
+    """Exact forward map of pixel coordinates (N, 2) as (x, y) through
+    `rotate_image_shear(img, angle_deg)` for an image of ``img_shape``.
+    Tracks the same per-row/column integer shifts and canvas offsets, so a
+    pixel at (x, y) lands exactly at the returned coordinate."""
+    if angle_deg == 0:
+        return points.copy()
+    sx, sy = _paeth_coeffs(angle_deg)
+    h, w = img_shape
+    x = points[:, 0].astype(np.int64).copy()
+    y = points[:, 1].astype(np.int64).copy()
+    sh1 = _shifts(h, sx)
+    x = x + np.rint(sx * y).astype(np.int64) - int(sh1.min())
+    w1 = w + int(sh1.max() - sh1.min())
+    sh2 = _shifts(w1, sy)
+    y = y + np.rint(sy * x).astype(np.int64) - int(sh2.min())
+    h2 = h + int(sh2.max() - sh2.min())
+    sh3 = _shifts(h2, sx)
+    x = x + np.rint(sx * y).astype(np.int64) - int(sh3.min())
+    return np.stack([x, y], axis=1)
+
+
+def crop_to_ink(img: np.ndarray, margin: int = 0) -> np.ndarray:
+    """Remove blank padding around the ink bbox (the reference's
+    `remove_image_padding`, `doctr/utils/geometry.py:463-477`)."""
+    ys, xs = np.nonzero(img)
+    if ys.size == 0:
+        return img
+    h, w = img.shape
+    y0, y1 = max(int(ys.min()) - margin, 0), min(int(ys.max()) + 1 + margin, h)
+    x0, x1 = max(int(xs.min()) - margin, 0), min(int(xs.max()) + 1 + margin, w)
+    return np.ascontiguousarray(img[y0:y1, x0:x1])
+
+
+# ---------------------------------------------------------------------------
+# skew estimation
+# ---------------------------------------------------------------------------
+
+
+def _profile_variance(img: np.ndarray) -> float:
+    """Variance of the per-row ink counts (sharp rows <=> aligned text)."""
+    rows = (img > 0).sum(axis=1).astype(np.float64)
+    return float(rows.var())
+
+
+def estimate_skew_angle(
+    img: np.ndarray,
+    max_deg: float = SKEW_MAX_DEG,
+    grid_deg: float = SKEW_GRID_DEG,
+    n_refine: int = 3,
+) -> float:
+    """Estimate the page skew on a `grid_deg` grid in [-max_deg, max_deg].
+
+    Coarse pass: counter-rotate the ink coordinates analytically for every
+    candidate and score the y-projection variance (vectorized, no raster
+    work). Refine pass: exactly unrotate the raster for the top candidates
+    and re-score — the exact pass disambiguates the +/-1-bin blur the
+    analytic projection picks up from the three-shear forward rounding.
+    Returns 0.0 when the page is blank or already scores best upright.
+    """
+    ys, xs = np.nonzero(img)
+    if ys.size < _MIN_INK:
+        return 0.0
+    ys = ys.astype(np.float64)
+    xs = xs.astype(np.float64)
+    cands = np.arange(-max_deg, max_deg + grid_deg / 2, grid_deg)
+    scores = np.empty_like(cands)
+    for i, deg in enumerate(cands):
+        a = np.deg2rad(deg)
+        # inverse-rotate the y coordinate only (the projection axis)
+        yr = np.rint(ys * np.cos(a) - xs * np.sin(a)).astype(np.int64)
+        counts = np.bincount(yr - yr.min())
+        scores[i] = counts.var() * len(counts) / max(len(counts), 1)
+    top = cands[np.argsort(scores)[-n_refine:]]
+    if 0.0 not in top:
+        top = np.append(top, 0.0)  # never skew an upright page on a whim
+    best_deg, best_score = 0.0, -1.0
+    for deg in top:
+        cand = img if deg == 0.0 else unrotate_image_shear(img, deg)
+        score = _profile_variance(crop_to_ink(cand))
+        if score > best_score or (score == best_score and abs(deg) < abs(best_deg)):
+            best_deg, best_score = float(deg), score
+    return best_deg
+
+
+# ---------------------------------------------------------------------------
+# polygon kernels (reference parity)
+# ---------------------------------------------------------------------------
+
+
+def order_points(pts: np.ndarray) -> np.ndarray:
+    """Order 4 points clockwise (image coords, y down) starting top-left
+    (reference `doctr/utils/geometry.py` order_points convention). Sorting
+    by angle around the centroid is tie-safe for diamonds, where the
+    classic sum/diff corner picking degenerates."""
+    c = pts.mean(axis=0)
+    order = np.argsort(np.arctan2(pts[:, 1] - c[1], pts[:, 0] - c[0]))
+    ring = pts[order]
+    s = ring.sum(axis=1)
+    start = np.lexsort((ring[:, 1], s))[0]
+    return np.roll(ring, -start, axis=0)
+
+
+def _convex_hull(pts: np.ndarray) -> np.ndarray:
+    """Andrew monotone chain; returns hull points counter-clockwise."""
+    pts = np.unique(pts, axis=0)
+    if pts.shape[0] <= 2:
+        return pts
+    pts = pts[np.lexsort((pts[:, 1], pts[:, 0]))]
+
+    def half(points):
+        out: list[np.ndarray] = []
+        for p in points:
+            while len(out) >= 2 and np.cross(out[-1] - out[-2], p - out[-2]) <= 0:
+                out.pop()
+            out.append(p)
+        return out
+
+    lower = half(pts)
+    upper = half(pts[::-1])
+    return np.array(lower[:-1] + upper[:-1])
+
+
+def min_area_rect(pts: np.ndarray) -> np.ndarray:
+    """Minimum-area enclosing rotated rectangle via rotating calipers:
+    the optimal rectangle has a side collinear with a hull edge. Returns
+    the 4 corners (unordered)."""
+    hull = _convex_hull(pts.astype(np.float64))
+    if hull.shape[0] == 1:
+        return np.repeat(hull, 4, axis=0)
+    if hull.shape[0] == 2:
+        return np.array([hull[0], hull[1], hull[1], hull[0]])
+    best_area, best = np.inf, None
+    edges = np.diff(np.vstack([hull, hull[:1]]), axis=0)
+    angles = np.unique(np.mod(np.arctan2(edges[:, 1], edges[:, 0]), np.pi / 2))
+    for ang in angles:
+        c, s = np.cos(ang), np.sin(ang)
+        rot = hull @ np.array([[c, -s], [s, c]])
+        x0, y0 = rot.min(axis=0)
+        x1, y1 = rot.max(axis=0)
+        area = (x1 - x0) * (y1 - y0)
+        if area < best_area:
+            best_area = area
+            corners = np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1]])
+            best = corners @ np.array([[c, s], [-s, c]])
+    return best
+
+
+def resolve_enclosing_rbbox(rbboxes: list[np.ndarray]) -> np.ndarray:
+    """Enclosing rotated bbox of (*, 4, 2) polygon arrays -> (4, 2), ordered
+    clockwise from top-left (reference `geometry.py:150-168`; minAreaRect
+    re-expressed as hull + rotating calipers)."""
+    cloud = np.concatenate(rbboxes, axis=0).reshape(-1, 2)
+    return order_points(min_area_rect(cloud))
+
+
+def rotate_abs_points(points: np.ndarray, angle: float = 0.0) -> np.ndarray:
+    """Counter-clockwise rotation of (N, 2) points about the origin
+    (reference `geometry.py:171-186`)."""
+    a = np.deg2rad(angle)
+    rot = np.array([[np.cos(a), -np.sin(a)], [np.sin(a), np.cos(a)]], dtype=points.dtype)
+    return np.matmul(points, rot.T)
+
+
+def compute_expanded_shape(img_shape: tuple[int, int], angle: float) -> tuple[int, int]:
+    """(H, W) of the expanded canvas after rotation (reference
+    `geometry.py:189-211`)."""
+    h, w = img_shape
+    corners = np.array([[w / 2, h / 2], [-w / 2, h / 2]])
+    rotated = np.abs(rotate_abs_points(corners, angle))
+    return int(2 * rotated[:, 1].max()), int(2 * rotated[:, 0].max())
+
+
+def rotate_abs_geoms(
+    geoms: np.ndarray, angle: float, img_shape: tuple[int, int], expand: bool = True
+) -> np.ndarray:
+    """Rotate absolute (N, 4) straight boxes or (N, 4, 2) polygons about
+    the image center, counter-clockwise (reference `geometry.py:214-248`)."""
+    polys = (
+        np.stack([geoms[:, [0, 1]], geoms[:, [2, 1]], geoms[:, [2, 3]], geoms[:, [0, 3]]], axis=1)
+        if geoms.ndim == 2
+        else geoms
+    ).astype(np.float64)
+    polys[..., 0] -= img_shape[1] / 2
+    polys[..., 1] = img_shape[0] / 2 - polys[..., 1]
+    rotated = rotate_abs_points(polys.reshape(-1, 2), angle).reshape(-1, 4, 2)
+    target = compute_expanded_shape(img_shape, angle) if expand else img_shape
+    rotated[..., 0] = (rotated[..., 0] + target[1] / 2).clip(0, target[1])
+    rotated[..., 1] = (target[0] / 2 - rotated[..., 1]).clip(0, target[0])
+    return rotated
+
+
+def remap_boxes(
+    loc_preds: np.ndarray, orig_shape: tuple[int, int], dest_shape: tuple[int, int]
+) -> np.ndarray:
+    """Re-express relative (N, 4, 2) polygons after a centered pad/crop of
+    the page (reference `geometry.py:251-276`)."""
+    oh, ow = orig_shape
+    dh, dw = dest_shape
+    out = loc_preds.copy()
+    out[:, :, 0] = (loc_preds[:, :, 0] * ow + (dw - ow) / 2) / dw
+    out[:, :, 1] = (loc_preds[:, :, 1] * oh + (dh - oh) / 2) / dh
+    return out
+
+
+def extract_rcrops(img: np.ndarray, polys: np.ndarray) -> list[np.ndarray]:
+    """Warp rotated (N, 4, 2) relative polygons to axis-aligned crops via an
+    inverse-mapped nearest-neighbor affine sample (reference
+    `geometry.py:533-648`, general-orientation path: affine from the first
+    three corners)."""
+    if polys.shape[0] == 0:
+        return []
+    if polys.shape[1:] != (4, 2):
+        raise ValueError("polys must be (N, 4, 2)")
+    h, w = img.shape[:2]
+    boxes = polys.astype(np.float64).copy()
+    boxes[:, :, 0] *= w
+    boxes[:, :, 1] *= h
+    crops = []
+    for box in boxes:
+        p0, p1, p2 = box[0], box[1], box[2]
+        d1 = int(round(np.linalg.norm(p1 - p0)))
+        d2 = int(round(np.linalg.norm(p2 - p1)))
+        if d1 < 1 or d2 < 1:
+            crops.append(np.zeros((0, 0), dtype=img.dtype))
+            continue
+        ux = (p1 - p0) / d1  # unit step along the top edge
+        uy = (p2 - p1) / d2  # unit step down the right edge
+        jj, ii = np.meshgrid(np.arange(d1), np.arange(d2))
+        src_x = np.rint(p0[0] + jj * ux[0] + ii * uy[0]).astype(np.int64).clip(0, w - 1)
+        src_y = np.rint(p0[1] + jj * ux[1] + ii * uy[1]).astype(np.int64).clip(0, h - 1)
+        crops.append(img[src_y, src_x])
+    return crops

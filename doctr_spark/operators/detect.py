@@ -48,6 +48,7 @@ def _make_detector(
     import numpy as np
 
     from ..kernels.detection import DET_PRESETS, mask_regions
+    from ..kernels.rgeometry import estimate_skew_angle, unrotate_image_shear
 
     bin_thresh, box_thresh = DET_PRESETS[det_arch]
     from ..kernels.layout import detect_layout_regions
@@ -63,6 +64,14 @@ def _make_detector(
                 img = decode_page(bytes(blob))
                 orient, orient_conf = 0, 1.0
                 if straighten_pages:
+                    # fractional skew first (projection profile is readable
+                    # at any right-angle orientation), then the 0/90/180/270
+                    # classifier on the deskewed page — mirrors the
+                    # reference straighten loop (predictor/pytorch.py:110-142)
+                    # with estimate_orientation (models/_utils.py:42-160).
+                    skew = estimate_skew_angle(img)
+                    if skew:
+                        img = unrotate_image_shear(img, skew)
                     orient, orient_conf = estimate_page_orientation(img)
                     if orient:
                         img = straighten_page(img, orient)
