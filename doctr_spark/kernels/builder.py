@@ -231,16 +231,21 @@ def build_page(
             boxes = boxes_s
             lines = [[int(i) for i in order]]
         if keep_reading_order and len(lines) > 1:
-            # reorder lines with the column-aware topological sort
-            # (`DocumentBuilder._apply_reading_order`, builder.py:660-691);
-            # direction inferred from the recognized text
-            from .reading_order import detect_text_direction, sort_reading_order
+            # order lines with the column-aware topological sort and group
+            # consecutive ones into paragraph segments
+            # (`DocumentBuilder._apply_reading_order`, builder.py:660-691 +
+            # `resolve_reading_segments`, reading_order/base.py:460-531);
+            # direction inferred from the recognized text. Segments become
+            # the page's blocks, the way the reference exporters emit one
+            # paragraph per segment (io/exporters.py:114-216).
+            from .reading_order import detect_text_direction, resolve_reading_segments
 
             line_boxes = np.stack([enclosing_bbox(boxes[np.asarray(line)]) for line in lines])
             direction = detect_text_direction([values[i] for line in lines for i in line])
-            perm = sort_reading_order(line_boxes, direction=direction)
-            lines = [lines[i] for i in perm]
-        blocks_idx = resolve_blocks(boxes, lines) if do_resolve_blocks else ([lines] if lines else [])
+            segments = resolve_reading_segments(line_boxes, direction=direction)
+            blocks_idx = [[lines[i] for i in seg] for seg in segments]
+        else:
+            blocks_idx = resolve_blocks(boxes, lines) if do_resolve_blocks else ([lines] if lines else [])
     else:
         blocks_idx = []
 

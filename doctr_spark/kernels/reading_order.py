@@ -244,3 +244,56 @@ def sort_reading_order(
         ["float" if r == "float" else r for r in roles], caption_max_distance,
     )  # fmt: skip
     return _order(groups["header"]) + body + _order(groups["footnote"]) + _order(groups["footer"])
+
+
+def resolve_reading_segments(
+    geoms: Sequence[Any] | np.ndarray,
+    direction: str = "ltr",
+    labels: Sequence[str | None] | None = None,
+    x_overlap_threshold: float = 0.2,
+    y_overlap_threshold: float = 0.5,
+    caption_max_distance: float = 0.1,
+    paragraph_gap: float = 0.8,
+) -> list[list[int]]:
+    """Reading order + paragraph/region segmentation (reference
+    `resolve_reading_segments`, reading_order/base.py:460-531): consecutive
+    ordered elements merge into one segment when they carry the same layout
+    label, are not floats, share a column (x-overlap > threshold in the
+    canonical-LTR frame) and sit within ``paragraph_gap`` x median element
+    height vertically. Returns a partition of the indices into
+    reading-ordered segments."""
+    order = sort_reading_order(
+        geoms,
+        direction=direction,
+        labels=labels,
+        x_overlap_threshold=x_overlap_threshold,
+        y_overlap_threshold=y_overlap_threshold,
+        caption_max_distance=caption_max_distance,
+    )
+    if not order:
+        return []
+    canonical = _canonical_ltr(_to_boxes(geoms), direction)
+    median_height = float(np.median(canonical[:, 3] - canonical[:, 1]))
+    roles = [
+        _ROLE_BY_LABEL.get(((labels[i] if labels is not None else None) or "").lower(), "body")
+        for i in range(len(order))
+    ]
+    norm = [((labels[i] if labels is not None else None) or "").lower() for i in range(len(order))]
+
+    segments: list[list[int]] = [[order[0]]]
+    for prev, cur in zip(order[:-1], order[1:]):
+        x_gap = min(canonical[prev, 2], canonical[cur, 2]) - max(canonical[prev, 0], canonical[cur, 0])
+        x_overlap = x_gap / max(
+            min(canonical[prev, 2] - canonical[prev, 0], canonical[cur, 2] - canonical[cur, 0]), 1e-9
+        )
+        same_segment = (
+            norm[prev] == norm[cur]
+            and roles[cur] != "float"
+            and x_overlap > x_overlap_threshold
+            and canonical[cur, 1] - canonical[prev, 3] <= paragraph_gap * median_height
+        )
+        if same_segment:
+            segments[-1].append(cur)
+        else:
+            segments.append([cur])
+    return segments

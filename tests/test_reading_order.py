@@ -83,4 +83,42 @@ def test_builder_keep_reading_order_two_columns():
     default = build_page(boxes, scores, values, confs, (256, 512))
     assert default["text"] == "L0\nR0\nL1\nR1\nL2\nR2"  # interleaved sub-lines
     ro = build_page(boxes, scores, values, confs, (256, 512), keep_reading_order=True)
-    assert ro["text"] == "L0\nL1\nL2\nR0\nR1\nR2"  # column-major
+    # column-major, and each column becomes its own paragraph segment/block
+    assert ro["text"] == "L0\nL1\nL2\n\nR0\nR1\nR2"
+    assert len(ro["blocks"]) == 2
+
+
+def test_resolve_reading_segments_two_columns_and_title():
+    from doctr_spark.kernels.reading_order import resolve_reading_segments
+
+    # title spanning both columns, then two columns of close-packed lines
+    geoms = [
+        (0.1, 0.05, 0.9, 0.11),   # 0 title
+        (0.1, 0.20, 0.45, 0.26),  # 1 left line 1
+        (0.1, 0.28, 0.45, 0.34),  # 2 left line 2
+        (0.1, 0.60, 0.45, 0.66),  # 3 left line 3 (big gap: new paragraph)
+        (0.55, 0.20, 0.9, 0.26),  # 4 right line 1
+        (0.55, 0.28, 0.9, 0.34),  # 5 right line 2
+    ]  # fmt: skip
+    segs = resolve_reading_segments(geoms)
+    assert segs == [[0], [1, 2], [3], [4, 5]]
+
+
+def test_resolve_reading_segments_labels_and_floats():
+    from doctr_spark.kernels.reading_order import resolve_reading_segments
+
+    geoms = [
+        (0.1, 0.10, 0.9, 0.16),  # 0 text
+        (0.1, 0.18, 0.9, 0.24),  # 1 text, close -> same paragraph
+        (0.1, 0.26, 0.9, 0.50),  # 2 table (float): never merged
+        (0.1, 0.52, 0.9, 0.58),  # 3 text after the float -> new segment
+    ]
+    labels = ["text", "text", "table", "text"]
+    segs = resolve_reading_segments(geoms, labels=labels)
+    assert segs == [[0, 1], [2], [3]]
+
+
+def test_resolve_reading_segments_empty():
+    from doctr_spark.kernels.reading_order import resolve_reading_segments
+
+    assert resolve_reading_segments([]) == []
