@@ -85,14 +85,13 @@ def localization_confusion(
     page_key: str = "page_key",
     iou_thresh: float = 0.5,
 ) -> DataFrame:
-    """Per-page greedy IoU matching, then global recall/precision/meanIoU.
-
-    ``pairs`` holds one row per page with array columns ``gt_boxes`` and
-    ``pred_boxes`` (each array<array<double>>). The reference uses a
-    Hungarian assignment (`metrics.py:268-290`); greedy best-first on the
-    IoU matrix is used here and is exact whenever matches don't compete,
-    which holds for non-overlapping word boxes.
-    """
+    """Per-page optimal IoU matching (Hungarian assignment on the negated
+    IoU matrix, exactly the reference's `linear_sum_assignment` design,
+    `doctr/utils/metrics.py:268-290`), then global recall/precision/meanIoU.
+    Matches below ``iou_thresh`` are discarded after assignment, like the
+    reference. ``pairs`` holds one row per page with array columns
+    ``gt_boxes`` and ``pred_boxes`` (each array<array<double>>)."""
+    from ..kernels.assignment import linear_sum_assignment
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         out = []
@@ -101,18 +100,11 @@ def localization_confusion(
             p = np.array([list(b) for b in pred], dtype=float) if len(pred) else np.zeros((0, 4))
             iou = box_iou(g, p)
             matched, sum_iou = 0, 0.0
-            used_g, used_p = set(), set()
             if iou.size:
-                order = np.dstack(np.unravel_index(np.argsort(-iou, axis=None), iou.shape))[0]
-                for gi, pi in order:
-                    if iou[gi, pi] < iou_thresh:
-                        break
-                    if gi in used_g or pi in used_p:
-                        continue
-                    used_g.add(gi)
-                    used_p.add(pi)
-                    matched += 1
-                    sum_iou += float(iou[gi, pi])
+                gi, pi = linear_sum_assignment(-iou)
+                kept = iou[gi, pi] >= iou_thresh
+                matched = int(kept.sum())
+                sum_iou = float(iou[gi[kept], pi[kept]].sum())
             out.append((key, len(g), len(p), matched, sum_iou))
         return pd.DataFrame(out, columns=["page_key", "n_gt", "n_pred", "n_matched", "sum_iou"])
 

@@ -40,6 +40,40 @@ def test_localization_confusion(spark):
     assert m["mean_iou"] == pytest.approx(1.0, abs=1e-6)
 
 
+def test_hungarian_assignment_kernel():
+    import numpy as np
+
+    from doctr_spark.kernels.assignment import linear_sum_assignment
+
+    # classic competing case: greedy takes 0.8 and strands row 1
+    iou = np.array([[0.8, 0.6], [0.7, 0.0]])
+    r, c = linear_sum_assignment(-iou)
+    assert iou[r, c].sum() == pytest.approx(1.3)  # 0.6 + 0.7, not 0.8 + 0.0
+    # rectangular + empty
+    r, c = linear_sum_assignment(np.array([[1.0, 0.2, 0.5]]))
+    assert list(r) == [0] and list(c) == [1]
+    r, c = linear_sum_assignment(np.zeros((0, 3)))
+    assert len(r) == 0
+
+
+def test_localization_confusion_competing_overlaps(spark):
+    """Fixture where greedy matching provably differs from the optimal
+    assignment: greedy pairs gtA with predP (IoU .8), leaving gtB only the
+    sub-threshold predR (.3) -> 1 match; the Hungarian optimum pairs
+    gtA-predR (.6) and gtB-predP (.7) -> 2 matches (the reference's
+    linear_sum_assignment behavior, metrics.py:268-290)."""
+    gt = [[0.0, 0.0, 10.0, 1.0], [2.876, 0.0, 12.876, 1.0]]
+    pred = [[1.111, 0.0, 11.111, 1.0], [-2.5, 0.0, 7.5, 1.0]]
+    df = spark.createDataFrame(
+        [("p", gt, pred)],
+        "page_key string, gt_boxes array<array<double>>, pred_boxes array<array<double>>",
+    )
+    m = localization_confusion(df).first()
+    assert m["recall"] == pytest.approx(1.0, abs=1e-6)  # greedy would give 0.5
+    assert m["precision"] == pytest.approx(1.0, abs=1e-6)
+    assert m["mean_iou"] == pytest.approx((0.6 + 0.7) / 2, abs=1e-2)
+
+
 def test_kie_pipeline_spark(spark):
     from doctr_spark.fixtures.transcripts import generate_transcripts
     from doctr_spark.operators.kie import kie_class_counts, kie_extract
