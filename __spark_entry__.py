@@ -227,6 +227,24 @@ def ocr_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_metadata(decode_pages(tdf))
 
 
+_ARTEFACT_ORACLE = f"""
+SELECT conv_id, turn_idx::INT AS turn_idx, page_idx::INT AS page_idx, label,
+       xmin::INT AS xmin, ymin::INT AS ymin, xmax::INT AS xmax, ymax::INT AS ymax
+FROM read_parquet('{ORACLE_SCRATCH}/artefact_gt/*.parquet')
+"""
+
+
+def ocr_artefacts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Artefact side predictor (bar/QR/logo/photo) over artefact-bearing
+    pages; oracle = the generator's drawn-artefact expectations."""
+    from doctr_spark.fixtures.artefacts import generate_artefact_transcripts
+    from doctr_spark.operators.multimodal import artefact_rows
+
+    tdf, gdf = generate_artefact_transcripts(spark, 40, with_gt=True)
+    _stage_expectation(gdf, "artefact_gt")
+    return artefact_rows(decode_pages(tdf))
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -245,6 +263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ocr_extract_synthetic": ocr_extract_synthetic,
         "ocr_extract_skewed": ocr_extract_skewed,
         "ocr_media_metadata": ocr_media_metadata,
+        "ocr_artefacts": ocr_artefacts,
         "kie_class_counts": kie_counts_documents,
         "export_hocr": export_hocr_documents,
         # dedup suite
@@ -284,6 +303,7 @@ def oracle_sql() -> dict[str, str]:
         "ocr_extract_synthetic": _SYNTH_ORACLE,
         "ocr_extract_skewed": _SKEW_ORACLE,
         "ocr_media_metadata": _MEDIA_ORACLE,
+        "ocr_artefacts": _ARTEFACT_ORACLE,
     }
     from doctr_spark.operators.metrics import BOX_IOU_ORACLE
 

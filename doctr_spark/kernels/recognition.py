@@ -39,17 +39,59 @@ def whitelist_mask(vocab: str, whitelist: str) -> np.ndarray:
     return mask
 
 
+def nearest_whitelist_map(vocab: str, whitelist: str) -> dict[int, int]:
+    """Forbidden-index -> allowed-index reassignment for the "nearest"
+    whitelist mode (reference `_anyascii_nearest_map` + `_keep_and_reassign`,
+    `doctr/models/utils/pytorch.py:288-355`): each forbidden character maps
+    to the allowed character sharing its transliteration fold. The corpus
+    vocab is ASCII (anyascii is absent in this container), so the fold is
+    the ASCII case fold — exactly what anyascii produces on ASCII letters.
+    Forbidden characters with no folded match stay unmapped and fall back
+    to plain masking, like the reference."""
+    allowed = set(whitelist)
+    pos = {c: i for i, c in enumerate(vocab)}
+    mapping: dict[int, int] = {}
+    for i, c in enumerate(vocab):
+        if c in allowed:
+            continue
+        for cand in (c.lower(), c.upper()):
+            if cand != c and cand in allowed and cand in pos:
+                mapping[i] = pos[cand]
+                break
+    return mapping
+
+
+def apply_whitelist(
+    logits: np.ndarray, vocab: str, whitelist: str, mode: str = "mask"
+) -> np.ndarray:
+    """Constrain (T, C+1) logits to a character subset. "mask" forbids the
+    complement outright; "nearest" first folds each forbidden character's
+    logit onto its nearest allowed character, then masks."""
+    if mode not in ("mask", "nearest"):
+        raise ValueError(f"whitelist mode must be 'mask' or 'nearest', got {mode!r}")
+    out = logits
+    if mode == "nearest":
+        out = logits.copy()
+        for src, dst in nearest_whitelist_map(vocab, whitelist).items():
+            out[:, dst] = np.maximum(out[:, dst], out[:, src])
+    return out + whitelist_mask(vocab, whitelist)
+
+
 def ctc_best_path(
-    logits: np.ndarray, vocab: str = DEFAULT_VOCAB, whitelist: str | None = None
+    logits: np.ndarray,
+    vocab: str = DEFAULT_VOCAB,
+    whitelist: str | None = None,
+    whitelist_mode: str = "mask",
 ) -> tuple[str, float]:
     """(T, C+1) logits -> (word, confidence); blank index = len(vocab).
 
-    ``whitelist`` constrains decoding to a character subset (masked logits).
+    ``whitelist`` constrains decoding to a character subset (masked or
+    nearest-reassigned logits, per ``whitelist_mode``).
     """
     if logits.shape[0] == 0:
         return "", 0.0
     if whitelist is not None:
-        logits = logits + whitelist_mask(vocab, whitelist)
+        logits = apply_whitelist(logits, vocab, whitelist, whitelist_mode)
     # stable softmax -> per-frame max prob; sequence confidence = min of those
     shifted = logits - logits.max(axis=1, keepdims=True)
     ex = np.exp(shifted)
@@ -177,6 +219,7 @@ def recognize_crop(
     vocab: str = DEFAULT_VOCAB,
     whitelist: str | None = None,
     arch: str = "ctc",
+    whitelist_mode: str = "mask",
 ) -> tuple[str, float]:
     """Full recognition of one word crop: optional split -> forward ->
     decode -> merge. Mirrors `RecognitionPredictor.forward`
@@ -191,7 +234,10 @@ def recognize_crop(
 
         preds = [attention_decode(forward_logits_attention(w, vocab), vocab) for w in windows]
     else:
-        preds = [ctc_best_path(forward_logits(w, vocab), vocab, whitelist) for w in windows]
+        preds = [
+            ctc_best_path(forward_logits(w, vocab), vocab, whitelist, whitelist_mode)
+            for w in windows
+        ]
     if len(preds) == 1:
         return preds[0]
     texts = [t for t, _ in preds]

@@ -73,3 +73,32 @@ def _meta_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 def media_metadata(pages: DataFrame) -> DataFrame:
     """Page rows (from operators.decode) -> typed media metadata + features."""
     return pages.mapInPandas(_meta_batches, schema=MEDIA_META_SCHEMA)
+
+
+ARTEFACT_SCHEMA = (
+    "conv_id string, turn_idx int, page_idx int, label string, "
+    "xmin int, ymin int, xmax int, ymax int"
+)
+
+
+def artefact_rows(pages: DataFrame, conf_threshold: float = 0.5) -> DataFrame:
+    """Side artefact predictor over decoded pages (the `ArtefactDetector`
+    contrib surface, `doctr/contrib/artefacts.py:17-129`): one row per
+    detected bar code / QR code / logo / photo with absolute pixel box."""
+    from ..kernels.artefacts import detect_artefacts
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["conv_id", "turn_idx", "page_idx", "label", "xmin", "ymin", "xmax", "ymax"]
+        for pdf in batches:
+            rows = []
+            for conv_id, turn_idx, page_idx, blob in zip(
+                pdf["conv_id"], pdf["turn_idx"], pdf["page_idx"], pdf["page"]
+            ):
+                img = decode_media(bytes(blob), "page")
+                for r in detect_artefacts(img, conf_threshold):
+                    rows.append(
+                        (conv_id, int(turn_idx), int(page_idx), r["label"], *r["box"])
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return pages.mapInPandas(fn, schema=ARTEFACT_SCHEMA)

@@ -30,6 +30,20 @@ def test_whitelist_constrains_decoding():
     assert recognize_crop(_crop("ab12cd"))[0] == "ab12cd"
 
 
+def test_whitelist_nearest_mode_folds_case():
+    # lowercase-only whitelist: "mask" drops the capitals, "nearest"
+    # reassigns them onto their case-fold (the reference's transliteration
+    # fold restricted to ASCII, models/utils/pytorch.py:288-311)
+    lower = "abcdefghijklmnopqrstuvwxyz"
+    value, _ = recognize_crop(_crop("AbC"), whitelist=lower, whitelist_mode="mask")
+    assert value == "b"
+    value, _ = recognize_crop(_crop("AbC"), whitelist=lower, whitelist_mode="nearest")
+    assert value == "abc"
+    # characters with no fold target still fall back to masking
+    value, _ = recognize_crop(_crop("a1b"), whitelist=lower, whitelist_mode="nearest")
+    assert value == "ab"
+
+
 def test_get_language():
     lang, conf = get_language("the cat and the dog of a house")
     assert lang == "en" and conf == 1.0
