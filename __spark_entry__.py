@@ -272,9 +272,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh_pairs": dedup.minhash_lsh_pairs,
         "dedup_simhash": dedup.simhash,
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
+        "dedup_clusters": dedup.dedup_clusters,
         # similarity search
         "similarity_cosine_topk": similarity.cosine_topk,
         "similarity_lsh_ann": similarity.lsh_bucket_ann,
+        "similarity_ivf_ann": similarity.ivf_ann,
         "similarity_near_dups": similarity.embedding_near_dups,
         # text analysis
         "text_stats": text_analysis.text_stats,

@@ -136,6 +136,64 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str, max_bucket: int = MAX_BU
     )
 
 
+def dedup_clusters(spark: SparkSession, sf_dir: str, max_iters: int = 20) -> DataFrame:
+    """Duplicate CLUSTERS (not just pairs): connected components over the
+    LSH candidate-pair graph, labeling every member with the component's
+    minimum doc_id as ``cluster_id`` — the keep-one-canonical structure a
+    real dedup pass acts on.
+
+    Iterative min-label propagation (the simplified large-star step of the
+    Kiveris et al. "Connected Components in MapReduce" design): each round
+    joins labels across edges and keeps the per-node minimum; rounds needed
+    = graph diameter, which for near-dup clusters is tiny (dup clusters are
+    near-cliques because LSH links most members pairwise). Each round is a
+    self-contained shuffle-on-doc_id; labels are eagerly persisted so round
+    N+1 reads round N's result once. Convergence is detected by an updated
+    count (one tiny action per round).
+    """
+    pairs = minhash_lsh_pairs(spark, sf_dir)
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).persist()
+    labels = (
+        edges.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+        .persist()
+    )
+    labels.count()
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges["doc_b"] == labels["doc_id"])
+            .groupBy(F.col("doc_a").alias("doc_id"))
+            .agg(F.min("cluster_id").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("cluster_id"), F.coalesce(F.col("nmin"), F.col("cluster_id"))).alias(
+                    "cluster_id"
+                ),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+    )
+
+
 def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash over tokens: bit b set iff the signed token-vote sum
     for bit b is non-negative."""
@@ -247,6 +305,40 @@ ORACLES: dict[str, str] = {
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
     FROM cand a JOIN cand b ON a.band = b.band AND a.band_key = b.band_key
     WHERE a.doc_id < b.doc_id
+    """,
+    # connected components as a recursive CTE: reach(node, root) closes the
+    # edge relation transitively; cluster id = min over node + reachable set
+    "dedup_clusters": f"""
+    WITH RECURSIVE {_SHINGLE_CTE.replace("WITH", "", 1)}
+    , sig AS (
+        SELECT doc_id, seed, min(md5(seed::VARCHAR || '|' || shingle)) AS minhash
+        FROM sh, UNNEST([0,1,2,3,4,5,6,7]) AS s(seed)
+        GROUP BY doc_id, seed
+    ), bands AS (
+        SELECT doc_id, seed // 2 AS band,
+               string_agg(minhash, ',' ORDER BY minhash) AS band_key
+        FROM sig GROUP BY doc_id, band
+    ), eligible AS (
+        SELECT band, band_key FROM bands
+        GROUP BY band, band_key
+        HAVING count(*) BETWEEN 2 AND {MAX_BUCKET}
+    ), cand AS (
+        SELECT b.* FROM bands b JOIN eligible e USING (band, band_key)
+    ), pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM cand a JOIN cand b ON a.band = b.band AND a.band_key = b.band_key
+        WHERE a.doc_id < b.doc_id
+    ), edges AS (
+        SELECT doc_a AS s, doc_b AS d FROM pairs
+        UNION ALL
+        SELECT doc_b AS s, doc_a AS d FROM pairs
+    ), reach AS (
+        SELECT s AS node, d AS root FROM edges
+        UNION
+        SELECT r.node, e.d AS root FROM reach r JOIN edges e ON e.s = r.root
+    )
+    SELECT node::BIGINT AS doc_id, least(node, min(root))::BIGINT AS cluster_id
+    FROM reach GROUP BY node
     """,
     "dedup_simhash": """
     WITH toks AS (

@@ -150,6 +150,65 @@ def embedding_near_dups(
     )
 
 
+IVF_MOD = 40  # deterministic centroid sampling: vec_id % IVF_MOD == IVF_OFFSET
+IVF_OFFSET = 7
+NPROBE = 4
+
+
+def ivf_ann(
+    spark: SparkSession,
+    sf_dir: str,
+    n_queries: int = N_QUERIES,
+    k: int = TOP_K,
+    nprobe: int = NPROBE,
+) -> DataFrame:
+    """IVF-Flat approximate nearest neighbors: the corpus is partitioned
+    into inverted lists by nearest centroid; queries probe only their
+    ``nprobe`` closest lists, then rank candidates by exact cosine.
+
+    The centroid set is a deterministic sample of the corpus (every
+    ``IVF_MOD``-th vector) — the train-free IVF variant; a k-means pass
+    would only move the centroids, not the plan shape. At 100 TB the
+    centroid table stays broadcast-small (k ~ sqrt(n) lists), list
+    assignment is one broadcast join + per-vec argmax (map-side), and the
+    probe is an equi-join on list_id — no all-pairs stage anywhere.
+    """
+    emb = _emb(spark, sf_dir)
+    cents = emb.where(F.pmod(F.col("vec_id"), F.lit(IVF_MOD)) == IVF_OFFSET).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("centroid_id"))
+    assign = (
+        emb.crossJoin(F.broadcast(cents))
+        .select("vec_id", "embedding", "centroid_id", cosine(F.col("embedding"), F.col("cvec")).alias("ccos"))
+        .withColumn("r", F.row_number().over(w_assign))
+        .where(F.col("r") == 1)
+        .select("vec_id", "embedding", F.col("centroid_id").alias("list_id"))
+    )
+    queries = emb.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q")
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(F.desc("qcos"), F.asc("centroid_id"))
+    probes = (
+        queries.crossJoin(F.broadcast(cents))
+        .select("query_id", "q", "centroid_id", cosine(F.col("q"), F.col("cvec")).alias("qcos"))
+        .withColumn("r", F.row_number().over(w_probe))
+        .where(F.col("r") <= nprobe)
+        .select("query_id", "q", F.col("centroid_id").alias("list_id"))
+    )
+    scored = (
+        assign.join(F.broadcast(probes), "list_id")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", cosine(F.col("q"), F.col("embedding")).alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cos", "rank")
+    )
+
+
 def _band_keys_sql(col: str, bands: int = NEAR_DUP_BANDS, bits: int = NEAR_DUP_BITS) -> str:
     """DuckDB CTE body: (vec_id, band, bkey) rows matching `_banded`."""
     terms = " + ".join(
@@ -193,6 +252,39 @@ ORACLES: dict[str, str] = {
         FROM cands c
         JOIN e q ON q.vec_id = c.query_id
         JOIN e v ON v.vec_id = c.vec_id
+    ), ranked AS (
+        SELECT query_id, vec_id, cos,
+               row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+        FROM scored
+    )
+    SELECT query_id, vec_id, cos, rank::INT AS rank FROM ranked WHERE rank <= {TOP_K}
+    """,
+    "similarity_ivf_ann": f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings),
+    cents AS (
+        SELECT vec_id AS centroid_id, embedding AS cvec FROM e WHERE vec_id % {IVF_MOD} = {IVF_OFFSET}
+    ),
+    assign AS (
+        SELECT vec_id, embedding, centroid_id AS list_id,
+               row_number() OVER (
+                   PARTITION BY vec_id
+                   ORDER BY {_COS.format(a="embedding", b="cvec")} DESC, centroid_id ASC
+               ) AS r
+        FROM e CROSS JOIN cents QUALIFY r = 1
+    ),
+    q AS (SELECT vec_id AS query_id, embedding AS qv FROM e WHERE vec_id < {N_QUERIES}),
+    probes AS (
+        SELECT query_id, qv, centroid_id AS list_id,
+               row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY {_COS.format(a="qv", b="cvec")} DESC, centroid_id ASC
+               ) AS r
+        FROM q CROSS JOIN cents QUALIFY r <= {NPROBE}
+    ),
+    scored AS (
+        SELECT p.query_id, a.vec_id, {_COS.format(a="p.qv", b="a.embedding")} AS cos
+        FROM assign a JOIN probes p USING (list_id)
+        WHERE a.vec_id != p.query_id
     ), ranked AS (
         SELECT query_id, vec_id, cos,
                row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
