@@ -297,3 +297,58 @@ def resolve_reading_segments(
         else:
             segments.append([cur])
     return segments
+
+
+_LIST_LABELS = {"list_item"}
+
+
+def _covering_region_indices(boxes: np.ndarray, region_boxes: np.ndarray, min_cov: float = 0.5) -> list[int]:
+    """Per element: index of the region covering most of its area (>=
+    min_cov), else -1 (reference `_covering_region_indices`,
+    io/exporters.py:92-111 companion of assign_layout_labels)."""
+    if region_boxes.shape[0] == 0:
+        return [-1] * boxes.shape[0]
+    ix0 = np.maximum(boxes[:, None, 0], region_boxes[None, :, 0])
+    iy0 = np.maximum(boxes[:, None, 1], region_boxes[None, :, 1])
+    ix1 = np.minimum(boxes[:, None, 2], region_boxes[None, :, 2])
+    iy1 = np.minimum(boxes[:, None, 3], region_boxes[None, :, 3])
+    inter = np.clip(ix1 - ix0, 0, None) * np.clip(iy1 - iy0, 0, None)
+    areas = np.clip((boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1]), 1e-9, None)
+    cov = inter / areas[:, None]
+    best = cov.argmax(axis=1)
+    return [int(b) if cov[i, b] >= min_cov else -1 for i, b in enumerate(best)]
+
+
+def group_reading_items(
+    geoms: Sequence[Any] | np.ndarray,
+    direction: str = "ltr",
+    labels: Sequence[str | None] | None = None,
+    region_geoms: Sequence[Any] | np.ndarray | None = None,
+    **segment_kwargs: Any,
+) -> list[list[int]]:
+    """Reading segments with list-item grouping (the reference's
+    `page_reading_order` list handling, io/exporters.py:176-205): inside a
+    segment labeled as a list item, consecutive lines covered by the SAME
+    list region merge into one item — a bullet wrapped over several visual
+    lines renders as a single bullet — while lines from different regions
+    start new items. Non-list segments pass through unchanged."""
+    segments = resolve_reading_segments(geoms, direction=direction, labels=labels, **segment_kwargs)
+    if labels is None or region_geoms is None or len(segments) == 0:
+        return segments
+    region_idx = _covering_region_indices(_to_boxes(geoms), _to_boxes(region_geoms))
+    items: list[list[int]] = []
+    open_region: int | None = None
+    for seg in segments:
+        label = ((labels[seg[0]] if labels is not None else None) or "").lower()
+        if label in _LIST_LABELS:
+            for i in seg:
+                r = region_idx[i]
+                if open_region is not None and r == open_region and r != -1:
+                    items[-1].append(i)
+                else:
+                    items.append([i])
+                    open_region = r
+        else:
+            items.append(list(seg))
+            open_region = None
+    return items

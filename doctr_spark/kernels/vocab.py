@@ -32,6 +32,32 @@ def blank_index(vocab: str = DEFAULT_VOCAB) -> int:
 
 _CHAR_TO_IDX = {c: i for i, c in enumerate(DEFAULT_VOCAB)}
 
+UNKNOWN_CHAR = "■"
+
+
+def translate(input_string: str, vocab_name: str, unknown_char: str = UNKNOWN_CHAR) -> str:
+    """Fold a string into a vocabulary (reference `datasets/utils.py:35-66`):
+    whitespace is dropped, out-of-vocab characters are NFD-decomposed and
+    ASCII-folded (é -> e, ł has no decomposition), and anything still
+    unmappable becomes ``unknown_char``. Pure stdlib (`unicodedata`) — the
+    reference uses the same mechanism."""
+    import string as _string
+    import unicodedata
+
+    if VOCABS.get(vocab_name) is None:
+        raise KeyError("output vocabulary must be in vocabs dictionary")
+    vocab = VOCABS[vocab_name]
+    out = []
+    for char in input_string:
+        if char not in vocab:
+            if char in _string.whitespace:
+                continue
+            char = unicodedata.normalize("NFD", char).encode("ascii", "ignore").decode("ascii")
+            if char == "" or char not in vocab:
+                char = unknown_char
+        out.append(char)
+    return "".join(out)
+
 
 def encode_string(value: str, vocab: str = DEFAULT_VOCAB) -> list[int]:
     """Map a string to vocab indices (reference `datasets/utils.py:75-96`).

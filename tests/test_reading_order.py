@@ -118,6 +118,28 @@ def test_resolve_reading_segments_labels_and_floats():
     assert segs == [[0, 1], [2], [3]]
 
 
+def test_group_reading_items_list_bullets():
+    from doctr_spark.kernels.reading_order import group_reading_items
+
+    # two list bullets, each wrapped over two visual lines, then a paragraph
+    geoms = [
+        (0.10, 0.10, 0.90, 0.15),  # 0 bullet 1, line 1
+        (0.12, 0.16, 0.90, 0.21),  # 1 bullet 1, line 2 (same region)
+        (0.10, 0.23, 0.90, 0.28),  # 2 bullet 2, line 1
+        (0.12, 0.29, 0.90, 0.34),  # 3 bullet 2, line 2
+        (0.10, 0.40, 0.90, 0.45),  # 4 body text
+    ]
+    labels = ["list_item", "list_item", "list_item", "list_item", "text"]
+    regions = [
+        (0.08, 0.09, 0.92, 0.22),  # region of bullet 1
+        (0.08, 0.22, 0.92, 0.35),  # region of bullet 2
+    ]
+    items = group_reading_items(geoms, labels=labels, region_geoms=regions)
+    assert items == [[0, 1], [2, 3], [4]]
+    # without regions, the whole list collapses into one close-packed segment
+    assert group_reading_items(geoms, labels=labels) == [[0, 1, 2, 3], [4]]
+
+
 def test_resolve_reading_segments_empty():
     from doctr_spark.kernels.reading_order import resolve_reading_segments
 

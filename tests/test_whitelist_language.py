@@ -60,3 +60,18 @@ def test_build_page_language_detection():
     )
     assert page["language"]["value"] == "en"
     assert page["language"]["confidence"] == 1.0
+
+
+def test_translate_nfd_fold():
+    from doctr_spark.kernels.vocab import UNKNOWN_CHAR, translate
+
+    # accents fold to their ASCII base via NFD (reference datasets/utils.py:35-66)
+    assert translate("café résumé", "latin") == "café résumé".replace("é", "e").replace(" ", "")
+    assert translate("naïve", "ascii_letters") == "naive"
+    # whitespace dropped, unmappables become the unknown char
+    assert translate("a b€c", "latin") == f"ab{UNKNOWN_CHAR}c"
+    # vocab gate
+    import pytest
+
+    with pytest.raises(KeyError):
+        translate("x", "nope")
