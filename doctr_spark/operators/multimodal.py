@@ -75,6 +75,62 @@ def media_metadata(pages: DataFrame) -> DataFrame:
     return pages.mapInPandas(_meta_batches, schema=MEDIA_META_SCHEMA)
 
 
+def _resize_axis(img: np.ndarray, out_n: int, axis: int) -> np.ndarray:
+    n = img.shape[axis]
+    if out_n >= n:  # upscale: nearest-neighbor index map
+        idx = np.clip(np.floor((np.arange(out_n) + 0.5) * n / out_n).astype(np.int64), 0, n - 1)
+        return np.take(img, idx, axis=axis)
+    # downscale: max-pool over the covering input bucket — glyph strokes are
+    # 1 px wide, so center-sampling NN would erase the ink entirely; max
+    # pooling is the binary-ink analogue of cv2.INTER_AREA
+    bucket = np.floor(np.arange(n) * out_n / n).astype(np.int64)
+    starts = np.searchsorted(bucket, np.arange(out_n))
+    return np.maximum.reduceat(img, starts, axis=axis)
+
+
+def resize_media(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Raster resize (the vectorized stand-in for cv2.resize in the
+    reference PreProcessor, which letterboxes pages to the model input
+    shape): nearest-neighbor upscaling, ink-preserving max-pool
+    downscaling. Pure numpy — no interpolation libraries here."""
+    return _resize_axis(_resize_axis(img, out_h, 0), out_w, 1)
+
+
+RESIZED_SCHEMA = (
+    "conv_id string, turn_idx int, page_idx int, height int, width int, page binary"
+)
+
+
+def media_resize(pages: DataFrame, out_h: int, out_w: int) -> DataFrame:
+    """Batch page resize as an Arrow-batched kernel (the PreProcessor
+    resize stage as a standalone operator): every page raster is resized
+    to (out_h, out_w) and re-encoded."""
+    from ..kernels.imgcodec import encode_page
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["conv_id", "turn_idx", "page_idx", "height", "width", "page"]
+        for pdf in batches:
+            rows = []
+            for conv_id, turn_idx, page_idx, blob in zip(
+                pdf["conv_id"], pdf["turn_idx"], pdf["page_idx"], pdf["page"]
+            ):
+                out = resize_media(decode_media(bytes(blob), "page"), out_h, out_w)
+                rows.append((conv_id, int(turn_idx), int(page_idx), out_h, out_w, encode_page(out)))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return pages.mapInPandas(fn, schema=RESIZED_SCHEMA)
+
+
+def media_frame_sample(pages: DataFrame, every_k: int = 2) -> DataFrame:
+    """Frame sampling over a multi-page document's page axis (the exact
+    shape of video frame sampling: an ordered frame index within a media
+    key): keep every k-th page per (conv, turn). Native filter — pushed
+    into the scan, no Python."""
+    from pyspark.sql import functions as F  # noqa: N812
+
+    return pages.where(F.pmod(F.col("page_idx"), F.lit(every_k)) == 0)
+
+
 ARTEFACT_SCHEMA = (
     "conv_id string, turn_idx int, page_idx int, label string, "
     "xmin int, ymin int, xmax int, ymax int"
