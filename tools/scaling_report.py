@@ -53,7 +53,9 @@ def calibrate(cpus: int) -> float:
     return cpus * 4 * n / dt_ / 1e6
 
 
-def measure(cpus: int, sf_dir: str, syn_mult: int) -> dict:
+def measure(cpus: int, sf_dir: str, syn_mult: int, doc_mult: int = 1) -> dict:
+    from pyspark.sql import functions as F  # noqa: N812
+
     from doctr_spark.fixtures.transcripts import generate_transcripts, n_convs_for_sf
     from doctr_spark.io.sources import transcripts_from_documents
     from doctr_spark.operators.pipeline import extract_documents
@@ -70,7 +72,22 @@ def measure(cpus: int, sf_dir: str, syn_mult: int) -> dict:
     # warmup: small pass to spin up JVM codegen + python workers
     extract_documents(transcripts_from_documents(spark, sf_dir.replace("0.1", "0.01"))).count()
 
+    # doc_mult > 1 replicates the documents-derived workload under distinct
+    # conversation keys: a level that finishes in ~15 s is measuring fixed
+    # stage overheads, not throughput — the 10^12-turn regime the rule
+    # targets has hours of work per stage, so the measured input must be
+    # large enough that per-stage constants amortize at the bigger level
     t = transcripts_from_documents(spark, sf_dir)
+    if doc_mult > 1:
+        copies = [
+            transcripts_from_documents(spark, sf_dir).withColumn(
+                "conv_id", F.concat(F.lit(f"r{i}_"), F.col("conv_id"))
+            )
+            for i in range(doc_mult)
+        ]
+        t = copies[0]
+        for c in copies[1:]:
+            t = t.unionByName(c)
     t0 = time.perf_counter()
     n1 = extract_documents(t).count()
     t_docs = time.perf_counter() - t0
@@ -95,8 +112,8 @@ def measure(cpus: int, sf_dir: str, syn_mult: int) -> dict:
     }
 
 
-def _measure_pinned(cpus: int, sf_dir: str, syn_mult: int) -> dict:
-    cmd = [sys.executable, os.path.abspath(__file__), "--measure", str(cpus), str(syn_mult), sf_dir]
+def _measure_pinned(cpus: int, sf_dir: str, syn_mult: int, doc_mult: int = 1) -> dict:
+    cmd = [sys.executable, os.path.abspath(__file__), "--measure", str(cpus), str(syn_mult), sf_dir, str(doc_mult)]
     if shutil.which("taskset"):
         cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
     out = subprocess.run(cmd, capture_output=True, text=True, timeout=2400)
@@ -105,7 +122,7 @@ def _measure_pinned(cpus: int, sf_dir: str, syn_mult: int) -> dict:
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
-def _pair(n: int, n4: int, sf_dir: str, syn_mult: int, repeats: int = 2) -> dict:
+def _pair(n: int, n4: int, sf_dir: str, syn_mult: int, repeats: int = 2, doc_mult: int = 1) -> dict:
     """Measure both levels, interleaved and repeated, keeping the best run
     per level: this VM's hypervisor throttles all-core clocks in multi-minute
     transients (observed pure-CPU ceilings from 367 down to 259 Mops within
@@ -114,8 +131,8 @@ def _pair(n: int, n4: int, sf_dir: str, syn_mult: int, repeats: int = 2) -> dict
     simultaneous hw calibration is still reported per kept run."""
     los, his = [], []
     for _ in range(repeats):
-        los.append(_measure_pinned(n, sf_dir, syn_mult))
-        his.append(_measure_pinned(n4, sf_dir, syn_mult))
+        los.append(_measure_pinned(n, sf_dir, syn_mult, doc_mult))
+        his.append(_measure_pinned(n4, sf_dir, syn_mult, doc_mult))
     lo = max(los, key=lambda m: m["turns_per_sec"])
     hi = max(his, key=lambda m: m["turns_per_sec"])
     ratio = n4 / n
@@ -131,8 +148,8 @@ def _pair(n: int, n4: int, sf_dir: str, syn_mult: int, repeats: int = 2) -> dict
 
 
 def main(sf_dir: str = "/root/testdata/sf0.1") -> dict:
-    small = _pair(2, 8, sf_dir, syn_mult=1)
-    large = _pair(8, 32, sf_dir, syn_mult=3)
+    small = _pair(2, 8, sf_dir, syn_mult=1, doc_mult=2)
+    large = _pair(8, 32, sf_dir, syn_mult=3, doc_mult=3)
     report = {"pair_2_to_8": small, "pair_8_to_32": large}
     print(json.dumps(report))
 
@@ -177,6 +194,15 @@ turns/sec/core vs the reference's published ~1.2-2 pages/sec TOTAL on an
 
 if __name__ == "__main__":
     if len(sys.argv) >= 4 and sys.argv[1] == "--measure":
-        print(json.dumps(measure(int(sys.argv[2]), sys.argv[4] if len(sys.argv) > 4 else "/root/testdata/sf0.1", int(sys.argv[3]))))
+        print(
+            json.dumps(
+                measure(
+                    int(sys.argv[2]),
+                    sys.argv[4] if len(sys.argv) > 4 else "/root/testdata/sf0.1",
+                    int(sys.argv[3]),
+                    int(sys.argv[5]) if len(sys.argv) > 5 else 1,
+                )
+            )
+        )
     else:
         main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1")
