@@ -211,6 +211,7 @@ def build_page(
     tables: list[dict[str, Any]] | None = None,
     keep_reading_order: bool = False,
     detect_language: bool = False,
+    text_direction: str | None = None,
 ) -> dict[str, Any]:
     """Assemble one page dict (the Spark-row analogue of `Page.export()`,
     `doctr/io/elements.py:424-512`) plus its rendered text.
@@ -246,6 +247,29 @@ def build_page(
             blocks_idx = [[lines[i] for i in seg] for seg in segments]
         else:
             blocks_idx = resolve_blocks(boxes, lines) if do_resolve_blocks else ([lines] if lines else [])
+        if text_direction is not None:
+            # per-direction word order within each line (reference
+            # ordered_line_words, io/exporters.py:219-250): "auto" detects
+            # each line's base direction from its own text; explicit
+            # ltr/rtl/ttb-* applies uniformly
+            from .reading_order import ordered_line_words
+
+            auto = text_direction == "auto"
+            blocks_idx = [
+                [
+                    [
+                        line[j]
+                        for j in ordered_line_words(
+                            boxes[np.asarray(line)],
+                            [values[i] for i in line],
+                            direction="ltr" if auto else text_direction,
+                            auto=auto,
+                        )
+                    ]
+                    for line in block
+                ]
+                for block in blocks_idx
+            ]
     else:
         blocks_idx = []
 

@@ -299,6 +299,31 @@ def resolve_reading_segments(
     return segments
 
 
+def ordered_line_words(
+    word_boxes: np.ndarray,
+    values: Sequence[str],
+    direction: str = "ltr",
+    auto: bool = False,
+) -> list[int]:
+    """Word order within one line, by reading direction (reference
+    `ordered_line_words` / `_line_render_direction`,
+    io/exporters.py:219-250): vertical pages read top-to-bottom; with an
+    auto-detected page direction each line takes its OWN base direction
+    from its text (an embedded Latin run on an RTL page keeps its natural
+    order); an explicit direction applies uniformly. Returns a permutation
+    of the word indices."""
+    n = word_boxes.shape[0]
+    if auto and direction not in ("ttb-rtl", "ttb-ltr") and n > 1:
+        direction = detect_text_direction(values)
+    if direction in ("ttb-rtl", "ttb-ltr"):
+        key = (word_boxes[:, 1] + word_boxes[:, 3]) / 2
+        return [int(i) for i in np.argsort(key, kind="stable")]
+    if direction == "rtl":
+        key = -(word_boxes[:, 0] + word_boxes[:, 2]) / 2
+        return [int(i) for i in np.argsort(key, kind="stable")]
+    return list(range(n))
+
+
 _LIST_LABELS = {"list_item"}
 
 

@@ -31,6 +31,7 @@ def _make_builder(
     resolve_blocks: bool,
     paragraph_break: float,
     keep_reading_order: bool = False,
+    text_direction: str | None = None,
 ):
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         from ..kernels.tables import build_tables
@@ -85,6 +86,7 @@ def _make_builder(
             crop_orientations=orientations,
             tables=tables,
             keep_reading_order=keep_reading_order,
+            text_direction=text_direction,
         )
         if page_orientation is not None:
             page["orientation"] = page_orientation
@@ -104,8 +106,11 @@ def build_pages(
     resolve_blocks: bool = False,
     paragraph_break: float = 0.035,
     keep_reading_order: bool = False,
+    text_direction: str | None = None,
 ) -> DataFrame:
-    fn = _make_builder(resolve_lines, resolve_blocks, paragraph_break, keep_reading_order)
+    fn = _make_builder(
+        resolve_lines, resolve_blocks, paragraph_break, keep_reading_order, text_direction
+    )
     return words.groupBy("conv_id", "turn_idx", "page_idx").applyInPandas(fn, PAGE_DOC_SCHEMA)
 
 

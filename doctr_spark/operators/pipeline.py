@@ -44,6 +44,7 @@ def extract_documents(
     loc_hooks: Sequence[Callable[[DataFrame], DataFrame]] | None = None,
     reco_arch: str = "ctc",
     det_arch: str = "db_like",
+    text_direction: str | None = None,
 ) -> DataFrame:
     """Run the detection->recognition->reconstruction pipeline.
 
@@ -83,6 +84,7 @@ def extract_documents(
         resolve_blocks=resolve_blocks,
         paragraph_break=paragraph_break,
         keep_reading_order=keep_reading_order,
+        text_direction=text_direction,
     )
     docs = assemble_documents(built)
 

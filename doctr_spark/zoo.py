@@ -38,6 +38,7 @@ class OCRPredictor:
     detect_crop_orientation: bool = True
     straighten_pages: bool = False
     keep_reading_order: bool = False
+    text_direction: str | None = None
     mask_region_labels: tuple[str, ...] | None = None
     crop_partitions: int | None = None
     include_all_turns: bool = False
@@ -71,6 +72,7 @@ class OCRPredictor:
             loc_hooks=self.hooks,
             reco_arch=self.reco_arch,
             det_arch=self.det_arch,
+            text_direction=self.text_direction,
         )
 
 

@@ -140,6 +140,31 @@ def test_group_reading_items_list_bullets():
     assert group_reading_items(geoms, labels=labels) == [[0, 1, 2, 3], [4]]
 
 
+def test_ordered_line_words_directions():
+    from doctr_spark.kernels.reading_order import ordered_line_words
+
+    boxes = np.array([[0.1, 0.1, 0.2, 0.2], [0.3, 0.1, 0.4, 0.2], [0.5, 0.1, 0.6, 0.2]])
+    assert ordered_line_words(boxes, ["a", "b", "c"], "ltr") == [0, 1, 2]
+    assert ordered_line_words(boxes, ["a", "b", "c"], "rtl") == [2, 1, 0]
+    # auto: each line takes its OWN base direction from its text
+    assert ordered_line_words(boxes, ["שלום", "עולם", "טוב"], "ltr", auto=True) == [2, 1, 0]
+    assert ordered_line_words(boxes, ["hello", "big", "world"], "rtl", auto=True) == [0, 1, 2]
+    # vertical: top-to-bottom by y
+    vert = np.array([[0.1, 0.5, 0.2, 0.6], [0.1, 0.1, 0.2, 0.2]])
+    assert ordered_line_words(vert, ["a", "b"], "ttb-rtl") == [1, 0]
+
+
+def test_builder_text_direction_option():
+    from doctr_spark.kernels.builder import build_page
+
+    boxes = np.array([[0.05, 0.1, 0.15, 0.16], [0.16, 0.1, 0.26, 0.16], [0.27, 0.1, 0.37, 0.16]])
+    scores = np.full(3, 0.8)
+    args = (boxes, scores, ["aa", "bb", "cc"], [0.9] * 3, (256, 512))
+    assert build_page(*args)["text"] == "aa bb cc"
+    assert build_page(*args, text_direction="rtl")["text"] == "cc bb aa"
+    assert build_page(*args, text_direction="auto")["text"] == "aa bb cc"  # ASCII -> ltr
+
+
 def test_resolve_reading_segments_empty():
     from doctr_spark.kernels.reading_order import resolve_reading_segments
 
