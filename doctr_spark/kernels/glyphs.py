@@ -75,6 +75,8 @@ def forward_logits_attention(crop: np.ndarray, vocab: str = DEFAULT_VOCAB) -> np
     """Attention-head forward (ViTSTR-style): one frame per character plus
     a terminating <eos> frame — no blanks, no repeats to collapse."""
     codes = read_codes(crop)
+    codes = codes[codes < len(vocab)]  # non-glyph ink (photos, noise) can
+    # encode out-of-vocab bit patterns; such cells are unreadable, not text
     c_plus_1 = len(vocab) + 1
     logits = np.zeros((len(codes) + 1, c_plus_1), dtype=np.float32)
     for i, code in enumerate(codes):
@@ -91,6 +93,7 @@ def forward_logits(crop: np.ndarray, vocab: str = DEFAULT_VOCAB) -> np.ndarray:
     exercised for real, including repeated characters.
     """
     codes = read_codes(crop)
+    codes = codes[codes < len(vocab)]  # drop unreadable (out-of-vocab) cells
     c_plus_1 = len(vocab) + 1
     t = 3 * len(codes)
     logits = np.zeros((t, c_plus_1), dtype=np.float32)

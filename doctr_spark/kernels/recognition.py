@@ -262,7 +262,13 @@ def recognize_crops_batched(
     spans: list[tuple[int, int, float]] = []  # (start, n_windows, last_overlap)
     for crop in crops:
         if crop.shape[0] != GLYPH_H:
-            raise ValueError(f"expected {GLYPH_H}-px-tall crop, got {crop.shape}")
+            # a detection that isn't text-line shaped (embedded photo,
+            # artefact, noise blob) is unreadable, not an error: the
+            # reference resizes every crop to the model input, where such
+            # regions decode to garbage the builder's empty/low-conf
+            # filters drop — the stand-in goes straight to empty
+            spans.append((len(all_windows), 0, 0.0))
+            continue
         windows, last_overlap = split_wide_crop(crop)
         spans.append((len(all_windows), len(windows), last_overlap))
         all_windows.extend(windows)
@@ -275,6 +281,9 @@ def recognize_crops_batched(
     preds = [decode(lg) for lg in logits]
     out: list[tuple[str, float]] = []
     for start, n, last_overlap in spans:
+        if n == 0:
+            out.append(("", 0.0))
+            continue
         window_preds = preds[start : start + n]
         if n == 1:
             out.append(window_preds[0])
@@ -296,9 +305,10 @@ def recognize_crop(
     decode -> merge. Mirrors `RecognitionPredictor.forward`
     (`doctr/models/recognition/predictor/pytorch.py:44-85`). ``arch``
     selects the decode head: "ctc" (CRNN best-path) or "attention"
-    (ViTSTR <eos>-cut)."""
+    (ViTSTR <eos>-cut). Crops that are not text-line shaped (wrong height:
+    photos, artefacts, noise) read as empty — see recognize_crops_batched."""
     if crop.shape[0] != GLYPH_H:
-        raise ValueError(f"expected {GLYPH_H}-px-tall crop, got {crop.shape}")
+        return "", 0.0
     windows, last_overlap = split_wide_crop(crop)
     if arch == "attention":
         from .glyphs import forward_logits_attention

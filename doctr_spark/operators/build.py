@@ -53,6 +53,10 @@ def _make_builder(
                 if blob:
                     raw_tables.extend(json.loads(blob))
         pdf = pdf[pdf["word_idx"] >= 0]
+        # unreadable detections (photos/artefacts/noise recognize as empty)
+        # carry no text and are dropped here, the builder-entry analogue of
+        # the reference's zero-size/garbage crop filtering
+        pdf = pdf[pdf["value"].fillna("") != ""]
         boxes = pdf[["xmin", "ymin", "xmax", "ymax"]].to_numpy()
         values = pdf["value"].tolist()
         confs = pdf["confidence"].tolist()

@@ -50,3 +50,19 @@ def test_forward_logits_ctc_shape():
     assert logits.shape == (12, len(DEFAULT_VOCAB) + 1)
     # blank frames between repeated chars are present
     assert logits[2].argmax() == blank_index()
+
+
+def test_non_glyph_ink_is_unreadable_not_a_crash():
+    """A crop of non-text ink (embedded photo, noise) encodes out-of-vocab
+    bit patterns; recognition must return empty, not crash on the logits
+    index (solid ink reads as code 127 > len(vocab))."""
+    import numpy as np
+
+    from doctr_spark.config import GLYPH_H
+    from doctr_spark.kernels.recognition import recognize_crop
+
+    solid = np.full((GLYPH_H, 40), 204, np.uint8)
+    value, conf = recognize_crop(solid)
+    assert value == ""
+    value, conf = recognize_crop(solid, arch="attention")
+    assert value == ""

@@ -89,3 +89,32 @@ def test_loc_hooks_filter_crops(spark):
     hooked = extract_documents(tdf, crop_partitions=4, loc_hooks=[drop_left_half])
     hooked_words = hooked.agg(F.sum("n_words")).first()[0]
     assert 0 < hooked_words < base_words
+
+
+def test_non_text_regions_do_not_crash_or_leak(spark):
+    """A page mixing real text with non-glyph ink (photo block, bar-code
+    stripes) must extract exactly the text: unreadable detections decode
+    to empty and are dropped at the builder entry (round-2 regression:
+    out-of-vocab glyph codes crashed the logits indexing, and odd-height
+    crops raised in recognition)."""
+    import datetime as dt
+
+    import numpy as np
+
+    from doctr_spark.config import PAGE_H, PAGE_W
+    from doctr_spark.fixtures.payloads import make_img_payload
+    from doctr_spark.kernels.artefacts import draw_artefact
+    from doctr_spark.kernels.glyphs import draw_word
+
+    canvas = np.zeros((PAGE_H, PAGE_W), np.uint8)
+    draw_word(canvas, 32, 32, "hello")
+    draw_word(canvas, 60, 32, "world")
+    draw_artefact(canvas, "photo", 200, 100, 60, 50)
+    draw_artefact(canvas, "bar_code", 300, 60, 48, 40)
+    tdf = spark.createDataFrame(
+        [("c0", 0, "user", f"see {make_img_payload(canvas)}", None, dt.datetime(2024, 1, 1))],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    row = extract_documents(tdf, crop_partitions=2).first()
+    assert row["extracted_text"] == "hello world"
+    assert row["n_words"] == 2
