@@ -69,7 +69,21 @@ def detect_layout_regions(page: np.ndarray) -> dict[str, Any]:
             y0, y1 = int(band[0]), int(band[-1]) + 1
             cols = np.flatnonzero(ink[y0:y1].any(axis=0) | ruling[y0:y1].any(axis=0))
             x0, x1 = int(cols[0]), int(cols[-1]) + 1
-            if ruling[y0:y1, x0:x1].any():
+            # artefact-shaped bands (photo/logo/bar/QR signatures) label as
+            # picture, driving the float role + ignore_regions path with
+            # real geometry
+            is_picture = False
+            if (y1 - y0) >= 32:
+                from .artefacts import detect_artefacts
+
+                band_img = page[y0:y1, x0:x1]
+                arts = detect_artefacts(band_img)
+                band_area = (y1 - y0) * (x1 - x0)
+                art_area = sum((b[2] - b[0]) * (b[3] - b[1]) for b in (a["box"] for a in arts))
+                is_picture = art_area > 0.5 * band_area
+            if is_picture:
+                name = "picture"
+            elif ruling[y0:y1, x0:x1].any():
                 name = "table"
             elif y1 <= 0.12 * h:
                 name = "page_header"

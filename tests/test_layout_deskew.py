@@ -96,3 +96,46 @@ def test_detect_stage_mask_region_labels(spark):
         "word_idx >= 0"
     ).count()
     assert (all_words, kept) == (2, 1)
+
+
+def test_layout_labels_picture_regions():
+    import numpy as np
+
+    from doctr_spark.config import PAGE_H, PAGE_W
+    from doctr_spark.kernels.artefacts import draw_artefact
+    from doctr_spark.kernels.glyphs import draw_word
+    from doctr_spark.kernels.layout import detect_layout_regions
+
+    canvas = np.zeros((PAGE_H, PAGE_W), np.uint8)
+    draw_word(canvas, 32, 32, "hello")
+    draw_artefact(canvas, "photo", 100, 100, 80, 60)
+    r = detect_layout_regions(canvas)
+    assert r["class_names"] == ["text", "picture"]
+
+
+def test_mask_picture_regions_in_pipeline(spark):
+    """ignore_regions with the picture label: the photo is blanked before
+    detection, so only the real text is ever detected or recognized."""
+    import datetime as dt
+
+    import numpy as np
+
+    from doctr_spark.config import PAGE_H, PAGE_W
+    from doctr_spark.fixtures.payloads import make_img_payload
+    from doctr_spark.kernels.artefacts import draw_artefact
+    from doctr_spark.kernels.glyphs import draw_word
+    from doctr_spark.operators.decode import decode_pages
+    from doctr_spark.operators.detect import detect_and_crop
+    from doctr_spark.operators.pipeline import extract_documents
+
+    canvas = np.zeros((PAGE_H, PAGE_W), np.uint8)
+    draw_word(canvas, 32, 32, "hello")
+    draw_artefact(canvas, "photo", 100, 100, 80, 60)
+    tdf = spark.createDataFrame(
+        [("c0", 0, "user", f"see {make_img_payload(canvas)}", None, dt.datetime(2024, 1, 1))],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    crops = detect_and_crop(decode_pages(tdf), mask_region_labels=("picture",))
+    assert crops.where("word_idx >= 0").count() == 1  # only the word detected
+    row = extract_documents(tdf, mask_region_labels=("picture",), crop_partitions=2).first()
+    assert row["extracted_text"] == "hello" and row["n_words"] == 1
