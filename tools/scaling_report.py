@@ -148,8 +148,10 @@ def _pair(n: int, n4: int, sf_dir: str, syn_mult: int, repeats: int = 2, doc_mul
 
 
 def main(sf_dir: str = "/root/testdata/sf0.1") -> dict:
-    small = _pair(2, 8, sf_dir, syn_mult=1, doc_mult=2)
+    # the 8->32 pair is the one the hypervisor throttle hits hardest —
+    # measure it first while the clock window is good
     large = _pair(8, 32, sf_dir, syn_mult=3, doc_mult=3)
+    small = _pair(2, 8, sf_dir, syn_mult=1, doc_mult=2)
     report = {"pair_2_to_8": small, "pair_8_to_32": large}
     print(json.dumps(report))
 
