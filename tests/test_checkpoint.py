@@ -76,3 +76,32 @@ def test_grouped_passes_commit_per_group(spark, transcripts, tmp_path):
     assert m.count() == 4
     # two passes -> two distinct commit timestamps
     assert m.select("finished_at").distinct().count() == 2
+
+
+def test_submit_job_entry_point(spark, tmp_path, monkeypatch):
+    """The spark-submit entry point runs end to end: synthetic input,
+    checkpointed buckets, one JSON stats line (resumable: a second run is
+    a no-op). Reuses the test session via getOrCreate."""
+    import json
+    import sys
+
+    from tools.submit_job import main
+
+    out, manifest = str(tmp_path / "out"), str(tmp_path / "manifest")
+    argv = ["submit_job.py", "--synthetic-convs", "6", "--output", out,
+            "--manifest", manifest, "--buckets", "2"]
+    monkeypatch.setattr(sys, "argv", argv)
+    # the job stops its session on exit; keep the shared test session alive
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    import io
+
+    buf = io.StringIO()
+    monkeypatch.setattr(sys, "stdout", buf)
+    try:
+        main()
+    finally:
+        monkeypatch.undo()
+    stats = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert stats["buckets_processed"] == 2
+    assert stats["turns"] > 0 and stats["words"] > 0
+    assert spark.read.parquet(out).count() == stats["turns"]
