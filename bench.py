@@ -45,6 +45,12 @@ def run_bench(sf_dir: str, cpus: str, shuffle_partitions: int | None = None) -> 
         timings[name] = round(time.perf_counter() - t0, 3)
         return out
 
+    # warmup pass (excluded from timings): JVM codegen compilation, Arrow
+    # serializers, and Python workers all initialize on the first query —
+    # one-time costs a long-running 10^12-turn job amortizes to zero, so
+    # the steady-state rate is the meaningful number
+    extract_documents(generate_transcripts(spark, 20)).count()
+
     # q1: flagship extraction over documents-derived transcripts
     n_doc_turns = timed(
         "q1_ocr_documents",
