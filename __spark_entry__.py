@@ -284,6 +284,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_count": text_analysis.token_count_bpe,
         "text_fingerprint": text_analysis.fingerprint,
         "text_match_rates": text_analysis.match_rates,
+        "text_quality_filter": text_analysis.quality_filter,
         # metrics
         "metric_box_iou": _metric_box_iou,
         # relational / window

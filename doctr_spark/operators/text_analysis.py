@@ -111,6 +111,69 @@ def match_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Gopher/C4-style quality gate thresholds (Rae et al. 2021 "Scaling
+# Language Models", §A1.1 — public repetition/format heuristics, adapted
+# to this corpus's scale)
+QF_MIN_WORDS = 10
+QF_MEAN_LEN_LO = 3.0
+QF_MEAN_LEN_HI = 12.0
+QF_MAX_DIGIT_FRAC = 0.3
+QF_MAX_SYMBOL_FRAC = 0.1
+QF_MAX_TOP_WORD_FRAC = 0.2
+
+
+def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style document quality gate as ONE codegen'd projection: word
+    count, mean word length, digit-word fraction, symbol fraction, and
+    most-frequent-word fraction (the repetition signal), each rounded to
+    6dp BEFORE thresholding so both engines gate identically. At 100 TB
+    this is a pure map — no shuffle, no Python."""
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    mean_len = F.round(
+        F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t)) / n, 6
+    )
+    digit_frac = F.round(F.size(F.filter(toks, lambda t: t.rlike("^[0-9]+$"))) / n, 6)
+    symbol_frac = F.round(
+        (F.length("text") - F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z0-9 ]", "")))
+        / F.length("text"),
+        6,
+    )
+    # repetition: frequency of the most common token / n (mode via
+    # sort + aggregate run-length, pure array expressions)
+    sorted_toks = F.array_sort(toks)
+    top_runs = F.aggregate(
+        sorted_toks,
+        F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")),
+        lambda acc, t: F.struct(
+            t.alias("prev"),
+            F.when(t == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"], F.when(t == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    top_word_frac = F.round(top_runs / n, 6)
+    out = d.select(
+        "doc_id",
+        n.cast("long").alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        digit_frac.alias("digit_word_frac"),
+        symbol_frac.alias("symbol_frac"),
+        top_word_frac.alias("top_word_frac"),
+    )
+    passes = (
+        (F.col("n_words") >= QF_MIN_WORDS)
+        & F.col("mean_word_len").between(QF_MEAN_LEN_LO, QF_MEAN_LEN_HI)
+        & (F.col("digit_word_frac") <= QF_MAX_DIGIT_FRAC)
+        & (F.col("symbol_frac") <= QF_MAX_SYMBOL_FRAC)
+        & (F.col("top_word_frac") <= QF_MAX_TOP_WORD_FRAC)
+    )
+    return out.withColumn("passes", passes)
+
+
 def _marker_sql(words: list[str]) -> str:
     lst = ", ".join(f"'{w}'" for w in words)
     return f"len(list_filter(string_split(text, ' '), t -> t IN ({lst})))"
@@ -122,6 +185,35 @@ _LANG_STRUCTS = ", ".join(
 )
 
 ORACLES: dict[str, str] = {
+    "text_quality_filter": f"""
+    WITH base AS (
+        SELECT doc_id, string_split(text, ' ') AS ts, text FROM documents
+    ),
+    freq AS (
+        SELECT doc_id, max(cnt) AS top FROM (
+            SELECT doc_id, tok, count(*) AS cnt
+            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+            GROUP BY doc_id, tok
+        ) GROUP BY doc_id
+    ),
+    s AS (
+        SELECT doc_id,
+               len(ts)::BIGINT AS n_words,
+               round(list_sum(list_transform(ts, t -> len(t)))::DOUBLE / len(ts), 6) AS mean_word_len,
+               round(len(list_filter(ts, t -> regexp_full_match(t, '[0-9]+')))::DOUBLE / len(ts), 6) AS digit_word_frac,
+               round((len(text) - len(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))::DOUBLE / len(text), 6) AS symbol_frac
+        FROM base
+    )
+    SELECT s.doc_id, n_words, mean_word_len, digit_word_frac, symbol_frac,
+           round(f.top::DOUBLE / n_words, 6) AS top_word_frac,
+           (n_words >= {QF_MIN_WORDS}
+            AND mean_word_len BETWEEN {QF_MEAN_LEN_LO} AND {QF_MEAN_LEN_HI}
+            AND digit_word_frac <= {QF_MAX_DIGIT_FRAC}
+            AND symbol_frac <= {QF_MAX_SYMBOL_FRAC}
+            AND round(f.top::DOUBLE / n_words, 6) <= {QF_MAX_TOP_WORD_FRAC}) AS passes
+    FROM s JOIN freq f USING (doc_id)
+    """,
+
     "text_stats": """
     SELECT doc_id,
            len(text)::BIGINT AS n_chars_actual,
