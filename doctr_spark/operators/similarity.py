@@ -169,22 +169,44 @@ def ivf_ann(
     The centroid set is a deterministic sample of the corpus (every
     ``IVF_MOD``-th vector) — the train-free IVF variant; a k-means pass
     would only move the centroids, not the plan shape. At 100 TB the
-    centroid table stays broadcast-small (k ~ sqrt(n) lists), list
-    assignment is one broadcast join + per-vec argmax (map-side), and the
-    probe is an equi-join on list_id — no all-pairs stage anywhere.
+    centroid table stays broadcast-small (k ~ sqrt(n) lists). List
+    assignment is a pure MAP-SIDE argmax: the centroids are collected to
+    the driver (tiny by construction) and folded into one constant array
+    literal, so each corpus row computes ``array_max`` over
+    ``transform(centroids, c -> (cos, -cid))`` in a single projection —
+    zero shuffle, zero row multiplication, no window. (If k ever outgrew a
+    constant-folded literal, the same argmax moves into a ``mapInPandas``
+    over an ``sc.broadcast`` numpy matrix — still map-side.) The probe is
+    an equi-join on list_id — no all-pairs stage anywhere.
     """
     emb = _emb(spark, sf_dir)
     cents = emb.where(F.pmod(F.col("vec_id"), F.lit(IVF_MOD)) == IVF_OFFSET).select(
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
     )
-    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("centroid_id"))
-    assign = (
-        emb.crossJoin(F.broadcast(cents))
-        .select("vec_id", "embedding", "centroid_id", cosine(F.col("embedding"), F.col("cvec")).alias("ccos"))
-        .withColumn("r", F.row_number().over(w_assign))
-        .where(F.col("r") == 1)
-        .select("vec_id", "embedding", F.col("centroid_id").alias("list_id"))
+    # Driver-side collect of the (broadcast-small) centroid table; Catalyst
+    # constant-folds the nested CreateArray into ONE array literal.
+    cent_rows = cents.collect()
+    cent_lit = F.array(
+        *[
+            F.struct(
+                F.lit(int(r["centroid_id"])).alias("cid"),
+                F.array(*[F.lit(float(v)) for v in r["cvec"]]).alias("cvec"),
+            )
+            for r in cent_rows
+        ]
     )
+    # Lexicographic struct max == (max cos, then min centroid_id) — the same
+    # tie-break as the oracle's ORDER BY cos DESC, centroid_id ASC.
+    best = F.array_max(
+        F.transform(
+            cent_lit,
+            lambda c: F.struct(
+                cosine(F.col("embedding"), c["cvec"]).alias("ccos"),
+                (-c["cid"]).alias("ncid"),
+            ),
+        )
+    )
+    assign = emb.select("vec_id", "embedding", (-best["ncid"]).alias("list_id"))
     queries = emb.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q")
     )
