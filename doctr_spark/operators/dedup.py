@@ -128,70 +128,112 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str, max_bucket: int = MAX_BU
     cand = bands.join(eligible, ["band", "band_key"])
     a = cand.select("band", "band_key", F.col("doc_id").alias("doc_a"))
     b = cand.select("band", "band_key", F.col("doc_id").alias("doc_b"))
-    return (
+    result = (
         a.join(b, ["band", "band_key"])
         .where(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
+        .persist()
     )
+    result.count()  # materialize the (small) pair list, then free the band table
+    bands.unpersist()
+    return result
 
 
-def dedup_clusters(spark: SparkSession, sf_dir: str, max_iters: int = 20) -> DataFrame:
-    """Duplicate CLUSTERS (not just pairs): connected components over the
-    LSH candidate-pair graph, labeling every member with the component's
-    minimum doc_id as ``cluster_id`` — the keep-one-canonical structure a
-    real dedup pass acts on.
+def connected_components(pairs: DataFrame, max_iters: int = 30) -> tuple[DataFrame, int]:
+    """Connected components over an undirected pair list (``doc_a < doc_b``)
+    via alternating LARGE-STAR / SMALL-STAR rounds (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14 — public).
 
-    Iterative min-label propagation (the simplified large-star step of the
-    Kiveris et al. "Connected Components in MapReduce" design): each round
-    joins labels across edges and keeps the per-node minimum; rounds needed
-    = graph diameter, which for near-dup clusters is tiny (dup clusters are
-    near-cliques because LSH links most members pairwise). Each round is a
-    self-contained shuffle-on-doc_id; labels are eagerly persisted so round
-    N+1 reads round N's result once. Convergence is detected by an updated
-    count (one tiny action per round).
+    * large-star: every node hangs its LARGER neighbors off the minimum of
+      its closed neighborhood — long chains halve each round.
+    * small-star: every node and its SMALLER neighbors re-attach to that
+      minimum — stars flatten.
+
+    Both steps are a groupBy-min plus an equi-join back to the edge list —
+    no ``collect_list`` of neighbor arrays, so a 10^6-member component
+    never lands in one task. Rounds needed are O(log n) for ANY component
+    shape (a chain degrades the naive min-label propagation to O(diameter)
+    rounds). Convergence is one aggregate checksum action per round
+    (count + sum of edge hashes), not a label self-join.
+
+    Each round ends in ``localCheckpoint(eager=True)``: an iterative plan
+    references the previous round's plan several times, so WITHOUT lineage
+    truncation the logical plan grows exponentially with rounds (observed:
+    JVM heap OOM formatting the plan string by round 3). On a real cluster
+    swap in a reliable ``checkpoint()`` (HDFS dir) for executor-loss
+    tolerance; the plan shape is identical.
+
+    Returns ``(labels, rounds)``: every node that appears in a pair, labeled
+    with its component-minimum id, and the number of rounds executed.
     """
-    pairs = minhash_lsh_pairs(spark, sf_dir)
-    edges = pairs.union(
-        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).persist()
-    labels = (
-        edges.select(F.col("doc_a").alias("doc_id"))
+    nodes = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .union(pairs.select(F.col("doc_b").alias("doc_id")))
         .distinct()
-        .withColumn("cluster_id", F.col("doc_id"))
+        .persist()
+    )
+    # canonical orientation u > v (small-star's input invariant)
+    edges = pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")).localCheckpoint()
+    prev_sum: tuple | None = None
+    rounds = 0
+    for _ in range(max_iters):
+        rounds += 1
+        # -- large-star: m(u) = min(u, N(u)); emit (bigger neighbor -> m) --
+        sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = sym.groupBy("u").agg(F.min("v").alias("mv")).select(
+            "u", F.least(F.col("u"), F.col("mv")).alias("m")
+        )
+        ls = (
+            sym.where(F.col("v") > F.col("u"))
+            .join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # -- small-star: edges all point downward now; m(u) = min(N(u)) --
+        mins2 = ls.groupBy("u").agg(F.min("v").alias("m"))
+        ss = (
+            ls.join(mins2, "u")
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .union(mins2.select(F.col("u").alias("a"), F.col("m").alias("b")))
+            .where(F.col("a") != F.col("b"))
+            .select(F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v"))
+            .distinct()
+            .localCheckpoint()  # eager: materializes + truncates lineage
+        )
+        checksum = tuple(
+            ss.agg(F.count("*").alias("c"), F.sum(F.hash("u", "v")).alias("h")).first()
+        )
+        edges = ss
+        if checksum == prev_sum:
+            break
+        prev_sum = checksum
+    # at convergence the edge set is a union of min-rooted stars
+    labels = (
+        nodes.join(edges.select(F.col("u").alias("doc_id"), F.col("v").alias("root")), "doc_id", "left")
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.coalesce(F.col("root"), F.col("doc_id")).cast("long").alias("cluster_id"),
+        )
         .persist()
     )
     labels.count()
-    for _ in range(max_iters):
-        neighbor_min = (
-            edges.join(labels, edges["doc_b"] == labels["doc_id"])
-            .groupBy(F.col("doc_a").alias("doc_id"))
-            .agg(F.min("cluster_id").alias("nmin"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least(F.col("cluster_id"), F.coalesce(F.col("nmin"), F.col("cluster_id"))).alias(
-                    "cluster_id"
-                ),
-            )
-            .persist()
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .where(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
-        if changed == 0:
-            break
-    return labels.select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        F.col("cluster_id").cast("long").alias("cluster_id"),
-    )
+    nodes.unpersist()
+    return labels, rounds
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str, max_iters: int = 30) -> DataFrame:
+    """Duplicate CLUSTERS (not just pairs): connected components over the
+    LSH candidate-pair graph, labeling every member with the component's
+    minimum doc_id as ``cluster_id`` — the keep-one-canonical structure a
+    real dedup pass acts on. See :func:`connected_components` for the
+    O(log n)-round star algorithm.
+    """
+    pairs = minhash_lsh_pairs(spark, sf_dir)
+    labels, _ = connected_components(pairs, max_iters=max_iters)
+    pairs.unpersist()
+    return labels
 
 
 def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -255,13 +297,18 @@ def ngram_jaccard_pairs(
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count("*").alias("inter"))
     )
-    return (
+    result = (
         inter.join(F.broadcast(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na")), "doc_a")
         .join(F.broadcast(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb")), "doc_b")
         .withColumn("jaccard", F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6))
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
+        .persist()
     )
+    result.count()  # materialize the small pair list, then free the shingle caches
+    keyed.unpersist()
+    sh.unpersist()
+    return result
 
 
 _SHINGLE_CTE = """

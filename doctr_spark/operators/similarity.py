@@ -142,12 +142,16 @@ def embedding_near_dups(
         .select("vec_a", "vec_b")
         .distinct()
     )
-    return (
+    result = (
         pairs.join(emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea")), "vec_a")
         .join(emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb")), "vec_b")
         .select("vec_a", "vec_b", cosine(F.col("ea"), F.col("eb")).alias("cos"))
         .where(F.col("cos") >= threshold)
+        .persist()
     )
+    result.count()  # materialize the small pair list, then free the band table
+    banded.unpersist()
+    return result
 
 
 IVF_MOD = 40  # deterministic centroid sampling: vec_id % IVF_MOD == IVF_OFFSET
