@@ -175,7 +175,7 @@ def estimate_skew_angle(
         # inverse-rotate the y coordinate only (the projection axis)
         yr = np.rint(ys * np.cos(a) - xs * np.sin(a)).astype(np.int64)
         counts = np.bincount(yr - yr.min())
-        scores[i] = counts.var() * len(counts) / max(len(counts), 1)
+        scores[i] = counts.var()
     top = cands[np.argsort(scores)[-n_refine:]]
     if 0.0 not in top:
         top = np.append(top, 0.0)  # never skew an upright page on a whim

@@ -32,6 +32,7 @@ import datetime as dt
 
 import uuid
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F  # noqa: N812
 
@@ -108,7 +109,12 @@ def run_checkpointed(
                     .agg(F.count("*").alias("n_turns"), F.sum("n_words").alias("n_words"))
                     .collect()
                 )
-            except Exception:  # every bucket in the pass was empty
+            except AnalysisException as exc:
+                # only the every-bucket-empty case (no files at output_dir)
+                # may be treated as zero rows; a transient read failure must
+                # propagate so the pass is retried, not committed as done
+                if "PATH_NOT_FOUND" not in str(exc) and "Path does not exist" not in str(exc):
+                    raise
                 written = []
             stats = {int(r["bucket"]): (int(r["n_turns"]), int(r["n_words"] or 0)) for r in written}
             finished = dt.datetime.now()
