@@ -95,113 +95,169 @@ def _canonical_ltr(boxes: np.ndarray, direction: str) -> np.ndarray:
     raise ValueError(f"unsupported direction {direction!r}")
 
 
-def _overlap_ratios(starts: np.ndarray, ends: np.ndarray) -> np.ndarray:
-    """Pairwise 1-D interval overlap normalized by the smaller interval."""
-    lengths = ends - starts
-    inter = np.minimum(ends[:, None], ends[None, :]) - np.maximum(starts[:, None], starts[None, :])
-    np.clip(inter, 0.0, None, out=inter)
-    denom = np.clip(np.minimum(lengths[:, None], lengths[None, :]), 1e-9, None)
-    return inter / denom
+def _pairwise_overlap(lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
+    """n x n matrix of 1-D interval overlaps, each normalized by the
+    shorter of the two intervals (so a thin fragment nested in a wide line
+    still counts as fully overlapping)."""
+    shared = np.clip(
+        np.minimum.outer(hi, hi) - np.maximum.outer(lo, lo), 0.0, None
+    )
+    span = hi - lo
+    shorter = np.clip(np.minimum.outer(span, span), 1e-9, None)
+    return shared / shorter
 
 
-def _strict_rank(primary: np.ndarray, secondary: np.ndarray) -> np.ndarray:
-    order = np.lexsort((np.arange(primary.shape[0]), secondary, primary))
-    ranks = np.empty_like(order)
-    ranks[order] = np.arange(order.shape[0])
-    return ranks
+def _axis_rank(lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
+    """Position of each interval in the strict total order (lo, hi, index).
+
+    Comparing RANKS instead of raw coordinates makes "above"/"left of"
+    antisymmetric even for identical boxes, so the precedence relation can
+    never contain a 2-cycle.
+    """
+    n = lo.shape[0]
+    by = np.lexsort((np.arange(n), hi, lo))
+    rank = np.empty(n, dtype=np.int64)
+    rank[by] = np.arange(n)
+    return rank
+
+
+def _precedence(
+    boxes: np.ndarray, x_thr: float, y_thr: float
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Build the reads-before DAG (Breuel-2003 relations, cf. reference
+    reading_order/base.py:180-230).
+
+    Returns ``(prec, stacked, y_overlap)`` where ``prec[i, j]`` means i is
+    read before j: either the two share a column (horizontal overlap above
+    ``x_thr``) and i sits higher, or they share a visual row (vertical
+    overlap above ``y_thr``, no column link) and i sits further left.
+    """
+    x0, y0, x1, y1 = boxes.T
+    stacked = _pairwise_overlap(x0, x1) > x_thr
+    y_overlap = _pairwise_overlap(y0, y1)
+    v_rank, h_rank = _axis_rank(y0, y1), _axis_rank(x0, x1)
+    higher = np.less.outer(v_rank, v_rank)
+    lefter = np.less.outer(h_rank, h_rank)
+    prec = (stacked & higher) | (~stacked & (y_overlap > y_thr) & lefter)
+    np.fill_diagonal(prec, False)
+    return prec, stacked, y_overlap
+
+
+def _column_ids(stacked: np.ndarray, full_span: np.ndarray) -> np.ndarray:
+    """Connected components of the column graph: elements linked by
+    horizontal overlap, with page-spanning elements (titles) removed so
+    they cannot bridge two columns into one."""
+    n = stacked.shape[0]
+    narrow = ~full_span
+    adj = stacked & narrow[:, None] & narrow[None, :]
+    np.fill_diagonal(adj, False)
+    src, dst = np.nonzero(np.triu(adj, 1))
+    return _min_label_components(n, src, dst) if src.size else np.arange(n)
+
+
+def _looks_multi_column(boxes: np.ndarray, page_width: float) -> bool:
+    """True when some vertical line splits the elements into two groups of
+    >= 25% each with at most ~5% of elements crossing it."""
+    n = boxes.shape[0]
+    if n < 3:
+        return False
+    x0, x1 = boxes[:, 0], boxes[:, 2]
+    allowed_crossers = max(1, int(0.05 * n))
+    mid = (x0 + x1) / 2
+    lo, hi = x0.min() + 0.25 * page_width, x0.min() + 0.75 * page_width
+    for cut in np.unique(x1[(x1 >= lo) & (x1 <= hi)]):
+        crossers = int(np.count_nonzero(np.minimum(x1 - cut, cut - x0) > 0.02 * page_width))
+        n_left = int(np.count_nonzero(mid <= cut))
+        if crossers <= allowed_crossers and min(n_left, n - n_left) >= 0.25 * n:
+            return True
+    return False
 
 
 def topological_order(
     boxes: np.ndarray, x_overlap_threshold: float = 0.2, y_overlap_threshold: float = 0.5
 ) -> list[int]:
+    """Column-following Kahn traversal of the reads-before DAG (reference
+    reading_order/base.py:180-283; relations re-derived above).
+
+    Among the ready nodes, the walk prefers — in this priority order —
+    (1) on split layouts, a column continuation of the element just
+    emitted (overlapping it horizontally, not above it), (2) the rest of
+    its visual row, (3) anything left in its column component; each pool
+    falls through to the next when empty, and ties always resolve
+    topmost-then-leftmost.
+    """
     n = boxes.shape[0]
     if n <= 1:
         return list(range(n))
-    x0, y0, x1, y1 = boxes.T
-    x_overlap = _overlap_ratios(x0, x1)
-    y_overlap = _overlap_ratios(y0, y1)
-    x_rank = _strict_rank(x0, x1)
-    y_rank = _strict_rank(y0, y1)
+    x0, y0, x1 = boxes[:, 0], boxes[:, 1], boxes[:, 2]
+    prec, stacked, y_overlap = _precedence(boxes, x_overlap_threshold, y_overlap_threshold)
 
-    x_linked = x_overlap > x_overlap_threshold
-    edges = (y_rank[:, None] < y_rank[None, :]) & x_linked
-    same_row = (y_overlap > y_overlap_threshold) & ~x_linked & (x_rank[:, None] < x_rank[None, :])
-    edges |= same_row
-    np.fill_diagonal(edges, False)
-
-    in_degree = edges.sum(axis=0)
-    emitted = np.zeros(n, dtype=bool)
-
-    # column components over the horizontal-overlap graph, excluding
-    # page-spanning elements (titles) that would merge columns
     page_width = float(x1.max() - x0.min()) or 1.0
-    spanning = (x1 - x0) > 0.5 * page_width
-    col_adj = x_linked & ~spanning[:, None] & ~spanning[None, :]
-    np.fill_diagonal(col_adj, False)
-    pairs = np.argwhere(np.triu(col_adj, 1))
-    component = _min_label_components(n, pairs[:, 0], pairs[:, 1]) if pairs.size else np.arange(n)
+    full_span = (x1 - x0) > 0.5 * page_width
+    column = _column_ids(stacked, full_span)
+    split_layout = _looks_multi_column(boxes, page_width)
 
-    # multi-column test: a vertical split with few crossers and both sides
-    # holding >= 25% of the elements
-    multi_column = False
-    if n >= 3:
-        tolerance = max(1, int(0.05 * n))
-        centers = (x0 + x1) / 2
-        lo, hi = x0.min() + 0.25 * page_width, x0.min() + 0.75 * page_width
-        for split in np.unique(x1[(x1 >= lo) & (x1 <= hi)]):
-            crossing = int(np.count_nonzero(np.minimum(x1 - split, split - x0) > 0.02 * page_width))
-            left = int(np.count_nonzero(centers <= split))
-            if crossing <= tolerance and left >= 0.25 * n and n - left >= 0.25 * n:
-                multi_column = True
-                break
+    blockers = prec.sum(axis=0)
+    done = np.zeros(n, dtype=bool)
+    walk: list[int] = []
+    prev = -1
 
-    order: list[int] = []
-    last = -1
-    while len(order) < n:
-        ready = np.flatnonzero((in_degree == 0) & ~emitted)
-        if ready.size == 0:  # degenerate-cycle safety net
-            ready = np.flatnonzero(~emitted)
-            candidates = ready
+    def _pools(ready: np.ndarray) -> Iterable[np.ndarray]:
+        if prev >= 0:
+            if split_layout:
+                yield ready[stacked[prev, ready] & (y0[ready] >= y0[prev])]
+            yield ready[y_overlap[prev, ready] > y_overlap_threshold]
+            if not full_span[prev]:
+                yield ready[column[ready] == column[prev]]
+        yield ready
+
+    while len(walk) < n:
+        ready = np.flatnonzero((blockers == 0) & ~done)
+        if ready.size == 0:  # degenerate geometry produced a cycle: flush
+            ready = np.flatnonzero(~done)
+            pool = ready
         else:
-            candidates = (
-                ready[(x_overlap[last, ready] > x_overlap_threshold) & (y0[ready] >= y0[last])]
-                if last >= 0 and multi_column
-                else np.empty(0, dtype=int)
-            )
-            if candidates.size == 0 and last >= 0:
-                candidates = ready[y_overlap[last, ready] > y_overlap_threshold]
-            if candidates.size == 0 and last >= 0 and not spanning[last]:
-                same_col = ready[component[ready] == component[last]]
-                candidates = same_col if same_col.size else ready
-            elif candidates.size == 0:
-                candidates = ready
-        nxt = int(candidates[np.lexsort((x0[candidates], y0[candidates]))[0]])
-        order.append(nxt)
-        emitted[nxt] = True
-        in_degree = in_degree - edges[nxt]
-        last = nxt
-    return order
+            pool = next(p for p in _pools(ready) if p.size)
+        pick = int(pool[np.lexsort((x0[pool], y0[pool]))[0]])
+        walk.append(pick)
+        done[pick] = True
+        blockers -= prec[pick]
+        prev = pick
+    return walk
+
+
+def _caption_gap(boxes: np.ndarray, cap: int, targets: list[int]) -> np.ndarray:
+    """Rectangle gap from one caption to each target float, horizontal
+    shift penalized 2x (captions sit right above/below their float)."""
+    t = boxes[targets]
+    dy = np.maximum(np.maximum(t[:, 1] - boxes[cap, 3], boxes[cap, 1] - t[:, 3]), 0.0)
+    dx = np.maximum(np.maximum(t[:, 0] - boxes[cap, 2], boxes[cap, 0] - t[:, 2]), 0.0)
+    return dy + 2 * dx
 
 
 def _attach_captions(
     order: list[int], captions: list[int], boxes: np.ndarray, roles: list[str], max_distance: float
 ) -> list[int]:
+    """Splice captions next to their float (before when the caption sits
+    above the float's center, after otherwise); a caption with no float
+    within ``max_distance`` re-enters at its natural vertical position
+    (reference reading_order/base.py:283-315)."""
     floats = [i for i in order if roles[i] == "float"]
     for cap in captions:
-        cx0, cy0, cx1, cy1 = boxes[cap]
-        best, best_d = -1, float("inf")
-        for t in floats:
-            tx0, ty0, tx1, ty1 = boxes[t]
-            d = max(ty0 - cy1, cy0 - ty1, 0.0) + 2 * max(tx0 - cx1, cx0 - tx1, 0.0)
-            if d < best_d:
-                best, best_d = t, d
-        if best >= 0 and best_d <= max_distance:
-            pos = order.index(best)
-            above = (cy0 + cy1) / 2 <= (boxes[best, 1] + boxes[best, 3]) / 2
-            order.insert(pos if above else pos + 1, cap)
+        anchor = -1
+        if floats:
+            gaps = _caption_gap(boxes, cap, floats)
+            nearest = int(gaps.argmin())  # ties -> earliest float in reading order
+            if gaps[nearest] <= max_distance:
+                anchor = floats[nearest]
+        if anchor >= 0:
+            cap_mid = (boxes[cap, 1] + boxes[cap, 3]) / 2
+            anchor_mid = (boxes[anchor, 1] + boxes[anchor, 3]) / 2
+            at = order.index(anchor) + (0 if cap_mid <= anchor_mid else 1)
         else:
-            pos = next((i for i, idx in enumerate(order) if boxes[idx, 1] >= cy0), len(order))
-            order.insert(pos, cap)
+            below = [i for i, idx in enumerate(order) if boxes[idx, 1] >= boxes[cap, 1]]
+            at = below[0] if below else len(order)
+        order.insert(at, cap)
     return order
 
 
@@ -224,26 +280,24 @@ def sort_reading_order(
     n = boxes.shape[0]
     if n <= 1:
         return list(range(n))
-    canonical = _canonical_ltr(boxes, direction)
+    frame = _canonical_ltr(boxes, direction)
 
-    def _order(idcs: list[int]) -> list[int]:
-        if not idcs:
+    def _ordered(members: list[int]) -> list[int]:
+        if not members:
             return []
-        sub = topological_order(canonical[idcs], x_overlap_threshold, y_overlap_threshold)
-        return [idcs[i] for i in sub]
+        return [members[k] for k in topological_order(frame[members], x_overlap_threshold, y_overlap_threshold)]
 
     if labels is None:
-        return _order(list(range(n)))
+        return _ordered(list(range(n)))
 
     roles = [_ROLE_BY_LABEL.get((label or "").lower(), "body") for label in labels]
-    groups: dict[str, list[int]] = {"header": [], "body": [], "caption": [], "footnote": [], "footer": []}
+    by_role: dict[str, list[int]] = {"header": [], "body": [], "caption": [], "footnote": [], "footer": []}
     for i, role in enumerate(roles):
-        groups["body" if role == "float" else role].append(i)
+        by_role["body" if role == "float" else role].append(i)
     body = _attach_captions(
-        _order(groups["body"]), _order(groups["caption"]), canonical,
-        ["float" if r == "float" else r for r in roles], caption_max_distance,
-    )  # fmt: skip
-    return _order(groups["header"]) + body + _order(groups["footnote"]) + _order(groups["footer"])
+        _ordered(by_role["body"]), _ordered(by_role["caption"]), frame, roles, caption_max_distance
+    )
+    return _ordered(by_role["header"]) + body + _ordered(by_role["footnote"]) + _ordered(by_role["footer"])
 
 
 def resolve_reading_segments(
@@ -272,31 +326,30 @@ def resolve_reading_segments(
     )
     if not order:
         return []
-    canonical = _canonical_ltr(_to_boxes(geoms), direction)
-    median_height = float(np.median(canonical[:, 3] - canonical[:, 1]))
-    roles = [
-        _ROLE_BY_LABEL.get(((labels[i] if labels is not None else None) or "").lower(), "body")
-        for i in range(len(order))
-    ]
-    norm = [((labels[i] if labels is not None else None) or "").lower() for i in range(len(order))]
+    frame = _canonical_ltr(_to_boxes(geoms), direction)
+    typical_height = float(np.median(frame[:, 3] - frame[:, 1]))
+    tags = [((labels[i] if labels is not None else None) or "").lower() for i in range(len(order))]
 
-    segments: list[list[int]] = [[order[0]]]
-    for prev, cur in zip(order[:-1], order[1:]):
-        x_gap = min(canonical[prev, 2], canonical[cur, 2]) - max(canonical[prev, 0], canonical[cur, 0])
-        x_overlap = x_gap / max(
-            min(canonical[prev, 2] - canonical[prev, 0], canonical[cur, 2] - canonical[cur, 0]), 1e-9
-        )
-        same_segment = (
-            norm[prev] == norm[cur]
-            and roles[cur] != "float"
-            and x_overlap > x_overlap_threshold
-            and canonical[cur, 1] - canonical[prev, 3] <= paragraph_gap * median_height
-        )
-        if same_segment:
-            segments[-1].append(cur)
-        else:
-            segments.append([cur])
-    return segments
+    # vectorized over consecutive ordered pairs: merge iff same tag, the
+    # follower is not a float, the pair shares a column, and the vertical
+    # gap stays under paragraph_gap x typical element height
+    seq = np.asarray(order)
+    lead, follow = frame[seq[:-1]], frame[seq[1:]]
+    shared_x = np.minimum(lead[:, 2], follow[:, 2]) - np.maximum(lead[:, 0], follow[:, 0])
+    narrower = np.maximum(np.minimum(lead[:, 2] - lead[:, 0], follow[:, 2] - follow[:, 0]), 1e-9)
+    tag_pairs = np.array(
+        [
+            tags[a] == tags[b] and _ROLE_BY_LABEL.get(tags[b], "body") != "float"
+            for a, b in zip(seq[:-1], seq[1:])
+        ],
+        dtype=bool,
+    )
+    merge = (
+        tag_pairs
+        & (shared_x / narrower > x_overlap_threshold)
+        & (follow[:, 1] - lead[:, 3] <= paragraph_gap * typical_height)
+    )
+    return [chunk.tolist() for chunk in np.split(seq, np.flatnonzero(~merge) + 1)]
 
 
 def ordered_line_words(
