@@ -209,6 +209,36 @@ def ocr_extract_skewed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ACCENT_ORACLE = f"""
+SELECT conv_id, turn_idx::INT AS turn_idx, gt_text AS extracted_text,
+       gt_ascii AS ascii_text, n_words::BIGINT AS n_words
+FROM read_parquet('{ORACLE_SCRATCH}/accent_gt/*.parquet')
+"""
+
+
+def ocr_extract_accents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-ASCII corpus slice: Latin-1 accented words through the full
+    pipeline (html + img payloads; img accents round-trip the glyph code
+    space via the 120-char french vocab). ``ascii_text`` applies the NFD
+    diacritic fold as a NATIVE translate expression whose char map is
+    derived from `kernels.vocab.translate`; the oracle's ``gt_ascii`` was
+    computed at generation time by the per-char NFD kernel itself, so the
+    scale-path expression and the kernel are checked against each other."""
+    from doctr_spark.fixtures.accents import generate_accented_transcripts
+    from doctr_spark.kernels.vocab import ascii_fold_pairs
+
+    tdf, gdf = generate_accented_transcripts(spark, 40, with_gt=True)
+    _stage_expectation(gdf, "accent_gt")
+    src, dst = ascii_fold_pairs()
+    return extract_documents(tdf).select(
+        "conv_id",
+        "turn_idx",
+        "extracted_text",
+        F.translate(F.col("extracted_text"), src, dst).alias("ascii_text"),
+        F.col("n_words").cast("long").alias("n_words"),
+    )
+
+
 _MEDIA_ORACLE = f"""
 SELECT conv_id, turn_idx::INT AS turn_idx, page_idx::INT AS page_idx, media_kind,
        height::INT AS height, width::INT AS width, n_bytes::BIGINT AS n_bytes,
@@ -262,6 +292,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ocr_word_stats": ocr_word_stats,
         "ocr_extract_synthetic": ocr_extract_synthetic,
         "ocr_extract_skewed": ocr_extract_skewed,
+        "ocr_extract_accents": ocr_extract_accents,
         "ocr_media_metadata": ocr_media_metadata,
         "ocr_artefacts": ocr_artefacts,
         "kie_class_counts": kie_counts_documents,
@@ -305,6 +336,7 @@ def oracle_sql() -> dict[str, str]:
         "export_hocr": _HOCR_ORACLE,
         "ocr_extract_synthetic": _SYNTH_ORACLE,
         "ocr_extract_skewed": _SKEW_ORACLE,
+        "ocr_extract_accents": _ACCENT_ORACLE,
         "ocr_media_metadata": _MEDIA_ORACLE,
         "ocr_artefacts": _ARTEFACT_ORACLE,
     }

@@ -43,18 +43,22 @@ def nearest_whitelist_map(vocab: str, whitelist: str) -> dict[int, int]:
     """Forbidden-index -> allowed-index reassignment for the "nearest"
     whitelist mode (reference `_anyascii_nearest_map` + `_keep_and_reassign`,
     `doctr/models/utils/pytorch.py:288-355`): each forbidden character maps
-    to the allowed character sharing its transliteration fold. The corpus
-    vocab is ASCII (anyascii is absent in this container), so the fold is
-    the ASCII case fold — exactly what anyascii produces on ASCII letters.
-    Forbidden characters with no folded match stay unmapped and fall back
-    to plain masking, like the reference."""
+    to the allowed character sharing its transliteration fold. anyascii is
+    absent in this container, so the fold is the NFD diacritic strip plus
+    the case fold — what anyascii produces on the Latin-1 range this
+    engine's vocab covers (é -> e, É -> E/e, A -> a). Forbidden characters
+    with no folded match stay unmapped and fall back to plain masking,
+    like the reference."""
+    import unicodedata
+
     allowed = set(whitelist)
     pos = {c: i for i, c in enumerate(vocab)}
     mapping: dict[int, int] = {}
     for i, c in enumerate(vocab):
         if c in allowed:
             continue
-        for cand in (c.lower(), c.upper()):
+        base = unicodedata.normalize("NFD", c).encode("ascii", "ignore").decode("ascii") or c
+        for cand in (base, base.lower(), base.upper(), c.lower(), c.upper()):
             if cand != c and cand in allowed and cand in pos:
                 mapping[i] = pos[cand]
                 break

@@ -1,10 +1,11 @@
 """Character vocabularies and string<->index codecs.
 
 Reimplements the vocab-composition and encode/decode semantics of
-`/root/reference/doctr/datasets/vocabs.py:11-60` and
-`/root/reference/doctr/datasets/utils.py:75-179`, restricted to ASCII
-alphabets (the glyph font encodes a vocab index in CODE_BITS=7 bits, so the
-working vocab must stay < 128 characters).
+`/root/reference/doctr/datasets/vocabs.py:11-60, 238-258` and
+`/root/reference/doctr/datasets/utils.py:75-179`. The glyph font encodes a
+vocab index in CODE_BITS=7 bits, so the working vocab must stay < 128
+characters; the default is the french composite (latin + Latin-1 accents,
+120 chars), matching the reference's per-language composite pattern.
 """
 
 from __future__ import annotations
@@ -13,16 +14,20 @@ DIGITS = "0123456789"
 ASCII_LOWER = "abcdefghijklmnopqrstuvwxyz"
 ASCII_UPPER = ASCII_LOWER.upper()
 PUNCTUATION = "!\"#$%&'()*+,-./:;<=>?@[\\]^_`{|}~"
+# Latin-1 accent block of the reference's french vocab (vocabs.py:30);
+# the currency tail is dropped to stay within the 7-bit glyph code space.
+LATIN1_ACCENTS = "àâéèêëîïôùûüçÀÂÉÈÊËÎÏÔÙÛÜÇ"
 
 VOCABS: dict[str, str] = {
     "digits": DIGITS,
     "ascii_letters": ASCII_LOWER + ASCII_UPPER,
     "punctuation": PUNCTUATION,
-    # the engine default (94 chars, fits in 7 bits with room for blank)
     "latin": DIGITS + ASCII_LOWER + ASCII_UPPER + PUNCTUATION,
+    # the engine default (120 chars, fits in 7 bits with room for blank)
+    "french": DIGITS + ASCII_LOWER + ASCII_UPPER + PUNCTUATION + LATIN1_ACCENTS,
 }
 
-DEFAULT_VOCAB = VOCABS["latin"]
+DEFAULT_VOCAB = VOCABS["french"]
 
 # CTC blank index convention follows the reference CRNN postprocessor:
 # blank = len(vocab) (`doctr/models/recognition/crnn/pytorch.py:93`).
@@ -57,6 +62,14 @@ def translate(input_string: str, vocab_name: str, unknown_char: str = UNKNOWN_CH
                 char = unknown_char
         out.append(char)
     return "".join(out)
+
+
+def ascii_fold_pairs(accents: str = LATIN1_ACCENTS) -> tuple[str, str]:
+    """(src, dst) character-translation strings mapping each accented char
+    to its NFD base — DERIVED from :func:`translate` so the native
+    ``translate(col, src, dst)`` expression both engines run at scale is
+    provably the same fold as the per-char NFD kernel."""
+    return accents, "".join(translate(c, "latin") for c in accents)
 
 
 def encode_string(value: str, vocab: str = DEFAULT_VOCAB) -> list[int]:

@@ -19,13 +19,20 @@ from ..kernels.geometry import box_iou
 
 
 def text_match(df: DataFrame, pred: str = "pred", gt: str = "gt") -> DataFrame:
-    """Corpus-level TextMatch: raw / caseless / unicase match rates."""
+    """Corpus-level TextMatch: raw / caseless / anyascii / unicase match
+    rates (reference `doctr/utils/metrics.py:46-124`; the anyascii fold is
+    the NFD diacritic strip, `kernels.vocab.ascii_fold_pairs`)."""
+    from ..kernels.vocab import ascii_fold_pairs
+
+    src, dst = ascii_fold_pairs()
     p, g = F.col(pred), F.col(gt)
+    fp, fg = F.translate(p, src, dst), F.translate(g, src, dst)
     return df.agg(
         F.count("*").cast("long").alias("n"),
         F.round(F.avg((p == g).cast("int")), 6).alias("raw"),
         F.round(F.avg((F.lower(p) == F.lower(g)).cast("int")), 6).alias("caseless"),
-        F.round(F.avg((F.upper(p) == F.upper(g)).cast("int")), 6).alias("unicase"),
+        F.round(F.avg((fp == fg).cast("int")), 6).alias("anyascii"),
+        F.round(F.avg((F.lower(fp) == F.lower(fg)).cast("int")), 6).alias("unicase"),
     )
 
 

@@ -92,20 +92,45 @@ def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# deterministic accent mutation for the anyascii-mode check: vowels of even
+# docs become Latin-1 accented vowels, so raw match fails but the NFD
+# diacritic fold (reference string_match's anyascii mode,
+# doctr/utils/metrics.py:25-43) restores equality.
+ACCENT_MUT_SRC = "aeiou"
+ACCENT_MUT_DST = "àéîôù"
+
+
 def match_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TextMatch-style aggregation: raw + caseless exact-match rates between
-    text and a deterministically mutated variant (upper-cased for even
-    doc_ids), grouped by source."""
+    """TextMatch-style aggregation: raw + caseless + anyascii exact-match
+    rates between text and deterministically mutated variants (upper-cased
+    / accent-mutated for even doc_ids), grouped by source."""
+    from ..kernels.vocab import ascii_fold_pairs
+
+    fold_src, fold_dst = ascii_fold_pairs()
     d = _docs(spark, sf_dir)
-    variant = F.when(F.col("doc_id") % 2 == 0, F.upper(F.col("text"))).otherwise(F.col("text"))
+    even = F.col("doc_id") % 2 == 0
+    variant = F.when(even, F.upper(F.col("text"))).otherwise(F.col("text"))
+    accented = F.when(
+        even, F.translate(F.col("text"), ACCENT_MUT_SRC, ACCENT_MUT_DST)
+    ).otherwise(F.col("text"))
     return (
         d.withColumn("variant", variant)
+        .withColumn("accented", accented)
         .groupBy("source")
         .agg(
             F.round(F.avg((F.col("text") == F.col("variant")).cast("int")), 6).alias("raw_rate"),
             F.round(
                 F.avg((F.lower(F.col("text")) == F.lower(F.col("variant"))).cast("int")), 6
             ).alias("caseless_rate"),
+            F.round(F.avg((F.col("text") == F.col("accented")).cast("int")), 6).alias(
+                "accent_raw_rate"
+            ),
+            F.round(
+                F.avg(
+                    (F.translate(F.col("accented"), fold_src, fold_dst) == F.col("text")).cast("int")
+                ),
+                6,
+            ).alias("anyascii_rate"),
             F.count("*").cast("long").alias("n"),
         )
     )
@@ -243,16 +268,32 @@ ORACLES: dict[str, str] = {
                              || CASE WHEN ts[i+2] IS NULL THEN '' ELSE ' ' || ts[i+2] END))) AS fingerprint
     FROM toks
     """,
-    "text_match_rates": """
+    "text_match_rates": None,  # built lazily below (needs the fold pairs)
+}
+
+
+def _match_rates_oracle() -> str:
+    from ..kernels.vocab import ascii_fold_pairs
+
+    fold_src, fold_dst = ascii_fold_pairs()
+    return f"""
     WITH v AS (
         SELECT source, text,
-               CASE WHEN doc_id % 2 = 0 THEN upper(text) ELSE text END AS variant
+               CASE WHEN doc_id % 2 = 0 THEN upper(text) ELSE text END AS variant,
+               CASE WHEN doc_id % 2 = 0
+                    THEN translate(text, '{ACCENT_MUT_SRC}', '{ACCENT_MUT_DST}')
+                    ELSE text END AS accented
         FROM documents
     )
     SELECT source,
            round(avg((text = variant)::INT), 6) AS raw_rate,
            round(avg((lower(text) = lower(variant))::INT), 6) AS caseless_rate,
+           round(avg((text = accented)::INT), 6) AS accent_raw_rate,
+           round(avg((translate(accented, '{fold_src}', '{fold_dst}') = text)::INT), 6)
+               AS anyascii_rate,
            count(*)::BIGINT AS n
     FROM v GROUP BY source
-    """,
-}
+    """
+
+
+ORACLES["text_match_rates"] = _match_rates_oracle()

@@ -9,7 +9,8 @@ from doctr_spark.kernels.vocab import DEFAULT_VOCAB, VOCABS, blank_index, decode
 def test_vocab_fits_code_bits():
     assert len(DEFAULT_VOCAB) < 128
     assert len(set(DEFAULT_VOCAB)) == len(DEFAULT_VOCAB)
-    assert VOCABS["latin"] == DEFAULT_VOCAB
+    assert VOCABS["french"] == DEFAULT_VOCAB
+    assert DEFAULT_VOCAB.startswith(VOCABS["latin"])  # ASCII indices unchanged
 
 
 def test_encode_decode_roundtrip():

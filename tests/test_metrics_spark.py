@@ -5,14 +5,15 @@ from doctr_spark.operators.metrics import iou_expr, localization_confusion, text
 
 def test_text_match_rates(spark):
     df = spark.createDataFrame(
-        [("abc", "abc"), ("ABC", "abc"), ("xyz", "abc"), ("Mixed", "mixed")],
+        [("abc", "abc"), ("ABC", "abc"), ("xyz", "abc"), ("Mixed", "mixed"), ("élan", "elan")],
         "pred string, gt string",
     )
     row = text_match(df).first()
-    assert row["n"] == 4
-    assert row["raw"] == 0.25
-    assert row["caseless"] == 0.75
-    assert row["unicase"] == 0.75
+    assert row["n"] == 5
+    assert row["raw"] == 0.2
+    assert row["caseless"] == 0.6  # recovers ABC, Mixed but not élan
+    assert row["anyascii"] == 0.4  # élan folds to elan; case still differs for ABC/Mixed
+    assert row["unicase"] == 0.8  # fold + case fold recovers ABC, Mixed, élan
 
 
 def test_iou_expr_native(spark):
