@@ -1,17 +1,19 @@
 """Skewed-page transcript fixture: every turn carries an img payload whose
 page raster was rotated by a random fractional angle (Paeth three-shear, so
-ground truth survives the pipeline's straighten pass bit-for-bit).
+ground truth survives the pipeline's straighten pass bit-for-bit) — and,
+for a third of the turns, ALSO rotated by a right angle before the shear,
+so the fixture covers the composed skew∘rot90 case end to end.
 
 Angles are drawn from the same 0.5-degree grid `estimate_skew_angle`
 searches, in +/-[2, 14] degrees — real scanned-document skew territory
 (the reference exercises this via its rotated/straighten test grid,
 `tests/pytorch/test_models_zoo_pt.py:32-120`).
 
-Known limitation, stated honestly: a page that is BOTH fractionally skewed
-and 90/180/270-rotated straightens correctly but not bit-exactly (the
-shear inverse and the right-angle flip do not commute pixel-for-pixel), so
-this fixture applies fractional skew only; the right-angle path has its
-own fixture (`transcripts._rotate_some_words` + orientation tests).
+Composition order matters for exactness: the forward is
+``shear(rot90(page, k), angle)`` and the pipeline inverts in exact reverse
+order (unshear first — the two-axis profile score finds the fractional
+angle even when lines run vertically — then the right-angle classifier),
+so the round trip stays bit-for-bit.
 """
 
 from __future__ import annotations
@@ -40,7 +42,10 @@ def gen_skewed_conversation(conv_no: int, seed: int = 42) -> tuple[list[dict], l
         paragraphs = _rand_paragraphs(rng, max_paras=3)
         page = layout_paragraphs(paragraphs)[0]
         angle = float(rng.choice(SKEW_CHOICES)) * (1 if rng.random() < 0.5 else -1)
-        skewed = rotate_image_shear(page.canvas, angle)
+        canvas = page.canvas
+        if rng.random() < 1 / 3:  # composed case: right angle, then shear
+            canvas = np.rot90(canvas, int(rng.integers(1, 4)))
+        skewed = rotate_image_shear(canvas, angle)
         prose = " ".join(_rand_word(rng) for _ in range(int(rng.integers(2, 6))))
         rows.append(
             {

@@ -143,9 +143,13 @@ def crop_to_ink(img: np.ndarray, margin: int = 0) -> np.ndarray:
 
 
 def _profile_variance(img: np.ndarray) -> float:
-    """Variance of the per-row ink counts (sharp rows <=> aligned text)."""
-    rows = (img > 0).sum(axis=1).astype(np.float64)
-    return float(rows.var())
+    """Max of the row- and column-profile ink variances: text aligned to
+    EITHER axis scores sharp, so a page that is both fractionally skewed
+    and 90/270-rotated (lines vertical) still peaks at its true skew."""
+    ink = img > 0
+    rows = ink.sum(axis=1).astype(np.float64)
+    cols = ink.sum(axis=0).astype(np.float64)
+    return float(max(rows.var(), cols.var()))
 
 
 def estimate_skew_angle(
@@ -157,10 +161,12 @@ def estimate_skew_angle(
     """Estimate the page skew on a `grid_deg` grid in [-max_deg, max_deg].
 
     Coarse pass: counter-rotate the ink coordinates analytically for every
-    candidate and score the y-projection variance (vectorized, no raster
-    work). Refine pass: exactly unrotate the raster for the top candidates
-    and re-score — the exact pass disambiguates the +/-1-bin blur the
-    analytic projection picks up from the three-shear forward rounding.
+    candidate and score the BETTER of the two axis-projection variances
+    (vectorized, no raster work) — the x projection covers pages whose
+    lines run vertically (90/270-composed skew). Refine pass: exactly
+    unrotate the raster for the top candidates and re-score — the exact
+    pass disambiguates the +/-1-bin blur the analytic projection picks up
+    from the three-shear forward rounding.
     Returns 0.0 when the page is blank or already scores best upright.
     """
     ys, xs = np.nonzero(img)
@@ -169,14 +175,25 @@ def estimate_skew_angle(
     ys = ys.astype(np.float64)
     xs = xs.astype(np.float64)
     cands = np.arange(-max_deg, max_deg + grid_deg / 2, grid_deg)
-    scores = np.empty_like(cands)
+    y_scores = np.empty_like(cands)
+    x_scores = np.empty_like(cands)
     for i, deg in enumerate(cands):
         a = np.deg2rad(deg)
-        # inverse-rotate the y coordinate only (the projection axis)
         yr = np.rint(ys * np.cos(a) - xs * np.sin(a)).astype(np.int64)
-        counts = np.bincount(yr - yr.min())
-        scores[i] = counts.var()
-    top = cands[np.argsort(scores)[-n_refine:]]
+        xr = np.rint(xs * np.cos(a) + ys * np.sin(a)).astype(np.int64)
+        y_scores[i] = np.bincount(yr - yr.min()).var()
+        x_scores[i] = np.bincount(xr - xr.min()).var()
+    # shortlist per axis (the axes must not crowd each other out: a page
+    # with horizontal lines has a sharp y peak, a 90/270-composed page a
+    # sharp x peak), then let the exact re-score arbitrate
+    top = np.unique(
+        np.concatenate(
+            [
+                cands[np.argsort(y_scores)[-n_refine:]],
+                cands[np.argsort(x_scores)[-n_refine:]],
+            ]
+        )
+    )
     if 0.0 not in top:
         top = np.append(top, 0.0)  # never skew an upright page on a whim
     best_deg, best_score = 0.0, -1.0

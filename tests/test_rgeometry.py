@@ -140,3 +140,27 @@ def test_skewed_extraction_bit_exact(spark):
         F.count("*"), F.sum((F.col("extracted_text") == F.col("gt_text")).cast("int"))
     ).first()
     assert n > 0 and match == n
+
+
+def test_composed_skew_rot90_round_trip_bit_exact():
+    """Fractional skew composed with every right angle must straighten
+    bit-for-bit: unshear first (two-axis profile), then the classifier."""
+    from doctr_spark.fixtures.layout import layout_paragraphs
+    from doctr_spark.kernels.orientation import estimate_page_orientation, straighten_page
+    from doctr_spark.kernels.rgeometry import (
+        crop_to_ink,
+        estimate_skew_angle,
+        rotate_image_shear,
+        unrotate_image_shear,
+    )
+
+    page = layout_paragraphs([["bonjour", "monde", "salut", "test"], ["gamma", "delta"]])[0].canvas
+    for k in (0, 1, 2, 3):
+        for angle in (2.5, -7.0, 11.5, 14.0):
+            fwd = rotate_image_shear(np.rot90(page, k), angle)
+            est = estimate_skew_angle(fwd)
+            img = unrotate_image_shear(fwd, est) if est else fwd
+            orient, _ = estimate_page_orientation(img)
+            if orient:
+                img = straighten_page(img, orient)
+            assert np.array_equal(crop_to_ink(img), crop_to_ink(page)), (k, angle, est, orient)
