@@ -209,6 +209,47 @@ def ocr_extract_skewed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RESAMPLE_ORACLE = f"""
+SELECT conv_id, turn_idx::INT AS turn_idx, true AS words_ok, true AS match_ok
+FROM read_parquet('{ORACLE_SCRATCH}/resample_gt/*.parquet')
+"""
+
+
+def ocr_extract_resampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scanner-style robustness: pages rendered at 4x glyph scale, rotated
+    by BILINEAR interpolation (not the engine's own lossless shear), then
+    extracted under straighten_pages. The round trip cannot be bit-exact,
+    so this is a TOLERANCE oracle: per turn, the detected word count must
+    sit within max(1, 10%) of ground truth and the token-set recall must
+    reach 0.9. The expectation (all-true rows) is staged to parquet."""
+    from doctr_spark.fixtures.resample import generate_resampled_transcripts
+
+    tdf, gdf = generate_resampled_transcripts(spark, 30, with_gt=True)
+    _stage_expectation(gdf.select("conv_id", "turn_idx"), "resample_gt")
+    docs = extract_documents(tdf, straighten_pages=True)
+    gt = gdf.select(
+        "conv_id",
+        "turn_idx",
+        F.col("n_words").alias("gt_n_words"),
+        F.array_distinct(F.split(F.col("gt_text"), r"\s+")).alias("gt_toks"),
+    )
+    j = docs.join(gt, ["conv_id", "turn_idx"], "right")
+    pred_toks = F.array_distinct(
+        F.split(F.coalesce(F.col("extracted_text"), F.lit("")), r"\s+")
+    )
+    recall = F.size(F.array_intersect(pred_toks, F.col("gt_toks"))) / F.size("gt_toks")
+    words_ok = (
+        F.abs(F.coalesce(F.col("n_words"), F.lit(0)) - F.col("gt_n_words"))
+        <= F.greatest(F.lit(1.0), F.round(F.col("gt_n_words") * 0.1))
+    )
+    return j.select(
+        "conv_id",
+        "turn_idx",
+        words_ok.alias("words_ok"),
+        (recall >= 0.9).alias("match_ok"),
+    )
+
+
 _ACCENT_ORACLE = f"""
 SELECT conv_id, turn_idx::INT AS turn_idx, gt_text AS extracted_text,
        gt_ascii AS ascii_text, n_words::BIGINT AS n_words
@@ -293,6 +334,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ocr_extract_synthetic": ocr_extract_synthetic,
         "ocr_extract_skewed": ocr_extract_skewed,
         "ocr_extract_accents": ocr_extract_accents,
+        "ocr_extract_resampled": ocr_extract_resampled,
         "ocr_media_metadata": ocr_media_metadata,
         "ocr_artefacts": ocr_artefacts,
         "kie_class_counts": kie_counts_documents,
@@ -337,6 +379,7 @@ def oracle_sql() -> dict[str, str]:
         "ocr_extract_synthetic": _SYNTH_ORACLE,
         "ocr_extract_skewed": _SKEW_ORACLE,
         "ocr_extract_accents": _ACCENT_ORACLE,
+        "ocr_extract_resampled": _RESAMPLE_ORACLE,
         "ocr_media_metadata": _MEDIA_ORACLE,
         "ocr_artefacts": _ARTEFACT_ORACLE,
     }

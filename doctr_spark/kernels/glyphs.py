@@ -49,6 +49,18 @@ def draw_word(canvas: np.ndarray, x0: int, y0: int, text: str) -> tuple[int, int
     return (x0, y0, x0 + w, y0 + GLYPH_H)
 
 
+# Robust-decode thresholds (resampled ink), as FRACTIONS of the crop's ink
+# amplitude so faint-but-crisp words (low-contrast ink the FAST preset
+# detects) decode exactly like full-ink ones: a bilinear-rotated marker
+# pixel keeps >= half its weight while any sub-pixel displacement stays
+# under 0.5 px, so WEAK accepts quarter-weight halo rows to keep the bar
+# connected, while MID reads code bits at just under half weight. On crisp
+# ink ({0, amp}) both reduce to the exact > 0 test.
+_WEAK_FRAC = 0.3
+_MID_FRAC = 0.49
+_WEAK_INK = 64  # absolute variant for full-ink (INK=204) contexts
+
+
 def read_codes(crop: np.ndarray) -> np.ndarray:
     """Decode the character codes visible in a (GLYPH_H, w) crop.
 
@@ -56,6 +68,14 @@ def read_codes(crop: np.ndarray) -> np.ndarray:
     overlap-split window) are skipped — the reference handles the same
     uncertainty by cropping the first/last character before merging
     (`doctr/models/recognition/utils.py:33-35`).
+
+    Resampled (interpolation-rotated) ink lands each cell up to ~1 px off
+    the nominal glyph grid, with the displacement drifting across a long
+    word. Each cell therefore searches a +/-1 px (dy, dx) neighborhood for
+    the alignment maximizing marker-bar continuity — the stand-in analogue
+    of a conv feature extractor's translation tolerance. The centered
+    offset wins ties, so crisp input decodes bit-identically to the exact
+    path.
     """
     h, w = crop.shape
     if h != GLYPH_H:
@@ -63,12 +83,69 @@ def read_codes(crop: np.ndarray) -> np.ndarray:
     n = w // GLYPH_W
     if n == 0:
         return np.empty(0, dtype=np.int32)
-    cells = crop[:, : n * GLYPH_W].reshape(h, n, GLYPH_W)
-    # marker bar complete in every row -> valid cell
-    valid = (cells[:, :, 0] > 0).all(axis=0)
-    bits = cells[:CODE_BITS, :, 1] > 0  # (CODE_BITS, n)
-    codes = (bits.astype(np.int32) * _BIT_WEIGHTS[:, None]).sum(axis=0)
+    amp = int(crop.max())
+    if amp == 0:
+        return np.empty(0, dtype=np.int32)
+    weak = max(1.0, _WEAK_FRAC * amp)
+    mid = max(1.0, _MID_FRAC * amp)
+    padded = np.zeros((h + 2, n * GLYPH_W + 2), dtype=crop.dtype)
+    padded[1:-1, 1:-1] = crop[:, : n * GLYPH_W]
+    best_rows = np.full(n, -1, dtype=np.int32)
+    best_bits = np.zeros((CODE_BITS, n), dtype=bool)
+    for dy in (0, -1, 1):
+        for dx in (0, -1, 1):
+            win = padded[1 + dy : 1 + dy + h, 1 + dx : 1 + dx + n * GLYPH_W]
+            cells = win.reshape(h, n, GLYPH_W)
+            marker_rows = (cells[:, :, 0] >= weak).sum(axis=0).astype(np.int32)
+            bits = cells[:CODE_BITS, :, 1] >= mid
+            better = marker_rows > best_rows  # strict: (0,0) wins ties
+            best_bits[:, better] = bits[:, better]
+            best_rows = np.maximum(best_rows, marker_rows)
+    valid = best_rows == h
+    codes = (best_bits.astype(np.int32) * _BIT_WEIGHTS[:, None]).sum(axis=0)
     return codes[valid]
+
+
+_CROP_SCALES = (1, 2, 4)  # accepted scan resolutions (multiples of glyph scale)
+
+
+def normalize_crop_height(crop: np.ndarray) -> np.ndarray | None:
+    """Snap a near-line-height crop to exactly GLYPH_H rows — the stand-in
+    for the reference PreProcessor's resize-to-model-input
+    (`doctr/models/preprocessor/pytorch.py`).
+
+    Two real-world effects are absorbed here: (a) a detection box around
+    resampled ink overshoots the glyph rows by a halo pixel or two — the
+    densest GLYPH_H-row window recovers the line; (b) a page scanned at a
+    HIGHER resolution than the model input (2x / 4x the glyph scale, the
+    usual 300-dpi case) is mean-pooled down, which is also what makes
+    interpolation-rotated ink decodable: sub-pixel displacement at scan
+    scale shrinks by the pooling factor. Crops near no supported scale
+    (photos, artefacts, noise) return None = unreadable."""
+    h = crop.shape[0]
+    if h == GLYPH_H:
+        return crop
+    for s in _CROP_SCALES:
+        target = s * GLYPH_H
+        if target - 2 <= h <= target + 2 * s + 2:
+            if h > target:
+                ink = (crop >= _WEAK_INK).sum(axis=1)
+                sums = np.convolve(ink, np.ones(target, dtype=np.int64), mode="valid")
+                top = int(sums.argmax())
+                snapped = crop[top : top + target]
+            elif h < target:
+                snapped = np.zeros((target, crop.shape[1]), dtype=crop.dtype)
+                snapped[:h] = crop
+            else:
+                snapped = crop
+            if s == 1:
+                return snapped
+            w2 = snapped.shape[1] // s * s
+            if w2 == 0:
+                return None
+            pooled = snapped[:, :w2].reshape(GLYPH_H, s, w2 // s, s).mean(axis=(1, 3))
+            return np.rint(pooled).astype(crop.dtype)
+    return None
 
 
 def forward_logits_attention(crop: np.ndarray, vocab: str = DEFAULT_VOCAB) -> np.ndarray:

@@ -21,15 +21,21 @@ ORIENTATIONS = (0, 90, 180, 270)
 
 
 def _validity(crop: np.ndarray) -> float:
-    """Fraction of complete glyph cells readable in this orientation."""
-    h, w = crop.shape
-    if h != GLYPH_H:
+    """Fraction of complete glyph cells readable in this orientation.
+    Crops from higher-resolution scans go through the preprocessor resize
+    first (`normalize_crop_height`), so the score stays meaningful on 2x/4x
+    pages; the weak-ink threshold tolerates resampling halo."""
+    from .glyphs import _WEAK_INK, normalize_crop_height
+
+    crop = normalize_crop_height(crop)
+    if crop is None:
         return 0.0
+    h, w = crop.shape
     n = w // GLYPH_W
     if n == 0:
         return 0.0
     cells = crop[:, : n * GLYPH_W].reshape(h, n, GLYPH_W)
-    valid = (cells[:, :, 0] > 0).all(axis=0)
+    valid = (cells[:, :, 0] >= _WEAK_INK).all(axis=0)
     return float(valid.sum()) / n
 
 
@@ -73,7 +79,7 @@ def estimate_page_orientation(page: np.ndarray, max_samples: int = 8) -> tuple[i
             score = 0.0
         else:
             crops = extract_crops(candidate, abs_boxes[:max_samples])
-            scores = [_validity(c) if c.shape[0] == GLYPH_H else 0.0 for c in crops]
+            scores = [_validity(c) for c in crops]
             score = float(np.mean(scores))
         if score > best_score:
             best_angle, best_score = angle, score

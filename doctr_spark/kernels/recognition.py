@@ -262,10 +262,13 @@ def recognize_crops_batched(
     crops are forwarded in RECO_BATCH-sized padded tensors, and predictions
     are regrouped and merged per crop. Output is bit-identical to
     `recognize_crop` per crop; only the model-call batching differs."""
+    from .glyphs import normalize_crop_height
+
     all_windows: list[np.ndarray] = []
     spans: list[tuple[int, int, float]] = []  # (start, n_windows, last_overlap)
     for crop in crops:
-        if crop.shape[0] != GLYPH_H:
+        crop = normalize_crop_height(crop)
+        if crop is None:
             # a detection that isn't text-line shaped (embedded photo,
             # artefact, noise blob) is unreadable, not an error: the
             # reference resizes every crop to the model input, where such
@@ -311,7 +314,10 @@ def recognize_crop(
     selects the decode head: "ctc" (CRNN best-path) or "attention"
     (ViTSTR <eos>-cut). Crops that are not text-line shaped (wrong height:
     photos, artefacts, noise) read as empty — see recognize_crops_batched."""
-    if crop.shape[0] != GLYPH_H:
+    from .glyphs import normalize_crop_height
+
+    crop = normalize_crop_height(crop)
+    if crop is None:
         return "", 0.0
     windows, last_overlap = split_wide_crop(crop)
     if arch == "attention":

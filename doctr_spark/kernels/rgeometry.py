@@ -125,6 +125,63 @@ def rotate_points_shear(
     return np.stack([x, y], axis=1)
 
 
+def rotate_image_bilinear(img: np.ndarray, angle_deg: float) -> np.ndarray:
+    """Interpolating (RESAMPLING) rotation with canvas expansion — the
+    numpy analogue of the reference's cv2.warpAffine `rotate_image`
+    (`doctr/utils/geometry.py:333-460`). Unlike the three-shear path this
+    is lossy: it exists to FIXTURE real scanned-page conditions, where the
+    rotate -> straighten round trip can only be approximately inverted and
+    the downstream decode must tolerate resampled ink."""
+    if angle_deg == 0:
+        return img.copy()
+    a = np.deg2rad(angle_deg)
+    ca, sa = float(np.cos(a)), float(np.sin(a))
+    h, w = img.shape
+    out_w = int(np.ceil(abs(w * ca) + abs(h * sa)))
+    out_h = int(np.ceil(abs(h * ca) + abs(w * sa)))
+    yy, xx = np.mgrid[0:out_h, 0:out_w].astype(np.float64)
+    # inverse map (output pixel -> source coordinate), rotating about centers;
+    # screen coords (y down), same orientation convention as the shear path
+    cx_o, cy_o = (out_w - 1) / 2.0, (out_h - 1) / 2.0
+    cx_i, cy_i = (w - 1) / 2.0, (h - 1) / 2.0
+    xs = ca * (xx - cx_o) + sa * (yy - cy_o) + cx_i
+    ys = -sa * (xx - cx_o) + ca * (yy - cy_o) + cy_i
+    x0 = np.floor(xs).astype(np.int64)
+    y0 = np.floor(ys).astype(np.int64)
+    fx = xs - x0
+    fy = ys - y0
+    vals = np.zeros((out_h, out_w), dtype=np.float64)
+    for dy in (0, 1):
+        for dx in (0, 1):
+            wgt = (fx if dx else 1 - fx) * (fy if dy else 1 - fy)
+            sx_, sy_ = x0 + dx, y0 + dy
+            inside = (sx_ >= 0) & (sx_ < w) & (sy_ >= 0) & (sy_ < h)
+            vals += wgt * np.where(inside, img[sy_.clip(0, h - 1), sx_.clip(0, w - 1)], 0)
+    return np.rint(vals).astype(img.dtype)
+
+
+def is_resampled(img: np.ndarray) -> bool:
+    """True when the page shows interpolation artifacts (a substantial
+    share of its nonzero pixels at intermediate gray levels). The engine's
+    crisp rasters use a handful of exact intensities, so this separates
+    scanner-style resampled input (straightened by the interpolating
+    inverse) from synthetic ink (straightened losslessly by shears)."""
+    nz = img[img > 0]
+    if nz.size < _MIN_INK:
+        return False
+    levels, counts = np.unique(nz, return_counts=True)
+    # mass outside the 4 most common levels = interpolation halo
+    top = np.sort(counts)[-4:].sum()
+    return float(1.0 - top / nz.size) > 0.10
+
+
+def unrotate_image_resampled(img: np.ndarray, angle_deg: float) -> np.ndarray:
+    """Interpolating inverse for resampled pages: bilinear counter-rotation
+    plus padding trim (the cv2 route of the reference's rotate_image with
+    expand, geometry.py:333-460)."""
+    return crop_to_ink(rotate_image_bilinear(img, -angle_deg))
+
+
 def crop_to_ink(img: np.ndarray, margin: int = 0) -> np.ndarray:
     """Remove blank padding around the ink bbox (the reference's
     `remove_image_padding`, `doctr/utils/geometry.py:463-477`)."""

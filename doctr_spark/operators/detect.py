@@ -48,7 +48,12 @@ def _make_detector(
     import numpy as np
 
     from ..kernels.detection import DET_PRESETS, mask_regions
-    from ..kernels.rgeometry import estimate_skew_angle, unrotate_image_shear
+    from ..kernels.rgeometry import (
+        estimate_skew_angle,
+        is_resampled,
+        unrotate_image_resampled,
+        unrotate_image_shear,
+    )
 
     bin_thresh, box_thresh = DET_PRESETS[det_arch]
     from ..kernels.layout import detect_layout_regions
@@ -71,7 +76,13 @@ def _make_detector(
                     # with estimate_orientation (models/_utils.py:42-160).
                     skew = estimate_skew_angle(img)
                     if skew:
-                        img = unrotate_image_shear(img, skew)
+                        # crisp synthetic ink inverts losslessly by shears;
+                        # scanner-resampled ink takes the interpolating
+                        # inverse (matching how it was rotated)
+                        unrot = (
+                            unrotate_image_resampled if is_resampled(img) else unrotate_image_shear
+                        )
+                        img = unrot(img, skew)
                     orient, orient_conf = estimate_page_orientation(img)
                     if orient:
                         img = straighten_page(img, orient)
