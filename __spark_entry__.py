@@ -298,6 +298,59 @@ def ocr_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_metadata(decode_pages(tdf))
 
 
+_LOC_ORACLE = f"""
+SELECT conv_id, turn_idx::INT AS turn_idx, n_gt::BIGINT AS n_gt,
+       n_pred::BIGINT AS n_pred, recall::DOUBLE AS recall,
+       precision::DOUBLE AS precision, mean_iou::DOUBLE AS mean_iou
+FROM read_parquet('{ORACLE_SCRATCH}/loc_gt/*.parquet')
+"""
+
+
+def metric_localization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OCRMetric/LocalizationConfusion end to end: per-page Hungarian IoU
+    matching (kernels.assignment.linear_sum_assignment) between detected
+    boxes and generator ground truth. The fixture plants a deterministic
+    count of faint words the DB preset must miss, so the staged expectation
+    is ANALYTIC — recall = detectable/total, precision = 1, meanIoU = 1 —
+    not a replay of the pipeline's own output."""
+    from doctr_spark.fixtures.boxes import generate_boxed_transcripts
+    from doctr_spark.operators.detect import detect_and_crop
+    from doctr_spark.operators.metrics import localization_per_page
+
+    tdf, gdf = generate_boxed_transcripts(spark, 30, with_gt=True)
+    exp = gdf.select(
+        "conv_id",
+        "turn_idx",
+        F.col("n_gt").cast("long").alias("n_gt"),
+        F.col("n_detectable").cast("long").alias("n_pred"),
+        F.round(F.col("n_detectable") / F.col("n_gt"), 6).alias("recall"),
+        F.lit(1.0).alias("precision"),
+        F.lit(1.0).alias("mean_iou"),
+    )
+    _stage_expectation(exp, "loc_gt")
+    crops = detect_and_crop(decode_pages(tdf))
+    preds = (
+        crops.where(F.col("word_idx") >= 0)
+        .groupBy("conv_id", "turn_idx")
+        .agg(F.collect_list(F.array("xmin", "ymin", "xmax", "ymax")).alias("pred_boxes"))
+    )
+    pairs = gdf.join(preds, ["conv_id", "turn_idx"], "left").select(
+        F.concat_ws("|", "conv_id", F.col("turn_idx").cast("string")).alias("page_key"),
+        "gt_boxes",
+        F.coalesce(F.col("pred_boxes"), F.array().cast("array<array<double>>")).alias("pred_boxes"),
+    )
+    per_page = localization_per_page(pairs)
+    return per_page.select(
+        F.split_part(F.col("page_key"), F.lit("|"), F.lit(1)).alias("conv_id"),
+        F.split_part(F.col("page_key"), F.lit("|"), F.lit(2)).cast("int").alias("turn_idx"),
+        F.col("n_gt"),
+        F.col("n_pred"),
+        F.round(F.col("n_matched") / F.col("n_gt"), 6).alias("recall"),
+        F.round(F.col("n_matched") / F.col("n_pred"), 6).alias("precision"),
+        F.round(F.col("sum_iou") / F.col("n_matched"), 6).alias("mean_iou"),
+    )
+
+
 _ARTEFACT_ORACLE = f"""
 SELECT conv_id, turn_idx::INT AS turn_idx, page_idx::INT AS page_idx, label,
        xmin::INT AS xmin, ymin::INT AS ymin, xmax::INT AS xmax, ymax::INT AS ymax
@@ -360,6 +413,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_filter": text_analysis.quality_filter,
         # metrics
         "metric_box_iou": _metric_box_iou,
+        "metric_localization": metric_localization,
         # relational / window
         "rel_pricing_summary": relational.pricing_summary,
         "rel_top_customers": relational.top_customers,
@@ -386,6 +440,7 @@ def oracle_sql() -> dict[str, str]:
     from doctr_spark.operators.metrics import BOX_IOU_ORACLE
 
     oracles["metric_box_iou"] = BOX_IOU_ORACLE
+    oracles["metric_localization"] = _LOC_ORACLE
     oracles.update(dedup.ORACLES)
     oracles.update(similarity.ORACLES)
     oracles.update(text_analysis.ORACLES)

@@ -87,16 +87,16 @@ FROM i WHERE round(inter / (0.2 * 0.1 + 0.15 * 0.12 - inter), 6) > 0
 LOC_SCHEMA = "page_key string, n_gt long, n_pred long, n_matched long, sum_iou double"
 
 
-def localization_confusion(
+def localization_per_page(
     pairs: DataFrame,
     page_key: str = "page_key",
     iou_thresh: float = 0.5,
 ) -> DataFrame:
     """Per-page optimal IoU matching (Hungarian assignment on the negated
     IoU matrix, exactly the reference's `linear_sum_assignment` design,
-    `doctr/utils/metrics.py:268-290`), then global recall/precision/meanIoU.
-    Matches below ``iou_thresh`` are discarded after assignment, like the
-    reference. ``pairs`` holds one row per page with array columns
+    `doctr/utils/metrics.py:268-290`): one row per page with the matched
+    counters. Matches below ``iou_thresh`` are discarded after assignment,
+    like the reference. ``pairs`` holds one row per page with array columns
     ``gt_boxes`` and ``pred_boxes`` (each array<array<double>>)."""
     from ..kernels.assignment import linear_sum_assignment
 
@@ -115,7 +115,17 @@ def localization_confusion(
             out.append((key, len(g), len(p), matched, sum_iou))
         return pd.DataFrame(out, columns=["page_key", "n_gt", "n_pred", "n_matched", "sum_iou"])
 
-    per_page = pairs.groupBy(page_key).applyInPandas(fn, LOC_SCHEMA)
+    return pairs.groupBy(page_key).applyInPandas(fn, LOC_SCHEMA)
+
+
+def localization_confusion(
+    pairs: DataFrame,
+    page_key: str = "page_key",
+    iou_thresh: float = 0.5,
+) -> DataFrame:
+    """Global recall/precision/meanIoU over the per-page Hungarian match
+    (see :func:`localization_per_page`)."""
+    per_page = localization_per_page(pairs, page_key, iou_thresh)
     return per_page.agg(
         F.sum("n_gt").cast("long").alias("n_gt"),
         F.sum("n_pred").cast("long").alias("n_pred"),

@@ -101,3 +101,17 @@ def test_export_formats_spark(spark):
     assert any("<p>" in r["content"] for r in html if r["content"])
     hocr = export_documents(built, "hocr").collect()
     assert any("ocrx_word" in r["content"] for r in hocr if r["content"])
+
+
+def test_metric_localization_query(spark):
+    import __spark_entry__ as e
+    from pyspark.sql import functions as F
+
+    df = e.metric_localization(spark, "/root/testdata/sf0.001")
+    rows = df.collect()
+    assert len(rows) > 0
+    # faint words are deterministic misses: precision/meanIoU exactly 1,
+    # recall = detectable/total per page
+    assert all(r["precision"] == 1.0 and r["mean_iou"] == 1.0 for r in rows)
+    assert any(r["recall"] < 1.0 for r in rows)
+    assert all(r["n_pred"] <= r["n_gt"] for r in rows)
