@@ -369,6 +369,25 @@ def ocr_artefacts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return artefact_rows(decode_pages(tdf))
 
 
+_REGION_ORACLE = f"""
+SELECT conv_id, turn_idx::INT AS turn_idx, page_idx::INT AS page_idx, label,
+       xmin::INT AS xmin, ymin::INT AS ymin, xmax::INT AS xmax, ymax::INT AS ymax
+FROM read_parquet('{ORACLE_SCRATCH}/region_gt/*.parquet')
+"""
+
+
+def ocr_layout_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layout class surface (LW-DETR stand-in): pages with drawn header /
+    section-header / text / list-item / table / picture / footer bands;
+    oracle = the generator's drawn-region expectations."""
+    from doctr_spark.fixtures.regions import generate_region_transcripts
+    from doctr_spark.operators.multimodal import layout_region_rows
+
+    tdf, gdf = generate_region_transcripts(spark, 40, with_gt=True)
+    _stage_expectation(gdf, "region_gt")
+    return layout_region_rows(decode_pages(tdf))
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -390,6 +409,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ocr_extract_resampled": ocr_extract_resampled,
         "ocr_media_metadata": ocr_media_metadata,
         "ocr_artefacts": ocr_artefacts,
+        "ocr_layout_regions": ocr_layout_regions,
         "kie_class_counts": kie_counts_documents,
         "export_hocr": export_hocr_documents,
         # dedup suite
@@ -436,6 +456,7 @@ def oracle_sql() -> dict[str, str]:
         "ocr_extract_resampled": _RESAMPLE_ORACLE,
         "ocr_media_metadata": _MEDIA_ORACLE,
         "ocr_artefacts": _ARTEFACT_ORACLE,
+        "ocr_layout_regions": _REGION_ORACLE,
     }
     from doctr_spark.operators.metrics import BOX_IOU_ORACLE
 

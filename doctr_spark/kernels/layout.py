@@ -6,11 +6,14 @@
   region covering >= `min_coverage` of its own area, argmax over the
   N x R intersection-over-area matrix; uncovered elements keep None.
 * `detect_layout_regions` — deterministic stand-in for the LW-DETR layout
-  predictor (`doctr/models/layout/predictor/pytorch.py:19-84`): regions
-  are the vertical ink bands of the page (blank-row splits), labeled by
-  simple position/shape heuristics (header/footer margins, short first
-  band as title, ruled areas as table). Enough to drive the role handling
-  in reading order and the furniture filter with real geometry.
+  predictor (`doctr/models/layout/predictor/pytorch.py:19-84`, DocLayNet
+  classes `doctr/models/layout/lw_detr/pytorch.py:36-51`): regions are the
+  vertical ink bands of the page (blank-row splits), labeled by
+  position/shape signatures — header/footer margins, ruling structure
+  (grid -> table, single underline -> section_header, left gutter bar ->
+  list_item), artefact-dominated bands -> picture. Enough to drive the
+  role handling in reading order, list-item grouping, and the furniture
+  filter with real geometry.
 """
 
 from __future__ import annotations
@@ -54,6 +57,34 @@ def assign_layout_labels(
     return out
 
 
+def _true_runs(mask: np.ndarray) -> int:
+    """Number of contiguous True runs in a 1-D boolean mask."""
+    if not mask.any():
+        return 0
+    m = mask.astype(np.int8)
+    return int(((np.diff(m) == 1).sum()) + int(m[0] == 1))
+
+
+def _ruled_band_label(ruled: np.ndarray) -> str:
+    """Classify a band containing ruling-intensity ink by its structure:
+
+    * >= 2 horizontal rules, or a horizontal + a vertical rule -> grid ->
+      ``table``;
+    * exactly one horizontal rule (the underline beneath the text) ->
+      ``section_header``;
+    * only a vertical rule (the left gutter bar) -> ``list_item``.
+    """
+    row_runs = _true_runs(ruled.mean(axis=1) > 0.5)
+    col_runs = _true_runs(ruled.mean(axis=0) > 0.5)
+    if row_runs >= 2 or (row_runs >= 1 and col_runs >= 1):
+        return "table"
+    if row_runs == 1:
+        return "section_header"
+    if col_runs >= 1:
+        return "list_item"
+    return "table"  # fragmentary ruling (partial grid) stays a table
+
+
 def detect_layout_regions(page: np.ndarray) -> dict[str, Any]:
     """Page -> `{"boxes": (R, 4) relative, "class_names": [...], "scores": [...]}`
     (the LayoutPredictor output contract, builder.py:290-312)."""
@@ -84,7 +115,7 @@ def detect_layout_regions(page: np.ndarray) -> dict[str, Any]:
             if is_picture:
                 name = "picture"
             elif ruling[y0:y1, x0:x1].any():
-                name = "table"
+                name = _ruled_band_label(ruling[y0:y1, x0:x1])
             elif y1 <= 0.12 * h:
                 name = "page_header"
             elif y0 >= 0.88 * h:

@@ -158,3 +158,32 @@ def artefact_rows(pages: DataFrame, conf_threshold: float = 0.5) -> DataFrame:
             yield pd.DataFrame(rows, columns=cols)
 
     return pages.mapInPandas(fn, schema=ARTEFACT_SCHEMA)
+
+
+def layout_region_rows(pages: DataFrame) -> DataFrame:
+    """Layout predictor surface over decoded pages (LW-DETR stand-in,
+    `kernels.layout.detect_layout_regions`): one row per detected region
+    with its DocLayNet-style class and absolute pixel box."""
+    from ..kernels.layout import detect_layout_regions
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["conv_id", "turn_idx", "page_idx", "label", "xmin", "ymin", "xmax", "ymax"]
+        for pdf in batches:
+            rows = []
+            for conv_id, turn_idx, page_idx, blob in zip(
+                pdf["conv_id"], pdf["turn_idx"], pdf["page_idx"], pdf["page"]
+            ):
+                img = decode_media(bytes(blob), "page")
+                h, w = img.shape
+                regions = detect_layout_regions(img)
+                for box, name in zip(regions["boxes"], regions["class_names"]):
+                    rows.append(
+                        (
+                            conv_id, int(turn_idx), int(page_idx), name,
+                            int(round(box[0] * w)), int(round(box[1] * h)),
+                            int(round(box[2] * w)), int(round(box[3] * h)),
+                        )
+                    )  # fmt: skip
+            yield pd.DataFrame(rows, columns=cols)
+
+    return pages.mapInPandas(fn, schema=ARTEFACT_SCHEMA)

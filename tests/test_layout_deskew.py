@@ -139,3 +139,53 @@ def test_mask_picture_regions_in_pipeline(spark):
     assert crops.where("word_idx >= 0").count() == 1  # only the word detected
     row = extract_documents(tdf, mask_region_labels=("picture",), crop_partitions=2).first()
     assert row["extracted_text"] == "hello" and row["n_words"] == 1
+
+
+def test_ruled_band_labels():
+    import numpy as np
+
+    from doctr_spark.config import PAGE_H, PAGE_W, RULING_INK
+    from doctr_spark.kernels.glyphs import draw_word
+    from doctr_spark.kernels.layout import detect_layout_regions
+
+    canvas = np.zeros((PAGE_H, PAGE_W), dtype=np.uint8)
+    # section header: text + touching underline
+    draw_word(canvas, 24, 40, "intro")
+    canvas[56:58, 24:60] = RULING_INK
+    # list item: left gutter bar + text
+    canvas[100:116, 20:22] = RULING_INK
+    draw_word(canvas, 30, 100, "bullet")
+    # table: bordered box with a word inside
+    canvas[130:132, 24:224] = RULING_INK
+    canvas[166:168, 24:224] = RULING_INK
+    canvas[130:168, 24:26] = RULING_INK
+    canvas[130:168, 222:224] = RULING_INK
+    draw_word(canvas, 40, 142, "cell")
+    regions = detect_layout_regions(canvas)
+    assert regions["class_names"] == ["section_header", "list_item", "table"]
+
+
+def test_reading_segments_break_on_section_header():
+    from doctr_spark.kernels.reading_order import resolve_reading_segments
+
+    # same column, close rows: identical labels would merge, the header's
+    # label change forces its own segment
+    geoms = [[0.1, 0.10, 0.9, 0.14], [0.1, 0.16, 0.9, 0.20], [0.1, 0.22, 0.9, 0.26]]
+    labels = ["section_header", "text", "text"]
+    segs = resolve_reading_segments(geoms, labels=labels)
+    assert segs == [[0], [1, 2]]
+
+
+def test_list_items_group_by_region():
+    from doctr_spark.kernels.reading_order import group_reading_items
+
+    # two bullets, the first wrapped over two visual lines
+    geoms = [
+        [0.1, 0.10, 0.9, 0.14],
+        [0.1, 0.16, 0.9, 0.20],
+        [0.1, 0.26, 0.9, 0.30],
+    ]
+    labels = ["list_item", "list_item", "list_item"]
+    regions = [[0.05, 0.08, 0.95, 0.22], [0.05, 0.24, 0.95, 0.32]]
+    items = group_reading_items(geoms, labels=labels, region_geoms=regions)
+    assert items == [[0, 1], [2]]
