@@ -49,8 +49,16 @@ def make_html_payload(paragraphs: list[list[str]], with_boilerplate: bool = True
     return f"<doc:html><html><body>{body}</body></html></doc:html>"
 
 
-def make_img_payload(page: np.ndarray) -> str:
-    return "<doc:img>" + base64.b64encode(encode_page(page)).decode("ascii") + "</doc:img>"
+def make_img_payload(page: np.ndarray, codec: str = "zlib") -> str:
+    """Pack a page as an img payload; ``codec="png"`` writes a real PNG
+    stream (decoded by the pure-stdlib `kernels.png` codec)."""
+    if codec == "png":
+        from ..kernels.png import encode_png
+
+        blob = encode_png(page)
+    else:
+        blob = encode_page(page)
+    return "<doc:img>" + base64.b64encode(blob).decode("ascii") + "</doc:img>"
 
 
 def make_pdf_payload(pages: list[np.ndarray]) -> str:

@@ -118,7 +118,9 @@ def gen_conversation(
                 paragraphs = _rand_paragraphs(rng, max_paras=2)
                 pages = layout_paragraphs(paragraphs)[:1]
                 _rotate_some_words(pages, rng)
-                payload = make_img_payload(pages[0].canvas)
+                # a third of img payloads arrive as real PNG streams
+                codec = "png" if rng.random() < 1 / 3 else "zlib"
+                payload = make_img_payload(pages[0].canvas, codec=codec)
             elif kind < 0.82:
                 paragraphs = _rand_paragraphs(rng)
                 pages = layout_paragraphs(paragraphs)

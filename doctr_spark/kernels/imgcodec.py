@@ -25,6 +25,10 @@ def encode_page(img: np.ndarray) -> bytes:
 
 
 def decode_page(data: bytes) -> np.ndarray:
+    from .png import PNG_SIG, decode_png
+
+    if data[:8] == PNG_SIG:  # payloads may pack pages as real PNGs
+        return decode_png(data)
     h, w = _PAGE_HDR.unpack_from(data, 0)
     raw = zlib.decompress(data[_PAGE_HDR.size :])
     return np.frombuffer(raw, dtype=np.uint8).reshape(h, w)

@@ -37,11 +37,16 @@ _COLS = [
 def decode_media(blob: bytes, kind: str) -> np.ndarray:
     """Decode an opaque media blob to a dense array.
 
-    Only the engine's own page raster is implemented; real codecs plug in
-    here (cv2.imdecode / soundfile / pyav) when available.
+    The engine's own page raster and real PNG streams (pure-stdlib codec,
+    `kernels.png`) are implemented; other codecs plug in here
+    (cv2.imdecode / soundfile / pyav) when available.
     """
     if kind == "page":
-        return decode_page(blob)
+        return decode_page(blob)  # sniffs and handles PNG-packed pages too
+    if kind in ("png", "image/png"):
+        from ..kernels.png import decode_png
+
+        return decode_png(blob)
     raise NotImplementedError(
         f"media kind {kind!r}: no codec in this container (stub per SURVEY.md §2.1)"
     )
