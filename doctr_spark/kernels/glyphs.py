@@ -88,6 +88,13 @@ def read_codes(crop: np.ndarray) -> np.ndarray:
         return np.empty(0, dtype=np.int32)
     weak = max(1.0, _WEAK_FRAC * amp)
     mid = max(1.0, _MID_FRAC * amp)
+    base = crop[:, : n * GLYPH_W].reshape(h, n, GLYPH_W)
+    marker_rows0 = (base[:, :, 0] >= weak).sum(axis=0).astype(np.int32)
+    if (marker_rows0 == h).all():
+        # crisp aligned crop (the overwhelmingly common case): identical to
+        # the exact single-pass decode, no offset search
+        bits = base[:CODE_BITS, :, 1] >= mid
+        return (bits.astype(np.int32) * _BIT_WEIGHTS[:, None]).sum(axis=0)
     padded = np.zeros((h + 2, n * GLYPH_W + 2), dtype=crop.dtype)
     padded[1:-1, 1:-1] = crop[:, : n * GLYPH_W]
     best_rows = np.full(n, -1, dtype=np.int32)
