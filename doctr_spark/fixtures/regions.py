@@ -1,10 +1,13 @@
 """Layout-region fixture: pages composed of DRAWN region bands — page
-header, section header (underlined), body text, list items (left gutter
-bar), a ruled table, a photo block, page footer — with generation-time
-(label, box) expectations, so the LW-DETR-stand-in layout predictor
+header, title (centered narrow first band), section header (underlined),
+body text, list items (left gutter bar), a ruled table, captions hugging
+their float, a photo block, a footnote opening with a "[n]" marker, page
+footer — with generation-time (label, box) expectations, so the
+LW-DETR-stand-in layout predictor
 (`kernels.layout.detect_layout_regions`; reference DocLayNet class surface
 `doctr/models/layout/lw_detr/pytorch.py:36-51`) is oracle-checked against
 drawn ground truth, the same staging pattern as the artefact fixture.
+Covers 10 of the 11 DocLayNet classes (all but Formula).
 """
 
 from __future__ import annotations
@@ -14,7 +17,7 @@ import datetime as dt
 import numpy as np
 import pandas as pd
 
-from ..config import PAGE_H, PAGE_W, RULING_INK
+from ..config import PAGE_W, RULING_INK
 from ..kernels.artefacts import draw_artefact
 from ..kernels.glyphs import draw_word, word_width
 from .payloads import make_img_payload
@@ -27,14 +30,21 @@ REGION_GT_SCHEMA = (
     "xmin int, ymin int, xmax int, ymax int"
 )
 
-# fixed vertical slots: every pair of neighbors separated by >= 2 blank rows
-_SLOT_HEADER_Y = 8  # ends at 24 <= 0.12 * 256
-_SLOT_SECTION_Y = 40
-_SLOT_TEXT_Y = 70
-_SLOT_LIST_Y = 100
-_SLOT_TABLE = (120, 168)
-_SLOT_PICTURE_Y = 176  # band must be >= 32 rows tall for the picture check
-_SLOT_FOOTER_Y = 234  # starts at >= 0.88 * 256
+# taller page so every class fits; fixed vertical slots, every pair of
+# neighbors separated by >= 2 blank rows (band split criterion) except the
+# caption slots, which HUG their float (gap <= 6 px, the caption cue)
+REGION_PAGE_H = 320
+_SLOT_HEADER_Y = 10  # ends at 26 <= 0.12 * 320
+_SLOT_TITLE_Y = 44  # centered, narrow
+_SLOT_SECTION_Y = 70
+_SLOT_TEXT_Y = 96
+_SLOT_LIST_Y = 120
+_SLOT_TABLE = (144, 176)
+_SLOT_CAPTION_T_Y = 180  # 4 px under the table -> caption
+_SLOT_PICTURE_Y = 204  # band must be >= 32 rows tall for the picture check
+_SLOT_CAPTION_P_Y = 240  # 4 px under the photo -> caption
+_SLOT_FOOTNOTE_Y = 264  # y1 280 > 0.7 * 320, starts with "[n]"
+_SLOT_FOOTER_Y = 288  # starts at >= 0.88 * 320
 
 
 def _ink_bbox(canvas: np.ndarray, y_lo: int, y_hi: int) -> tuple[int, int, int, int]:
@@ -56,7 +66,7 @@ def _draw_line(canvas: np.ndarray, x: int, y: int, words: list[str]) -> int:
 
 def gen_region_page(rng: np.random.Generator) -> tuple[np.ndarray, list[tuple[str, tuple]]]:
     """One page; returns (canvas, [(label, bbox), ...] in top-down order)."""
-    canvas = np.zeros((PAGE_H, PAGE_W), dtype=np.uint8)
+    canvas = np.zeros((REGION_PAGE_H, PAGE_W), dtype=np.uint8)
     regions: list[tuple[str, tuple]] = []
 
     def add(label: str, y_lo: int, y_hi: int) -> None:
@@ -64,6 +74,11 @@ def gen_region_page(rng: np.random.Generator) -> tuple[np.ndarray, list[tuple[st
 
     _draw_line(canvas, 24, _SLOT_HEADER_Y, _words(rng, 2, 4))
     add("page_header", _SLOT_HEADER_Y, _SLOT_HEADER_Y + 16)
+
+    if rng.random() < 0.7:
+        # title: centered, narrow (starts past 0.2w, spans < 0.5w)
+        _draw_line(canvas, 160, _SLOT_TITLE_Y, _words(rng, 1, 3))
+        add("title", _SLOT_TITLE_Y, _SLOT_TITLE_Y + 16)
 
     # section header: text with an underline touching its baseline
     end_x = _draw_line(canvas, 24, _SLOT_SECTION_Y, _words(rng, 1, 3))
@@ -89,10 +104,23 @@ def gen_region_page(rng: np.random.Generator) -> tuple[np.ndarray, list[tuple[st
         canvas[ty0:ty1, tx1 - 2 : tx1] = RULING_INK
         draw_word(canvas, tx0 + 12, ty0 + 12, _rand_word(rng)[:6] or "c")
         add("table", ty0, ty1)
+        if rng.random() < 0.7:  # caption hugging the table (4 px gap)
+            _draw_line(canvas, 40, _SLOT_CAPTION_T_Y, _words(rng, 2, 4))
+            add("caption", _SLOT_CAPTION_T_Y, _SLOT_CAPTION_T_Y + 16)
 
     if rng.random() < 0.7:
-        draw_artefact(canvas, "photo", 40, _SLOT_PICTURE_Y, int(rng.integers(60, 120)), 44)
-        add("picture", _SLOT_PICTURE_Y, _SLOT_PICTURE_Y + 44)
+        draw_artefact(canvas, "photo", 40, _SLOT_PICTURE_Y, int(rng.integers(60, 120)), 32)
+        add("picture", _SLOT_PICTURE_Y, _SLOT_PICTURE_Y + 32)
+        if rng.random() < 0.7:  # caption hugging the photo (4 px gap)
+            _draw_line(canvas, 40, _SLOT_CAPTION_P_Y, _words(rng, 2, 4))
+            add("caption", _SLOT_CAPTION_P_Y, _SLOT_CAPTION_P_Y + 16)
+
+    if rng.random() < 0.7:
+        # footnote: bracketed digit marker, then the note text
+        marker = f"[{int(rng.integers(1, 10))}]"
+        end_x = _draw_line(canvas, 24, _SLOT_FOOTNOTE_Y, [marker])
+        _draw_line(canvas, end_x, _SLOT_FOOTNOTE_Y, _words(rng, 2, 4))
+        add("footnote", _SLOT_FOOTNOTE_Y, _SLOT_FOOTNOTE_Y + 16)
 
     _draw_line(canvas, 24, _SLOT_FOOTER_Y, _words(rng, 2, 4))
     add("page_footer", _SLOT_FOOTER_Y, _SLOT_FOOTER_Y + 16)

@@ -11,9 +11,13 @@
   vertical ink bands of the page (blank-row splits), labeled by
   position/shape signatures — header/footer margins, ruling structure
   (grid -> table, single underline -> section_header, left gutter bar ->
-  list_item), artefact-dominated bands -> picture. Enough to drive the
-  role handling in reading order, list-item grouping, and the furniture
-  filter with real geometry.
+  list_item), artefact-dominated bands -> picture, a centered narrow top
+  band -> title, a text band hugging a float band -> caption, a bottom
+  band opening with a bracketed digit marker -> footnote (the classic
+  rule-based layout-analysis cues). Covers 10 of the 11 DocLayNet classes
+  (all but Formula) and drives the role handling in reading order,
+  caption attachment, list-item grouping, and the furniture filter with
+  real geometry.
 """
 
 from __future__ import annotations
@@ -85,6 +89,29 @@ def _ruled_band_label(ruled: np.ndarray) -> str:
     return "table"  # fragmentary ruling (partial grid) stays a table
 
 
+def _footnote_marker(band: np.ndarray) -> bool:
+    """True when the band's first word decodes to a bracketed digit marker
+    ("[1]", "[23]", ...) — the classic footnote cue. Only consulted for
+    single-line bands in the lower page region."""
+    import re
+
+    from ..config import GLYPH_H, WORD_GAP
+    from .glyphs import read_codes
+    from .vocab import DEFAULT_VOCAB, decode_sequence
+
+    if band.shape[0] != GLYPH_H:
+        return False
+    cols = np.flatnonzero((band > 0).any(axis=0))
+    if cols.size == 0:
+        return False
+    gaps = np.flatnonzero(np.diff(cols) >= WORD_GAP)
+    end = int(cols[gaps[0]]) + 1 if gaps.size else int(cols[-1]) + 1
+    first = band[:, int(cols[0]) : end]
+    codes = read_codes(first)
+    codes = codes[codes < len(DEFAULT_VOCAB)]
+    return bool(re.fullmatch(r"\[\d+\]", decode_sequence(codes)))
+
+
 def detect_layout_regions(page: np.ndarray) -> dict[str, Any]:
     """Page -> `{"boxes": (R, 4) relative, "class_names": [...], "scores": [...]}`
     (the LayoutPredictor output contract, builder.py:290-312)."""
@@ -122,10 +149,31 @@ def detect_layout_regions(page: np.ndarray) -> dict[str, Any]:
                 name = "page_footer"
             else:
                 name = "text"
-            boxes.append([x0 / w, y0 / h, x1 / w, y1 / h])
+            boxes.append([x0, y0, x1, y1])
             names.append(name)
+    # second pass over the y-ordered bands: geometry/context cues that need
+    # neighbors — title, caption, footnote
+    for i, (name, (x0, y0, x1, y1)) in enumerate(zip(names, boxes)):
+        if name != "text":
+            continue
+        first_content = all(n == "page_header" for n in names[:i])
+        if first_content and y0 < 0.3 * h and x0 > 0.2 * w and (x1 - x0) < 0.5 * w:
+            names[i] = "title"
+            continue
+        hugs_prev = i > 0 and names[i - 1] in ("picture", "table") and y0 - boxes[i - 1][3] <= 6
+        hugs_next = (
+            i + 1 < len(names)
+            and names[i + 1] in ("picture", "table")
+            and boxes[i + 1][1] - y1 <= 6
+        )
+        if hugs_prev or hugs_next:
+            names[i] = "caption"
+            continue
+        if y1 > 0.7 * h and _footnote_marker(page[y0:y1, x0:x1]):
+            names[i] = "footnote"
+    rel = [[x0 / w, y0 / h, x1 / w, y1 / h] for x0, y0, x1, y1 in boxes]
     return {
-        "boxes": np.asarray(boxes, dtype=float).reshape(-1, 4),
+        "boxes": np.asarray(rel, dtype=float).reshape(-1, 4),
         "class_names": names,
         "scores": [1.0] * len(names),
     }

@@ -76,6 +76,12 @@ def decode_png(data: bytes) -> np.ndarray:
     stride = w + 1
     if len(raw) != h * stride:
         raise ValueError("PNG scanline payload size mismatch")
+    scan = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride)
+    ftypes = scan[:, 0]
+    if ((ftypes == 2) | (ftypes == 0)).all() and (ftypes[1:] == 2).all():
+        # all-Up stream (what encode_png writes): reconstruction is one
+        # vectorized column cumsum instead of a per-row loop
+        return np.cumsum(scan[:, 1:], axis=0, dtype=np.uint8)  # uint8 wrap == mod 256
     out = np.zeros((h, w), dtype=np.uint8)
     prev = np.zeros(w, dtype=np.uint8)
     for y in range(h):
