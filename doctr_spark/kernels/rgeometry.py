@@ -14,10 +14,12 @@ Skew estimation — projection-profile search (Baird '87 / Postl '86): for
 each candidate angle the ink pixels are projected onto the y axis after
 counter-rotation and the profile variance is scored; text lines realign at
 the true skew, maximizing variance. The top coarse candidates are then
-re-scored exactly (unrotate + row-profile variance). Reference analogue:
-`estimate_orientation` (`doctr/models/_utils.py:42-160`), which medians
-minAreaRect angles of elongated contours — the same "lines should be
-horizontal" prior, computed via contours because cv2 is available there.
+re-scored exactly (unrotate + row-profile variance). The reference's own
+mechanism — `estimate_orientation` (`doctr/models/_utils.py:42-160`),
+median of min-area-rect angles over the most elongated contours — is also
+implemented (`estimate_orientation_contours`, with findContours/minAreaRect
+re-expressed as run-labeled components + rotating calipers) and feeds the
+same shortlist; the exact re-score arbitrates between the two mechanisms.
 
 Polygon path — numpy re-expressions of the reference kernels:
 `rotate_abs_geoms` (`geometry.py:220-248`), `remap_boxes`
@@ -30,6 +32,8 @@ nearest-neighbor affine sample).
 from __future__ import annotations
 
 import numpy as np
+
+from .cc import label_runs
 
 SKEW_GRID_DEG = 0.5  # skew search resolution
 SKEW_MAX_DEG = 15.0  # +/- search range
@@ -209,6 +213,82 @@ def _profile_variance(img: np.ndarray) -> float:
     return float(max(rows.var(), cols.var()))
 
 
+def _dilate_window(mask: np.ndarray, k: int, axis: int) -> np.ndarray:
+    """1-D boolean dilation with a length-k window along ``axis`` (windowed
+    cumsum > 0 — no scipy). Window anchor matches a centered rect kernel."""
+    if k <= 1:
+        return mask
+    cs = np.cumsum(mask.astype(np.int32), axis=axis)
+    n = mask.shape[axis]
+    idx = np.arange(n)
+    hi = np.take(cs, np.clip(idx + (k - 1) // 2, 0, n - 1), axis=axis)
+    lo_i = idx - k // 2 - 1
+    shape = [-1 if a == axis else 1 for a in range(mask.ndim)]
+    lo = np.where(
+        (lo_i >= 0).reshape(shape),
+        np.take(cs, np.clip(lo_i, 0, n - 1), axis=axis),
+        0,
+    )
+    return (hi - lo) > 0
+
+
+def estimate_orientation_contours(
+    img: np.ndarray,
+    n_ct: int = 70,
+    ratio_threshold_for_lines: float = 3.0,
+    lower_area: int = 100,
+) -> float:
+    """Contour-median skew estimate — the reference's `estimate_orientation`
+    mechanism (`doctr/models/_utils.py:42-160`): dilate ink so words merge
+    toward line blobs, take the ``n_ct`` most elongated components, fit each
+    a min-area rotated rect, and median the major-axis angles ("text lines
+    should be horizontal"). cv2 findContours/minAreaRect are re-expressed as
+    run-labeled components (`kernels/cc.py`) + convex hull with rotating
+    calipers (`min_area_rect`). Returns degrees in the engine's forward
+    sign convention (`rotate_image_shear(page, theta)` estimates theta);
+    blobs squarer than the ratio threshold are ignored, and an exact +/-90
+    median (vertical lines read as horizontal) abstains to 0 like the
+    reference.
+    """
+    mask = img > 0
+    if int(mask.sum()) < _MIN_INK:
+        return 0.0
+    h, w = mask.shape
+    mask = _dilate_window(_dilate_window(mask, max(1, w // 100), 1), max(1, h // 100), 0)
+    rows, starts, ends, labels = label_runs(mask)
+    if rows.shape[0] == 0:
+        return 0.0
+    _, inv = np.unique(labels, return_inverse=True)
+    area = np.zeros(inv.max() + 1, dtype=np.int64)
+    np.add.at(area, inv, ends - starts)
+    cands: list[tuple[float, float]] = []  # (elongation, major-axis angle)
+    for ci in np.nonzero(area > lower_area)[0]:
+        m = inv == ci
+        # run endpoints are enough for the hull (interior points never win)
+        pts = np.concatenate(
+            [
+                np.stack([starts[m], rows[m]], axis=1),
+                np.stack([ends[m] - 1, rows[m]], axis=1),
+            ]
+        ).astype(np.float64)
+        rect = min_area_rect(pts)
+        e1, e2 = rect[1] - rect[0], rect[2] - rect[1]
+        l1, l2 = float(np.hypot(*e1)), float(np.hypot(*e2))
+        major, lmaj, lmin = (e1, l1, l2) if l1 >= l2 else (e2, l2, l1)
+        ang = float(np.degrees(np.arctan2(major[1], major[0])))
+        while ang <= -90:
+            ang += 180
+        while ang > 90:
+            ang -= 180
+        cands.append((lmaj / max(lmin, 1e-9), ang))
+    cands.sort(reverse=True)
+    angles = sorted(a for r, a in cands[:n_ct] if r > ratio_threshold_for_lines)
+    if not angles:
+        return 0.0
+    med = angles[(len(angles) - 1) // 2]  # median_low: a value from the data
+    return 0.0 if abs(round(med)) == 90 else med
+
+
 def estimate_skew_angle(
     img: np.ndarray,
     max_deg: float = SKEW_MAX_DEG,
@@ -251,6 +331,13 @@ def estimate_skew_angle(
             ]
         )
     )
+    # corroborating mechanism: the contour-median estimate (reference's
+    # estimate_orientation approach) joins the shortlist, snapped to the
+    # grid; the exact re-score below arbitrates between both mechanisms
+    ct = estimate_orientation_contours(img)
+    ct_snap = float(np.clip(round(ct / grid_deg) * grid_deg, -max_deg, max_deg))
+    if ct_snap not in top:
+        top = np.append(top, ct_snap)
     if 0.0 not in top:
         top = np.append(top, 0.0)  # never skew an upright page on a whim
     best_deg, best_score = 0.0, -1.0

@@ -37,6 +37,57 @@ def test_estimate_skew_angle_recovers_grid(theta):
     assert estimate_skew_angle(rotate_image_shear(page, theta)) == theta
 
 
+def _line_page() -> np.ndarray:
+    # line-shaped ink (the regime the contour mechanism assumes: the
+    # reference dilates words toward line blobs before fitting rects)
+    page = np.zeros((400, 600), np.uint8)
+    rng = np.random.RandomState(0)
+    for i in range(12):
+        y = 30 + i * 30
+        for k in range(5):
+            x0 = 40 + k * 110 + rng.randint(0, 10)
+            page[y : y + 12, x0 : x0 + 80] = 200
+    return page
+
+
+@pytest.mark.parametrize("theta", [5.0, -7.5, 12.0, 0.0])
+def test_estimate_orientation_contours_median(theta):
+    from doctr_spark.kernels.rgeometry import estimate_orientation_contours
+
+    est = estimate_orientation_contours(rotate_image_shear(_line_page(), theta))
+    assert abs(est - theta) < 1.0
+
+
+def test_estimate_orientation_contours_abstains_on_squarish_words():
+    from doctr_spark.kernels.rgeometry import estimate_orientation_contours
+
+    # glyph-rendered short words are nearly square blobs: no line-like
+    # contours survive the ratio filter, so the mechanism abstains and the
+    # projection-profile search keeps sole authority (the two mechanisms
+    # are arbitrated by the exact re-score inside estimate_skew_angle)
+    page = layout_paragraphs(
+        [["hello", "world", "alpha", "beta", "gamma"], ["one", "two", "three", "four"]]
+    )[0].canvas
+    assert estimate_orientation_contours(rotate_image_shear(page, 5.0)) == 0.0
+
+
+def test_estimate_orientation_contours_edge_cases():
+    from doctr_spark.kernels.rgeometry import estimate_orientation_contours
+
+    # blank page abstains
+    assert estimate_orientation_contours(np.zeros((100, 200), np.uint8)) == 0.0
+    # squarish blobs (no line-like contours) abstain
+    blobs = np.zeros((200, 200), np.uint8)
+    blobs[20:60, 20:60] = 200
+    blobs[120:160, 120:160] = 200
+    assert estimate_orientation_contours(blobs) == 0.0
+    # vertical lines median to +/-90 -> abstain like the reference
+    vert = np.zeros((300, 300), np.uint8)
+    for x in (40, 120, 200):
+        vert[30:270, x : x + 8] = 200
+    assert estimate_orientation_contours(vert) == 0.0
+
+
 def test_estimate_skew_abstains():
     assert estimate_skew_angle(np.zeros((100, 200), np.uint8)) == 0.0
     page = layout_paragraphs([["hello", "world", "abc"], ["x1", "y2"]])[0].canvas
