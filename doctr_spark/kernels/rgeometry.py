@@ -264,12 +264,16 @@ def estimate_orientation_contours(
     cands: list[tuple[float, float]] = []  # (elongation, major-axis angle)
     for ci in np.nonzero(area > lower_area)[0]:
         m = inv == ci
-        # run endpoints are enough for the hull (interior points never win)
+        # per-row extremes are enough for the hull: for a fixed y only the
+        # outermost x can be vertices, so multi-run rows collapse to 2 points
+        r, s, e_m = rows[m], starts[m], ends[m] - 1
+        rr, ridx = np.unique(r, return_inverse=True)
+        lo = np.full(rr.shape[0], np.iinfo(np.int64).max)
+        hi = np.full(rr.shape[0], np.iinfo(np.int64).min)
+        np.minimum.at(lo, ridx, s)
+        np.maximum.at(hi, ridx, e_m)
         pts = np.concatenate(
-            [
-                np.stack([starts[m], rows[m]], axis=1),
-                np.stack([ends[m] - 1, rows[m]], axis=1),
-            ]
+            [np.stack([lo, rr], axis=1), np.stack([hi, rr], axis=1)]
         ).astype(np.float64)
         rect = min_area_rect(pts)
         e1, e2 = rect[1] - rect[0], rect[2] - rect[1]
@@ -375,9 +379,15 @@ def _convex_hull(pts: np.ndarray) -> np.ndarray:
     pts = pts[np.lexsort((pts[:, 1], pts[:, 0]))]
 
     def half(points):
+        # scalar 2-D cross product: np.cross carries ~40 us of axis
+        # bookkeeping per call, which dominates at hull scale
         out: list[np.ndarray] = []
         for p in points:
-            while len(out) >= 2 and np.cross(out[-1] - out[-2], p - out[-2]) <= 0:
+            while len(out) >= 2:
+                ax, ay = out[-1][0] - out[-2][0], out[-1][1] - out[-2][1]
+                bx, by = p[0] - out[-2][0], p[1] - out[-2][1]
+                if ax * by - ay * bx > 0:
+                    break
                 out.pop()
             out.append(p)
         return out
