@@ -388,6 +388,71 @@ def ocr_layout_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return layout_region_rows(decode_pages(tdf))
 
 
+_DATASET_ORACLE = f"""
+SELECT dataset, img_path, n_words::BIGINT AS n_words, labels_cat, boxes_sig
+FROM read_parquet('{ORACLE_SCRATCH}/dataset_gt/*.parquet')
+"""
+
+
+def dataset_loaders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset annotation loaders (FUNSD / CORD / SROIE formats) over
+    fabricated miniature archives, parsed distributed with native JSON/CSV
+    expressions (`doctr_spark/io/datasets.py`; reference loaders
+    `doctr/datasets/{{funsd,cord,sroie}}.py`). The fabricators' own
+    ground-truth rows are the staged oracle; boxes are flattened to an
+    int signature string (driver canonicalization can't sort arrays)."""
+    import json as _json
+
+    from doctr_spark.fixtures import archives
+    from doctr_spark.io import datasets as dsets
+
+    root = f"{ORACLE_SCRATCH}/.archives"
+    fabs = {
+        "funsd": (archives.fabricate_funsd, dsets.load_funsd),
+        "cord": (archives.fabricate_cord, dsets.load_cord),
+        "sroie": (archives.fabricate_sroie, dsets.load_sroie),
+    }
+    exp_rows, outs = [], []
+    for name, (fab, load) in fabs.items():
+        expected = fab(f"{root}/{name}", n_imgs=6)
+        for e in expected:
+            exp_rows.append(
+                (
+                    name,
+                    e["img_path"],
+                    len(e["labels"]),
+                    "|".join(e["labels"]),
+                    ";".join(",".join(str(int(v)) for v in b) for b in e["boxes"]),
+                )
+            )
+        df = load(spark, f"{root}/{name}")
+        outs.append(
+            df.select(
+                F.lit(name).alias("dataset"),
+                "img_path",
+                F.size("labels").cast("long").alias("n_words"),
+                F.array_join("labels", "|").alias("labels_cat"),
+                F.array_join(
+                    F.transform(
+                        "boxes",
+                        lambda b: F.array_join(
+                            F.transform(b, lambda v: v.cast("int").cast("string")), ","
+                        ),
+                    ),
+                    ";",
+                ).alias("boxes_sig"),
+            )
+        )
+    gdf = spark.createDataFrame(
+        exp_rows, "dataset string, img_path string, n_words long, labels_cat string, boxes_sig string"
+    )
+    _stage_expectation(gdf, "dataset_gt")
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -412,6 +477,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ocr_layout_regions": ocr_layout_regions,
         "kie_class_counts": kie_counts_documents,
         "export_hocr": export_hocr_documents,
+        "dataset_loaders": dataset_loaders,
         # dedup suite
         "dedup_exact": dedup.exact_dedup,
         "dedup_minhash": dedup.minhash_signatures,
@@ -457,6 +523,7 @@ def oracle_sql() -> dict[str, str]:
         "ocr_media_metadata": _MEDIA_ORACLE,
         "ocr_artefacts": _ARTEFACT_ORACLE,
         "ocr_layout_regions": _REGION_ORACLE,
+        "dataset_loaders": _DATASET_ORACLE,
     }
     from doctr_spark.operators.metrics import BOX_IOU_ORACLE
 

@@ -1,0 +1,200 @@
+"""Deterministic miniature dataset archives for the loader tests/oracle.
+
+The reference validates its dataset loaders against fabricated miniature
+archives (`tests/conftest.py:113-838` builds tiny FUNSD/CORD/SROIE/...
+trees; `tests/pytorch/test_datasets_pt.py` checks parsing). This module is
+that fabricator for the Spark loaders in `doctr_spark.io.datasets`: each
+function writes a correctly-shaped archive under ``root`` and returns the
+ground-truth rows the loader must reproduce — (img_path, boxes xyxy,
+labels) per image, in annotation-file order. All content is a pure
+function of (n_imgs, seed); image files are written as 1-byte stubs (the
+loaders reference images by path, they never decode them).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import random
+
+_WORDS = "invoice total date amount vendor tax item qty price name".split()
+
+
+def _mkdirs(*paths: str) -> None:
+    for p in paths:
+        os.makedirs(p, exist_ok=True)
+
+
+def _touch(path: str) -> None:
+    with open(path, "wb") as f:
+        f.write(b"\x00")
+
+
+def _gen_words(rng: random.Random, n: int, span: int = 1000) -> list[tuple[str, list[float]]]:
+    out = []
+    for _ in range(n):
+        x0 = rng.randrange(0, span - 120)
+        y0 = rng.randrange(0, span - 40)
+        w, h = rng.randrange(40, 120), rng.randrange(16, 40)
+        out.append((rng.choice(_WORDS), [float(x0), float(y0), float(x0 + w), float(y0 + h)]))
+    return out
+
+
+def fabricate_funsd(root: str, n_imgs: int = 4, seed: int = 0) -> list[dict]:
+    """FUNSD tree: dataset/training_data/{images,annotations}; one form of
+    2 blocks per image, one word with empty text that the loader drops."""
+    rng = random.Random(seed)
+    base = f"{root}/dataset/training_data"
+    _mkdirs(f"{base}/images", f"{base}/annotations")
+    expected = []
+    for i in range(n_imgs):
+        stem = f"doc_{i:03d}"
+        words = _gen_words(rng, 5)
+        half = len(words) // 2
+        form = [
+            {"text": " ".join(t for t, _ in blk), "box": [0, 0, 10, 10],
+             "label": "other", "id": bi,
+             "words": [{"text": t, "box": b} for t, b in blk]}
+            for bi, blk in enumerate([words[:half], words[half:]])
+        ]  # fmt: skip
+        form[0]["words"].append({"text": "", "box": [1.0, 1.0, 2.0, 2.0]})  # dropped
+        with open(f"{base}/annotations/{stem}.json", "w") as f:
+            json.dump({"form": form}, f)
+        _touch(f"{base}/images/{stem}.png")
+        expected.append(
+            {
+                "img_path": f"{base}/images/{stem}.png",
+                "boxes": [b for _, b in words],
+                "labels": [t for t, _ in words],
+            }
+        )
+    return expected
+
+
+def fabricate_cord(root: str, n_imgs: int = 4, seed: int = 1) -> list[dict]:
+    """CORD tree: {image,json}; word quads are slightly sheared rects so the
+    straight-box min/max reduction is non-trivial."""
+    rng = random.Random(seed)
+    _mkdirs(f"{root}/image", f"{root}/json")
+    expected = []
+    for i in range(n_imgs):
+        stem = f"receipt_{i:03d}"
+        words = _gen_words(rng, 4)
+        lines = []
+        exp_boxes, exp_labels = [], []
+        for t, (x0, y0, x1, y1) in words:
+            dx = rng.randrange(0, 6)
+            quad = {
+                "x1": x0 + dx, "y1": y0, "x2": x1 + dx, "y2": y0,
+                "x3": x1, "y3": y1, "x4": x0, "y4": y1,
+            }  # fmt: skip
+            lines.append({"words": [{"text": t, "quad": quad}]})
+            exp_boxes.append([min(x0, x0 + dx), y0, max(x1, x1 + dx), y1])
+            exp_labels.append(t)
+        with open(f"{root}/json/{stem}.json", "w") as f:
+            json.dump({"valid_line": lines}, f)
+        _touch(f"{root}/image/{stem}.png")
+        expected.append(
+            {"img_path": f"{root}/image/{stem}.png", "boxes": exp_boxes, "labels": exp_labels}
+        )
+    return expected
+
+
+def fabricate_sroie(root: str, n_imgs: int = 4, seed: int = 2) -> list[dict]:
+    """SROIE tree: {images,annotations}; CSV rows of 8 corner coords + a
+    transcription that may itself contain commas."""
+    rng = random.Random(seed)
+    _mkdirs(f"{root}/images", f"{root}/annotations")
+    expected = []
+    for i in range(n_imgs):
+        stem = f"rcpt_{i:03d}"
+        words = _gen_words(rng, 3)
+        rows, exp_boxes, exp_labels = [], [], []
+        for j, (t, (x0, y0, x1, y1)) in enumerate(words):
+            label = f"{t}, inc" if j == 0 else t  # embedded comma case
+            coords = [x0, y0, x1, y0, x1, y1, x0, y1]
+            rows.append(",".join(str(int(c)) for c in coords) + f",{label}")
+            exp_boxes.append([x0, y0, x1, y1])
+            exp_labels.append(label)
+        with open(f"{root}/annotations/{stem}.txt", "w") as f:
+            f.write("\n".join(rows) + "\n")
+        _touch(f"{root}/images/{stem}.jpg")
+        expected.append(
+            {"img_path": f"{root}/images/{stem}.jpg", "boxes": exp_boxes, "labels": exp_labels}
+        )
+    return expected
+
+
+def fabricate_detection(root: str, n_imgs: int = 4, seed: int = 3) -> list[dict]:
+    """DetectionDataset labels.json: even images use the list form (class
+    'words'), odd images the dict form with two explicit classes."""
+    rng = random.Random(seed)
+    _mkdirs(f"{root}/images")
+    labels: dict = {}
+    expected = []
+    for i in range(n_imgs):
+        name = f"page_{i:03d}.png"
+        words = _gen_words(rng, 3)
+        polys = [
+            [[x0, y0], [x1, y0], [x1, y1], [x0, y1]] for _, (x0, y0, x1, y1) in words
+        ]
+        if i % 2 == 0:
+            labels[name] = {"polygons": polys}
+            classes = [["words"] * len(polys)][0]
+        else:
+            labels[name] = {"polygons": {"title": polys[:1], "body": polys[1:]}}
+            classes = ["title"] + ["body"] * (len(polys) - 1)
+            polys = polys[:1] + polys[1:]
+        _touch(f"{root}/images/{name}")
+        expected.append(
+            {
+                "img_path": f"{root}/images/{name}",
+                "boxes": [[p[0][0], p[0][1], p[2][0], p[2][1]] for p in polys],
+                "labels": classes,
+            }
+        )
+    with open(f"{root}/labels.json", "w") as f:
+        json.dump(labels, f)
+    return expected
+
+
+def fabricate_recognition(root: str, n_crops: int = 6, seed: int = 4) -> list[dict]:
+    """RecognitionDataset labels.json: crop image name -> label string."""
+    rng = random.Random(seed)
+    _mkdirs(f"{root}/crops")
+    labels = {}
+    expected = []
+    for i in range(n_crops):
+        name = f"crop_{i:03d}.png"
+        labels[name] = rng.choice(_WORDS)
+        _touch(f"{root}/crops/{name}")
+        expected.append({"img_path": f"{root}/crops/{name}", "label": labels[name]})
+    with open(f"{root}/labels.json", "w") as f:
+        json.dump(labels, f)
+    return expected
+
+
+def fabricate_ocr(root: str, n_imgs: int = 4, seed: int = 5) -> list[dict]:
+    """OCRDataset label file: img -> typed_words with xyxy geometry; one
+    image is empty (the loader must keep it with zero boxes)."""
+    rng = random.Random(seed)
+    _mkdirs(f"{root}/images")
+    data: dict = {}
+    expected = []
+    for i in range(n_imgs):
+        name = f"scan_{i:03d}.png"
+        words = [] if i == n_imgs - 1 else _gen_words(rng, 3)
+        data[name] = {
+            "typed_words": [{"geometry": b, "value": t} for t, b in words]
+        }
+        _touch(f"{root}/images/{name}")
+        expected.append(
+            {
+                "img_path": f"{root}/images/{name}",
+                "boxes": [b for _, b in words],
+                "labels": [t for t, _ in words],
+            }
+        )
+    with open(f"{root}/labels.json", "w") as f:
+        json.dump(data, f)
+    return expected

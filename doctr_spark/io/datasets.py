@@ -1,0 +1,352 @@
+"""Dataset annotation loaders as distributed Spark readers.
+
+The reference ships one Python class per public OCR dataset that walks the
+extracted archive on a single machine, parses per-image annotation files,
+and yields (image, target) pairs (`doctr/datasets/funsd.py:1-124`,
+`cord.py:1-133`, `sroie.py:1-113`, `detection.py:1-100`,
+`recognition.py:1-57`, `ocr.py:1-71`). Here each loader is a DataFrame
+reader over the same on-disk annotation formats: annotation parsing runs
+distributed (`spark.read.json` / wholetext + `from_json`, all native
+expressions — no Python UDFs), images stay referenced by path so a
+1000-executor job can join them lazily against an image store instead of
+materializing pixels through the driver.
+
+Every loader returns one row per image:
+
+    img_path: string          -- absolute path of the referenced image
+    boxes:    array<array<double>>
+                               -- [xmin,ymin,xmax,ymax] per word, or the 4
+                                  [x,y] corners when use_polygons=True
+    labels:   array<string>   -- per-box word transcriptions (or polygon
+                                  class names for the detection format)
+
+matching the reference target contract `dict(boxes=..., labels=...)`.
+Missing-image existence checks are a join against the image listing at
+scale, not a per-row driver stat; loaders therefore do not stat files.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F  # noqa: N812
+from pyspark.sql import types as T  # noqa: N812
+
+# the reference's single-class marker for list-form detection labels
+# (doctr/file_utils.py:11)
+CLASS_NAME = "words"
+
+
+def _stem(col: Column) -> Column:
+    return F.regexp_extract(col, r"([^/]+)\.[A-Za-z0-9]+$", 1)
+
+
+def _xyxy_to_corners(box: Column) -> Column:
+    """[xmin,ymin,xmax,ymax] -> 4 clockwise-from-top-left [x,y] corners
+    (the reference's use_polygons expansion, funsd.py:95-104)."""
+    return F.array(
+        F.array(box[0], box[1]),
+        F.array(box[2], box[1]),
+        F.array(box[2], box[3]),
+        F.array(box[0], box[3]),
+    )
+
+
+def _assemble(words: DataFrame, use_polygons: bool) -> DataFrame:
+    """(img_path, ord, box, label) word rows -> one row per image with
+    order-preserving boxes/labels arrays (sort_array over a keyed struct
+    keeps the annotation-file order deterministic after the shuffle)."""
+    packed = words.groupBy("img_path").agg(
+        F.sort_array(F.collect_list(F.struct("ord", "box", "label"))).alias("ws")
+    )
+    return packed.select(
+        "img_path",
+        F.transform(
+            "ws", lambda w: _xyxy_to_corners(w["box"]) if use_polygons else w["box"]
+        ).alias("boxes"),
+        F.transform("ws", lambda w: w["label"]).alias("labels"),
+    )
+
+
+_FUNSD_SCHEMA = T.StructType(
+    [
+        T.StructField(
+            "form",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField(
+                            "words",
+                            T.ArrayType(
+                                T.StructType(
+                                    [
+                                        T.StructField("text", T.StringType()),
+                                        T.StructField("box", T.ArrayType(T.DoubleType())),
+                                    ]
+                                )
+                            ),
+                        )
+                    ]
+                )
+            ),
+        )
+    ]
+)
+
+
+def load_funsd(
+    spark: SparkSession, root: str, train: bool = True, use_polygons: bool = False
+) -> DataFrame:
+    """FUNSD: per-image `annotations/<stem>.json` with form blocks of words
+    (reference `doctr/datasets/funsd.py:70-124`). Empty-text words are
+    dropped; order is (block, word) within the file."""
+    sub = "training_data" if train else "testing_data"
+    base = f"{root}/dataset/{sub}"
+    ann = (
+        spark.read.schema(_FUNSD_SCHEMA)
+        .option("multiLine", "true")
+        .json(f"{base}/annotations/*.json")
+        .withColumn("stem", _stem(F.input_file_name()))
+    )
+    words = (
+        ann.select("stem", F.posexplode("form").alias("bi", "block"))
+        .select("stem", "bi", F.posexplode("block.words").alias("wi", "word"))
+        .where(F.length("word.text") > 0)
+        .select(
+            F.concat(F.lit(f"{base}/images/"), F.col("stem"), F.lit(".png")).alias("img_path"),
+            (F.col("bi") * F.lit(100000) + F.col("wi")).alias("ord"),
+            F.col("word.box").alias("box"),
+            F.col("word.text").alias("label"),
+        )
+    )
+    return _assemble(words, use_polygons)
+
+
+_CORD_QUAD = T.StructType([T.StructField(k, T.DoubleType()) for k in
+                           ("x1", "x2", "x3", "x4", "y1", "y2", "y3", "y4")])  # fmt: skip
+_CORD_SCHEMA = T.StructType(
+    [
+        T.StructField(
+            "valid_line",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField(
+                            "words",
+                            T.ArrayType(
+                                T.StructType(
+                                    [
+                                        T.StructField("text", T.StringType()),
+                                        T.StructField("quad", _CORD_QUAD),
+                                    ]
+                                )
+                            ),
+                        )
+                    ]
+                )
+            ),
+        )
+    ]
+)
+
+
+def load_cord(
+    spark: SparkSession, root: str, train: bool = True, use_polygons: bool = False
+) -> DataFrame:
+    """CORD: per-image `json/<stem>.json` with valid_line word quads
+    (reference `doctr/datasets/cord.py:75-133`). Straight boxes reduce the
+    8 quad coords to min/max; polygons keep the 4 corners as-is."""
+    del train  # train/test split is two separate archives with one layout
+    q = F.col("word.quad")
+    xs = F.array(q["x1"], q["x2"], q["x3"], q["x4"])
+    ys = F.array(q["y1"], q["y2"], q["y3"], q["y4"])
+    ann = (
+        spark.read.schema(_CORD_SCHEMA)
+        .option("multiLine", "true")
+        .json(f"{root}/json/*.json")
+        .withColumn("stem", _stem(F.input_file_name()))
+    )
+    words = (
+        ann.select("stem", F.posexplode("valid_line").alias("li", "line"))
+        .select("stem", "li", F.posexplode("line.words").alias("wi", "word"))
+        .where(F.length("word.text") > 0)
+        .select(
+            F.concat(F.lit(f"{root}/image/"), F.col("stem"), F.lit(".png")).alias("img_path"),
+            (F.col("li") * F.lit(100000) + F.col("wi")).alias("ord"),
+            (
+                F.array(
+                    F.array(q["x1"], q["y1"]),
+                    F.array(q["x2"], q["y2"]),
+                    F.array(q["x3"], q["y3"]),
+                    F.array(q["x4"], q["y4"]),
+                )
+                if use_polygons
+                else F.array(F.array_min(xs), F.array_min(ys), F.array_max(xs), F.array_max(ys))
+            ).alias("box"),
+            F.col("word.text").alias("label"),
+        )
+    )
+    # CORD quads are already polygons; _assemble must not re-expand them
+    return _assemble(words, use_polygons=False)
+
+
+def load_sroie(
+    spark: SparkSession, root: str, train: bool = True, use_polygons: bool = False
+) -> DataFrame:
+    """SROIE: per-image `annotations/<stem>.txt`, one CSV row per word:
+    8 int corner coords then the transcription, which may itself contain
+    commas (reference `doctr/datasets/sroie.py:85-113` keeps row[8:]
+    rejoined). Files are read wholetext so line order is preserved."""
+    del train
+    lines = (
+        spark.read.text(f"{root}/annotations/*.txt", wholetext=True)
+        .withColumn("stem", _stem(F.input_file_name()))
+        .select("stem", F.posexplode(F.split("value", "\n")).alias("ord", "row"))
+        .where(F.length(F.trim("row")) > 0)
+    )
+    parts = F.split("row", ",", 9)  # limit keeps commas inside the label
+    corners = F.transform(
+        F.sequence(F.lit(0), F.lit(3)),
+        lambda i: F.array(
+            F.get(parts, i * 2).cast("double"), F.get(parts, i * 2 + 1).cast("double")
+        ),
+    )
+    xs = F.transform(corners, lambda c: c[0])
+    ys = F.transform(corners, lambda c: c[1])
+    words = lines.select(
+        F.concat(F.lit(f"{root}/images/"), F.col("stem"), F.lit(".jpg")).alias("img_path"),
+        F.col("ord").cast("long").alias("ord"),
+        (
+            corners
+            if use_polygons
+            else F.array(F.array_min(xs), F.array_min(ys), F.array_max(xs), F.array_max(ys))
+        ).alias("box"),
+        parts[8].alias("label"),
+    )
+    return _assemble(words, use_polygons=False)
+
+
+_POLY = T.ArrayType(T.ArrayType(T.ArrayType(T.DoubleType())))  # (N, 4, 2)
+
+
+def load_detection_dataset(
+    spark: SparkSession, img_folder: str, label_path: str, use_polygons: bool = False
+) -> DataFrame:
+    """DetectionDataset: ONE labels.json mapping img name -> {"polygons":
+    list | {class: list}} (reference `doctr/datasets/detection.py:56-93`).
+    Both label shapes parse natively: the file is read wholetext and
+    `from_json` is applied twice (list-form and dict-form schemas), the
+    non-null parse winning per image. `labels` carries the per-polygon
+    class name (the reference's single-class marker for list form)."""
+    list_schema = T.MapType(
+        T.StringType(), T.StructType([T.StructField("polygons", _POLY)])
+    )
+    dict_schema = T.MapType(
+        T.StringType(),
+        T.StructType([T.StructField("polygons", T.MapType(T.StringType(), _POLY))]),
+    )
+    raw = spark.read.text(label_path, wholetext=True)
+    per_img = raw.select(
+        F.explode(F.from_json("value", list_schema)).alias("img_name", "as_list"),
+    ).join(
+        raw.select(F.explode(F.from_json("value", dict_schema)).alias("img_name", "as_dict")),
+        "img_name",
+        "left",
+    )
+    # dict-form polygons flatten to (class, polygon) pairs; list form tags
+    # every polygon with the reference's CLASS_NAME
+    pairs = per_img.select(
+        "img_name",
+        F.when(
+            F.col("as_list.polygons").isNotNull(),
+            F.transform(
+                "as_list.polygons", lambda p: F.struct(F.lit(CLASS_NAME).alias("cls"), p.alias("poly"))
+            ),
+        )
+        .otherwise(
+            F.flatten(
+                F.transform(
+                    F.map_entries("as_dict.polygons"),
+                    lambda e: F.transform(
+                        e["value"], lambda p: F.struct(e["key"].alias("cls"), p.alias("poly"))
+                    ),
+                )
+            )
+        )
+        .alias("ps"),
+    )
+    geom = (
+        (lambda p: p)
+        if use_polygons
+        else (
+            lambda p: F.array(
+                F.array_min(F.transform(p, lambda c: c[0])),
+                F.array_min(F.transform(p, lambda c: c[1])),
+                F.array_max(F.transform(p, lambda c: c[0])),
+                F.array_max(F.transform(p, lambda c: c[1])),
+            )
+        )
+    )
+    return pairs.select(
+        F.concat(F.lit(f"{img_folder}/"), F.col("img_name")).alias("img_path"),
+        F.transform("ps", lambda s: geom(s["poly"])).alias("boxes"),
+        F.transform("ps", lambda s: s["cls"]).alias("labels"),
+    )
+
+
+def load_recognition_dataset(
+    spark: SparkSession, img_folder: str, labels_path: str
+) -> DataFrame:
+    """RecognitionDataset: ONE labels.json mapping crop image name -> label
+    string (reference `doctr/datasets/recognition.py:31-47`). Returns
+    (img_path, label) rows."""
+    return (
+        spark.read.text(labels_path, wholetext=True)
+        .select(
+            F.explode(F.from_json("value", T.MapType(T.StringType(), T.StringType()))).alias(
+                "img_name", "label"
+            )
+        )
+        .select(
+            F.concat(F.lit(f"{img_folder}/"), F.col("img_name")).alias("img_path"),
+            "label",
+        )
+    )
+
+
+def load_ocr_dataset(
+    spark: SparkSession, img_folder: str, label_file: str, use_polygons: bool = False
+) -> DataFrame:
+    """OCRDataset: ONE label file mapping img name -> {"typed_words":
+    [{"geometry": [xmin,ymin,xmax,ymax,...], "value": str}]} (reference
+    `doctr/datasets/ocr.py:34-71`); empty images keep an empty boxes row."""
+    schema = T.MapType(
+        T.StringType(),
+        T.StructType(
+            [
+                T.StructField(
+                    "typed_words",
+                    T.ArrayType(
+                        T.StructType(
+                            [
+                                T.StructField("geometry", T.ArrayType(T.DoubleType())),
+                                T.StructField("value", T.StringType()),
+                            ]
+                        )
+                    ),
+                )
+            ]
+        ),
+    )
+    box = lambda g: F.slice(g, 1, 4)  # noqa: E731
+    return (
+        spark.read.text(label_file, wholetext=True)
+        .select(F.explode(F.from_json("value", schema)).alias("img_name", "ann"))
+        .select(
+            F.concat(F.lit(f"{img_folder}/"), F.col("img_name")).alias("img_path"),
+            F.transform(
+                "ann.typed_words",
+                lambda w: _xyxy_to_corners(box(w["geometry"])) if use_polygons else box(w["geometry"]),
+            ).alias("boxes"),
+            F.transform("ann.typed_words", lambda w: w["value"]).alias("labels"),
+        )
+    )

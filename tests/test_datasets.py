@@ -1,0 +1,116 @@
+"""Dataset annotation loaders vs fabricated miniature archives (the
+reference's own loader-test strategy: tests/conftest.py:113-838 +
+tests/pytorch/test_datasets_pt.py)."""
+
+from __future__ import annotations
+
+import pytest
+
+from doctr_spark.fixtures import archives
+from doctr_spark.io import datasets as ds
+
+
+def _by_img(rows):
+    return {r["img_path"]: r for r in rows}
+
+
+def _collect(df):
+    return {r["img_path"]: r.asDict() for r in df.collect()}
+
+
+def test_funsd_loader(spark, tmp_path):
+    root = str(tmp_path / "funsd")
+    expected = _by_img(archives.fabricate_funsd(root))
+    got = _collect(ds.load_funsd(spark, root, train=True))
+    assert set(got) == set(expected)
+    for p, exp in expected.items():
+        assert got[p]["labels"] == exp["labels"]
+        assert [list(b) for b in got[p]["boxes"]] == exp["boxes"]
+
+
+def test_funsd_polygons_mode(spark, tmp_path):
+    root = str(tmp_path / "funsd")
+    expected = _by_img(archives.fabricate_funsd(root))
+    got = _collect(ds.load_funsd(spark, root, use_polygons=True))
+    for p, exp in expected.items():
+        for corners, (x0, y0, x1, y1) in zip(got[p]["boxes"], exp["boxes"]):
+            assert [list(c) for c in corners] == [[x0, y0], [x1, y0], [x1, y1], [x0, y1]]
+
+
+def test_cord_loader_reduces_quads(spark, tmp_path):
+    root = str(tmp_path / "cord")
+    expected = _by_img(archives.fabricate_cord(root))
+    got = _collect(ds.load_cord(spark, root))
+    assert set(got) == set(expected)
+    for p, exp in expected.items():
+        assert got[p]["labels"] == exp["labels"]
+        assert [list(b) for b in got[p]["boxes"]] == exp["boxes"]
+
+
+def test_sroie_loader_keeps_commas_and_order(spark, tmp_path):
+    root = str(tmp_path / "sroie")
+    expected = _by_img(archives.fabricate_sroie(root))
+    got = _collect(ds.load_sroie(spark, root))
+    assert set(got) == set(expected)
+    for p, exp in expected.items():
+        assert got[p]["labels"] == exp["labels"]  # first label has ", inc"
+        assert [list(b) for b in got[p]["boxes"]] == exp["boxes"]
+    assert any("," in lbl for r in expected.values() for lbl in r["labels"])
+
+
+def test_detection_dataset_both_label_shapes(spark, tmp_path):
+    root = str(tmp_path / "det")
+    expected = _by_img(archives.fabricate_detection(root))
+    got = _collect(ds.load_detection_dataset(spark, f"{root}/images", f"{root}/labels.json"))
+    assert set(got) == set(expected)
+    for p, exp in expected.items():
+        assert got[p]["labels"] == exp["labels"]
+        assert [list(b) for b in got[p]["boxes"]] == exp["boxes"]
+    # both the list form ('words') and the dict form (explicit classes) parsed
+    all_classes = {c for r in got.values() for c in r["labels"]}
+    assert "words" in all_classes and {"title", "body"} <= all_classes
+
+
+def test_detection_dataset_polygons(spark, tmp_path):
+    root = str(tmp_path / "det")
+    expected = _by_img(archives.fabricate_detection(root))
+    got = _collect(
+        ds.load_detection_dataset(root + "/images", f"{root}/labels.json")
+        if False
+        else ds.load_detection_dataset(spark, f"{root}/images", f"{root}/labels.json", use_polygons=True)
+    )
+    for p, exp in expected.items():
+        for poly, (x0, y0, x1, y1) in zip(got[p]["boxes"], exp["boxes"]):
+            assert [list(c) for c in poly] == [[x0, y0], [x1, y0], [x1, y1], [x0, y1]]
+
+
+def test_recognition_dataset(spark, tmp_path):
+    root = str(tmp_path / "reco")
+    expected = archives.fabricate_recognition(root)
+    got = {r["img_path"]: r["label"] for r in ds.load_recognition_dataset(
+        spark, f"{root}/crops", f"{root}/labels.json"
+    ).collect()}  # fmt: skip
+    assert got == {e["img_path"]: e["label"] for e in expected}
+
+
+def test_ocr_dataset_keeps_empty_images(spark, tmp_path):
+    root = str(tmp_path / "ocr")
+    expected = _by_img(archives.fabricate_ocr(root))
+    got = _collect(ds.load_ocr_dataset(spark, f"{root}/images", f"{root}/labels.json"))
+    assert set(got) == set(expected)
+    empties = [p for p, e in expected.items() if not e["labels"]]
+    assert empties and all(got[p]["boxes"] == [] and got[p]["labels"] == [] for p in empties)
+    for p, exp in expected.items():
+        assert got[p]["labels"] == exp["labels"]
+        assert [list(b) for b in got[p]["boxes"]] == exp["boxes"]
+
+
+@pytest.mark.parametrize("loader", ["funsd", "cord", "sroie"])
+def test_loaders_are_deterministic(spark, tmp_path, loader):
+    root = str(tmp_path / loader)
+    fab = getattr(archives, f"fabricate_{loader}")
+    fab(root)
+    fn = getattr(ds, f"load_{loader}")
+    a = sorted(map(str, fn(spark, root).collect()))
+    b = sorted(map(str, fn(spark, root).collect()))
+    assert a == b
