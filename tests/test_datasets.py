@@ -75,9 +75,7 @@ def test_detection_dataset_polygons(spark, tmp_path):
     root = str(tmp_path / "det")
     expected = _by_img(archives.fabricate_detection(root))
     got = _collect(
-        ds.load_detection_dataset(root + "/images", f"{root}/labels.json")
-        if False
-        else ds.load_detection_dataset(spark, f"{root}/images", f"{root}/labels.json", use_polygons=True)
+        ds.load_detection_dataset(spark, f"{root}/images", f"{root}/labels.json", use_polygons=True)
     )
     for p, exp in expected.items():
         for poly, (x0, y0, x1, y1) in zip(got[p]["boxes"], exp["boxes"]):
@@ -114,3 +112,67 @@ def test_loaders_are_deterministic(spark, tmp_path, loader):
     a = sorted(map(str, fn(spark, root).collect()))
     b = sorted(map(str, fn(spark, root).collect()))
     assert a == b
+
+
+def test_svt_xml_loader(spark, tmp_path):
+    root = str(tmp_path / "svt")
+    expected = _by_img(archives.fabricate_svt(root))
+    got = _collect(ds.load_svt(spark, root, train=True))
+    assert set(got) == set(expected)
+    for p, exp in expected.items():
+        assert got[p]["labels"] == exp["labels"]
+        assert [list(b) for b in got[p]["boxes"]] == exp["boxes"]
+
+
+def test_ic13_loader(spark, tmp_path):
+    root = str(tmp_path / "ic13")
+    expected = _by_img(archives.fabricate_ic13(root))
+    got = _collect(ds.load_ic13(spark, f"{root}/images", f"{root}/gt"))
+    assert set(got) == set(expected)
+    for p, exp in expected.items():
+        assert got[p]["labels"] == exp["labels"]
+        assert [list(b) for b in got[p]["boxes"]] == exp["boxes"]
+
+
+def test_wildreceipt_jsonl_loader(spark, tmp_path):
+    root = str(tmp_path / "wild")
+    expected = _by_img(archives.fabricate_wildreceipt(root))
+    got = _collect(ds.load_wildreceipt(spark, f"{root}/images", f"{root}/train.txt"))
+    assert set(got) == set(expected)
+    for p, exp in expected.items():
+        assert got[p]["labels"] == exp["labels"]
+        assert [list(b) for b in got[p]["boxes"]] == exp["boxes"]
+
+
+def test_coco_text_split_and_legibility(spark, tmp_path):
+    root = str(tmp_path / "coco")
+    expected = _by_img(archives.fabricate_coco_text(root))
+    got = _collect(
+        ds.load_coco_text(spark, f"{root}/images", f"{root}/cocotext.json", train=True)
+    )
+    # the test-set image is absent, the illegible annotation dropped
+    assert set(got) == set(expected)
+    for p, exp in expected.items():
+        assert got[p]["labels"] == exp["labels"]
+        assert [list(b) for b in got[p]["boxes"]] == exp["boxes"]
+
+
+def test_mjsynth_filename_labels(spark, tmp_path):
+    root = str(tmp_path / "mj")
+    expected = archives.fabricate_mjsynth(root)
+    got = {r["img_path"]: r["label"] for r in ds.load_mjsynth(
+        spark, f"{root}/imgs", f"{root}/imlist.txt"
+    ).collect()}  # fmt: skip
+    assert got == {e["img_path"]: e["label"] for e in expected}
+
+
+def test_imgur5k_rotated_boxes(spark, tmp_path):
+    root = str(tmp_path / "imgur")
+    expected = _by_img(archives.fabricate_imgur5k(root))
+    got = _collect(ds.load_imgur5k(spark, f"{root}/images", f"{root}/labels.json"))
+    assert set(got) == set(expected)
+    for p, exp in expected.items():
+        assert got[p]["labels"] == exp["labels"]  # '.' placeholder dropped
+        for poly, exp_poly in zip(got[p]["boxes"], exp["boxes"]):
+            for c, ec in zip(poly, exp_poly):
+                assert list(c) == pytest.approx(ec, abs=1e-9)
