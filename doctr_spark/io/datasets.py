@@ -581,3 +581,22 @@ def load_imgur5k(
         w["word"].alias("label"),
     )
     return _assemble(words, use_polygons=False)
+
+
+def _gated_mat_loader(name: str, fmt: str, ref: str):
+    def _loader(*args, **kwargs):
+        raise NotImplementedError(
+            f"{name} annotations ship as {fmt}, which needs scipy/h5py — absent in this "
+            f"environment. The parse contract is documented at reference {ref}; once the "
+            "lib is present the rows feed the same _assemble() path as the other loaders."
+        )
+
+    _loader.__name__ = f"load_{name.lower()}"
+    _loader.__doc__ = f"GATED: {name} ({fmt}) — scipy/h5py not available here (see {ref})."
+    return _loader
+
+
+# binary-container annotation formats: gated on missing scientific-IO libs
+load_svhn = _gated_mat_loader("SVHN", "HDF5 digitStruct.mat", "doctr/datasets/svhn.py:62-120")
+load_synthtext = _gated_mat_loader("SynthText", "MATLAB gt.mat", "doctr/datasets/synthtext.py:60-118")
+load_iiit5k = _gated_mat_loader("IIIT5K", "MATLAB trainCharBound.mat", "doctr/datasets/iiit5k.py:60-106")
