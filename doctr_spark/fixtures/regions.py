@@ -7,7 +7,7 @@ LW-DETR-stand-in layout predictor
 (`kernels.layout.detect_layout_regions`; reference DocLayNet class surface
 `doctr/models/layout/lw_detr/pytorch.py:36-51`) is oracle-checked against
 drawn ground truth, the same staging pattern as the artefact fixture.
-Covers 10 of the 11 DocLayNet classes (all but Formula).
+Covers all 11 DocLayNet classes (formula = a drawn fraction bar).
 """
 
 from __future__ import annotations
@@ -33,18 +33,19 @@ REGION_GT_SCHEMA = (
 # taller page so every class fits; fixed vertical slots, every pair of
 # neighbors separated by >= 2 blank rows (band split criterion) except the
 # caption slots, which HUG their float (gap <= 6 px, the caption cue)
-REGION_PAGE_H = 320
-_SLOT_HEADER_Y = 10  # ends at 26 <= 0.12 * 320
+REGION_PAGE_H = 360
+_SLOT_HEADER_Y = 10  # ends at 26 <= 0.12 * 360
 _SLOT_TITLE_Y = 44  # centered, narrow
 _SLOT_SECTION_Y = 70
 _SLOT_TEXT_Y = 96
 _SLOT_LIST_Y = 120
-_SLOT_TABLE = (144, 176)
-_SLOT_CAPTION_T_Y = 180  # 4 px under the table -> caption
-_SLOT_PICTURE_Y = 204  # band must be >= 32 rows tall for the picture check
-_SLOT_CAPTION_P_Y = 240  # 4 px under the photo -> caption
-_SLOT_FOOTNOTE_Y = 264  # y1 280 > 0.7 * 320, starts with "[n]"
-_SLOT_FOOTER_Y = 288  # starts at >= 0.88 * 320
+_SLOT_FORMULA_Y = 140  # fraction bar: ink above AND below one rule
+_SLOT_TABLE = (184, 216)
+_SLOT_CAPTION_T_Y = 220  # 4 px under the table -> caption
+_SLOT_PICTURE_Y = 244  # band must be >= 32 rows tall for the picture check
+_SLOT_CAPTION_P_Y = 280  # 4 px under the photo -> caption
+_SLOT_FOOTNOTE_Y = 304  # y1 320 > 0.7 * 360, starts with "[n]"
+_SLOT_FOOTER_Y = 328  # starts at >= 0.88 * 360
 
 
 def _ink_bbox(canvas: np.ndarray, y_lo: int, y_hi: int) -> tuple[int, int, int, int]:
@@ -94,6 +95,19 @@ def gen_region_page(rng: np.random.Generator) -> tuple[np.ndarray, list[tuple[st
         canvas[_SLOT_LIST_Y : _SLOT_LIST_Y + 16, 20:22] = RULING_INK
         _draw_line(canvas, 30, _SLOT_LIST_Y, _words(rng, 2, 5))
         add("list_item", _SLOT_LIST_Y, _SLOT_LIST_Y + 16)
+
+    if rng.random() < 0.7:
+        # formula: numerator word, fraction bar, denominator word — one
+        # contiguous band (no 2-blank-row split) with ink above and below
+        # the single rule
+        fy = _SLOT_FORMULA_Y
+        num = _rand_word(rng)[:5] or "a"
+        den = _rand_word(rng)[:5] or "b"
+        bar_w = max(word_width(num), word_width(den)) + 8
+        draw_word(canvas, 204, fy, num)
+        canvas[fy + 16 : fy + 19, 200 : 200 + bar_w] = RULING_INK
+        draw_word(canvas, 204, fy + 19, den)
+        add("formula", fy, fy + 35)
 
     if rng.random() < 0.7:
         ty0, ty1 = _SLOT_TABLE

@@ -13,9 +13,10 @@
   (grid -> table, single underline -> section_header, left gutter bar ->
   list_item), artefact-dominated bands -> picture, a centered narrow top
   band -> title, a text band hugging a float band -> caption, a bottom
-  band opening with a bracketed digit marker -> footnote (the classic
-  rule-based layout-analysis cues). Covers 10 of the 11 DocLayNet classes
-  (all but Formula) and drives the role handling in reading order,
+  band opening with a bracketed digit marker -> footnote, a single rule
+  with ink above AND below -> fraction bar -> formula (the classic
+  rule-based layout-analysis cues). Covers all 11 DocLayNet classes
+  and drives the role handling in reading order,
   caption attachment, list-item grouping, and the furniture filter with
   real geometry.
 """
@@ -69,20 +70,27 @@ def _true_runs(mask: np.ndarray) -> int:
     return int(((np.diff(m) == 1).sum()) + int(m[0] == 1))
 
 
-def _ruled_band_label(ruled: np.ndarray) -> str:
+def _ruled_band_label(ruled: np.ndarray, ink: np.ndarray) -> str:
     """Classify a band containing ruling-intensity ink by its structure:
 
     * >= 2 horizontal rules, or a horizontal + a vertical rule -> grid ->
       ``table``;
-    * exactly one horizontal rule (the underline beneath the text) ->
-      ``section_header``;
+    * exactly one horizontal rule with text ink BOTH above and below it ->
+      a fraction bar -> ``formula``;
+    * exactly one horizontal rule otherwise (the underline beneath the
+      text) -> ``section_header``;
     * only a vertical rule (the left gutter bar) -> ``list_item``.
     """
-    row_runs = _true_runs(ruled.mean(axis=1) > 0.5)
+    rule_rows = ruled.mean(axis=1) > 0.5
+    row_runs = _true_runs(rule_rows)
     col_runs = _true_runs(ruled.mean(axis=0) > 0.5)
     if row_runs >= 2 or (row_runs >= 1 and col_runs >= 1):
         return "table"
     if row_runs == 1:
+        ink_rows = np.flatnonzero(ink.any(axis=1))
+        rr = np.flatnonzero(rule_rows)
+        if ink_rows.size and ink_rows[0] < rr[0] and ink_rows[-1] > rr[-1]:
+            return "formula"
         return "section_header"
     if col_runs >= 1:
         return "list_item"
@@ -142,7 +150,7 @@ def detect_layout_regions(page: np.ndarray) -> dict[str, Any]:
             if is_picture:
                 name = "picture"
             elif ruling[y0:y1, x0:x1].any():
-                name = _ruled_band_label(ruling[y0:y1, x0:x1])
+                name = _ruled_band_label(ruling[y0:y1, x0:x1], ink[y0:y1, x0:x1])
             elif y1 <= 0.12 * h:
                 name = "page_header"
             elif y0 >= 0.88 * h:

@@ -165,6 +165,26 @@ def test_ruled_band_labels():
     assert regions["class_names"] == ["section_header", "list_item", "table"]
 
 
+def test_formula_vs_section_header():
+    import numpy as np
+
+    from doctr_spark.config import PAGE_H, PAGE_W, RULING_INK
+    from doctr_spark.kernels.glyphs import draw_word
+    from doctr_spark.kernels.layout import detect_layout_regions
+
+    canvas = np.zeros((PAGE_H, PAGE_W), dtype=np.uint8)
+    # formula: numerator over a fraction bar over a denominator — ONE rule
+    # with ink on both sides stays one contiguous band
+    draw_word(canvas, 204, 40, "ab")
+    canvas[56:59, 200:240] = RULING_INK
+    draw_word(canvas, 204, 59, "cd")
+    # section header further down: same single rule but text only above
+    draw_word(canvas, 24, 120, "intro")
+    canvas[136:138, 24:60] = RULING_INK
+    regions = detect_layout_regions(canvas)
+    assert regions["class_names"] == ["formula", "section_header"]
+
+
 def test_reading_segments_break_on_section_header():
     from doctr_spark.kernels.reading_order import resolve_reading_segments
 
