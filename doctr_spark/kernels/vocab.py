@@ -18,14 +18,58 @@ PUNCTUATION = "!\"#$%&'()*+,-./:;<=>?@[\\]^_`{|}~"
 # the currency tail is dropped to stay within the 7-bit glyph code space.
 LATIN1_ACCENTS = "àâéèêëîïôùûüçÀÂÉÈÊËÎÏÔÙÛÜÇ"
 
+CURRENCY = "£€¥¢฿"
+
 VOCABS: dict[str, str] = {
     "digits": DIGITS,
     "ascii_letters": ASCII_LOWER + ASCII_UPPER,
     "punctuation": PUNCTUATION,
+    "currency": CURRENCY,
     "latin": DIGITS + ASCII_LOWER + ASCII_UPPER + PUNCTUATION,
-    # the engine default (120 chars, fits in 7 bits with room for blank)
+    # the engine RENDER default (120 chars, fits in 7 bits with room for
+    # blank); the reference's french composite additionally carries the
+    # degree sign + currency tail, which the glyph code space cannot hold
     "french": DIGITS + ASCII_LOWER + ASCII_UPPER + PUNCTUATION + LATIN1_ACCENTS,
 }
+VOCABS["english"] = VOCABS["latin"] + "°" + CURRENCY
+
+# Latin-family composites, composed by the reference's rule (vocabs.py:
+# 238-350): english minus language-absent letters plus the language's
+# accent set (and currency where the locale has one). Any of these works
+# with translate/encode/decode; only the render default must fit 7 bits.
+_LANG_EXT: dict[str, tuple[str, str]] = {
+    "albanian": ("", "çëÇË"),
+    "afrikaans": ("", "èëïîôûêÈËÏÎÔÛÊ"),
+    "basque": ("", "ñçÑÇ"),
+    "bosnian": ("QqWwXxYy", "čćđšžČĆĐŠŽ"),
+    "catalan": ("", "àèéíïòóúüçÀÈÉÍÏÒÓÚÜÇ"),
+    "croatian": ("", "ČčĆćĐđŠšŽž"),
+    "czech": ("", "áčďéěíňóřšťúůýžÁČĎÉĚÍŇÓŘŠŤÚŮÝŽ"),
+    "danish": ("", "æøåÆØÅ"),
+    "dutch": ("", "áéíóúüñÁÉÍÓÚÜÑ"),
+    "estonian": ("", "šžõäöüŠŽÕÄÖÜ"),
+    "finnish": ("", "äöÄÖ"),
+    "german": ("", "äöüßÄÖÜẞ"),
+    "hungarian": ("", "áéíóöúüÁÉÍÓÖÚÜ"),
+    "irish": ("", "áéíóúÁÉÍÓÚ"),
+    "italian": ("", "àèéìíîòóùúÀÈÉÌÍÎÒÓÙÚ"),
+    "norwegian": ("", "æøåÆØÅ"),
+    "polish": ("", "ąćęłńóśźżĄĆĘŁŃÓŚŹŻ"),
+    "portuguese": ("", "áàâãéêíïóôõúüçÁÀÂÃÉÊÍÏÓÔÕÚÜÇ"),
+    "romanian": ("", "ăâîșțĂÂÎȘȚ"),
+    "serbian_latin": ("", "čćđžšČĆĐŽŠ"),
+    "slovak": ("", "ôäčďľňšťžáéíĺóŕúýÔÄČĎĽŇŠŤŽÁÉÍĹÓŔÚÝ"),
+    "slovene": ("QqWwXxYy", "čćđšžČĆĐŠŽ"),
+    "spanish": ("", "áéíóúüñÁÉÍÓÚÜÑ¡¿"),
+    "swedish": ("", "åäöÅÄÖ"),
+    "turkish": ("QqWwXx", "çğıöşüâîûÇĞİÖŞÜÂÎÛ₺"),
+    "welsh": ("KkQqVvXxZz", "âêîôŵŷÂÊÎÔŴŶ"),
+}
+for _lang, (_drop, _extra) in _LANG_EXT.items():
+    _base = VOCABS["english"]
+    if _drop:
+        _base = "".join(c for c in _base if c not in set(_drop))
+    VOCABS[_lang] = _base + _extra
 
 DEFAULT_VOCAB = VOCABS["french"]
 

@@ -64,3 +64,20 @@ def test_accent_extraction_end_to_end(spark):
 
 def test_fold_text_preserves_structure():
     assert _fold_text("élan ça\n\n\n\nmot clé") == "elan ca\n\n\n\nmot cle"
+
+
+def test_language_vocab_composites():
+    """Latin-family composites follow the reference composition rule
+    (vocabs.py:238-350): english base minus absent letters plus accents."""
+    from doctr_spark.kernels.vocab import VOCABS, decode_sequence, encode_string
+
+    assert VOCABS["english"].startswith(VOCABS["latin"])
+    assert "ß" in VOCABS["german"] and "ñ" in VOCABS["spanish"]
+    # letter-dropping rule: slovene drops QWXY from the english base
+    assert not set("QqWwXxYy") & set(VOCABS["slovene"])
+    # every composite round-trips through the index codec
+    for lang in ("german", "spanish", "polish", "turkish", "portuguese"):
+        v = VOCABS[lang]
+        assert len(set(v)) == len(v)
+        probe = v[:5] + v[-5:]
+        assert decode_sequence(encode_string(probe, v), v) == probe
