@@ -59,7 +59,9 @@ def rectify_crop(crop: np.ndarray, angle: int) -> np.ndarray:
     return np.rot90(crop, -k) if k else crop
 
 
-def estimate_page_orientation(page: np.ndarray, max_samples: int = 8) -> tuple[int, float]:
+def estimate_page_orientation(
+    page: np.ndarray, max_samples: int = 8, upright_boxes: np.ndarray | None = None
+) -> tuple[int, float]:
     """Page-level orientation among {0, 90, 180, 270}.
 
     Reference analogue: the page orientation classifier + straighten loop
@@ -68,13 +70,21 @@ def estimate_page_orientation(page: np.ndarray, max_samples: int = 8) -> tuple[i
     straightening). Here each candidate rotation is scored by the mean
     glyph readability of up to ``max_samples`` detected word crops; upright
     pages short-circuit at score 1.0.
+
+    ``upright_boxes``: a default-threshold detection of ``page`` the caller
+    already has — scores the k=0 candidate without re-detecting (the detect
+    stage detects the page anyway; sharing that pass halves the per-page
+    detection cost for the upright common case).
     """
     from .detection import detect_words, extract_crops
 
     best_angle, best_score = 0, -1.0
     for k, angle in enumerate(ORIENTATIONS):
         candidate = np.rot90(page, -k) if k else page
-        abs_boxes, _, _ = detect_words(candidate)
+        if k == 0 and upright_boxes is not None:
+            abs_boxes = upright_boxes
+        else:
+            abs_boxes, _, _ = detect_words(candidate)
         if abs_boxes.shape[0] == 0:
             score = 0.0
         else:

@@ -68,6 +68,7 @@ def _make_detector(
             ):
                 img = decode_page(bytes(blob))
                 orient, orient_conf = 0, 1.0
+                pre_detect = None
                 if straighten_pages:
                     # fractional skew first (projection profile is readable
                     # at any right-angle orientation), then the 0/90/180/270
@@ -83,9 +84,20 @@ def _make_detector(
                             unrotate_image_resampled if is_resampled(img) else unrotate_image_shear
                         )
                         img = unrot(img, skew)
-                    orient, orient_conf = estimate_page_orientation(img)
+                    # the stage detects this page anyway: when the preset
+                    # matches the orientation scorer's default thresholds
+                    # (and no masking will alter the page), detect once and
+                    # share the pass with the k=0 candidate
+                    if (bin_thresh, box_thresh) == DET_PRESETS["db_like"] and not mask_region_labels:
+                        pre_detect = detect_words(img, bin_thresh=bin_thresh, box_thresh=box_thresh)
+                        orient, orient_conf = estimate_page_orientation(
+                            img, upright_boxes=pre_detect[0]
+                        )
+                    else:
+                        orient, orient_conf = estimate_page_orientation(img)
                     if orient:
                         img = straighten_page(img, orient)
+                        pre_detect = None
                 key = (
                     conv_id, int(turn_idx), int(page_idx),
                     int(img.shape[0]), int(img.shape[1]), orient, float(orient_conf),
@@ -97,8 +109,10 @@ def _make_detector(
                          if n in mask_region_labels]
                     ).reshape(-1, 4)  # fmt: skip
                     img = mask_regions(img, drop)
-                abs_boxes, rel_boxes, scores = detect_words(
-                    img, bin_thresh=bin_thresh, box_thresh=box_thresh
+                abs_boxes, rel_boxes, scores = (
+                    pre_detect
+                    if pre_detect is not None
+                    else detect_words(img, bin_thresh=bin_thresh, box_thresh=box_thresh)
                 )
                 tables = detect_table_structure(img)
                 if tables:
