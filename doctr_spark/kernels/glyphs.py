@@ -113,6 +113,43 @@ def read_codes(crop: np.ndarray) -> np.ndarray:
     return codes[valid]
 
 
+def read_codes_batch(batch: np.ndarray, widths: list[int]) -> list[np.ndarray]:
+    """Vectorized `read_codes` over a zero-padded (B, GLYPH_H, W_max) batch.
+
+    The crisp-aligned fast path (every real cell's marker bar complete)
+    computes for the whole batch in a handful of array ops instead of ~16
+    small numpy calls per crop; crops that need the +/-1 px offset search
+    (resampled ink — rare) fall back to the exact per-crop path. Output is
+    bit-identical to calling `read_codes(crop)` per unpadded crop."""
+    b, h, w_max = batch.shape
+    if h != GLYPH_H:
+        raise ValueError(f"recognition batch must be {GLYPH_H} px tall, got {h}")
+    n_max = w_max // GLYPH_W
+    if b == 0 or n_max == 0:
+        return [np.empty(0, dtype=np.int32) for _ in range(b)]
+    ns = np.asarray([w // GLYPH_W for w in widths], dtype=np.int64)
+    base = np.ascontiguousarray(batch[:, :, : n_max * GLYPH_W]).reshape(b, h, n_max, GLYPH_W)
+    amp = batch.max(axis=(1, 2)).astype(np.float64)
+    weak = np.maximum(1.0, _WEAK_FRAC * amp)
+    mid = np.maximum(1.0, _MID_FRAC * amp)
+    marker_rows = (base[:, :, :, 0] >= weak[:, None, None]).sum(axis=1)
+    real = np.arange(n_max)[None, :] < ns[:, None]
+    crisp = ((marker_rows == h) | ~real).all(axis=1)
+    codes_all = (
+        (base[:, :CODE_BITS, :, 1] >= mid[:, None, None]).astype(np.int32)
+        * _BIT_WEIGHTS[None, :, None]
+    ).sum(axis=1)
+    out: list[np.ndarray] = []
+    for i in range(b):
+        if ns[i] == 0 or amp[i] == 0:
+            out.append(np.empty(0, dtype=np.int32))
+        elif crisp[i]:
+            out.append(codes_all[i, : ns[i]])
+        else:
+            out.append(read_codes(batch[i, :, : widths[i]]))
+    return out
+
+
 _CROP_SCALES = (1, 2, 4)  # accepted scan resolutions (multiples of glyph scale)
 
 
@@ -155,10 +192,13 @@ def normalize_crop_height(crop: np.ndarray) -> np.ndarray | None:
     return None
 
 
-def forward_logits_attention(crop: np.ndarray, vocab: str = DEFAULT_VOCAB) -> np.ndarray:
+def forward_logits_attention(
+    crop: np.ndarray, vocab: str = DEFAULT_VOCAB, codes: np.ndarray | None = None
+) -> np.ndarray:
     """Attention-head forward (ViTSTR-style): one frame per character plus
     a terminating <eos> frame — no blanks, no repeats to collapse."""
-    codes = read_codes(crop)
+    if codes is None:
+        codes = read_codes(crop)
     codes = codes[codes < len(vocab)]  # non-glyph ink (photos, noise) can
     # encode out-of-vocab bit patterns; such cells are unreadable, not text
     c_plus_1 = len(vocab) + 1
@@ -169,14 +209,17 @@ def forward_logits_attention(crop: np.ndarray, vocab: str = DEFAULT_VOCAB) -> np
     return logits
 
 
-def forward_logits(crop: np.ndarray, vocab: str = DEFAULT_VOCAB) -> np.ndarray:
+def forward_logits(
+    crop: np.ndarray, vocab: str = DEFAULT_VOCAB, codes: np.ndarray | None = None
+) -> np.ndarray:
     """The recognition "model forward": crop -> (T, C+1) float32 logits.
 
     Emits two frames per decoded character followed by a blank frame, so the
     downstream CTC best-path collapse (repeat-merge + blank-strip) is
     exercised for real, including repeated characters.
     """
-    codes = read_codes(crop)
+    if codes is None:
+        codes = read_codes(crop)
     codes = codes[codes < len(vocab)]  # drop unreadable (out-of-vocab) cells
     c_plus_1 = len(vocab) + 1
     t = 3 * len(codes)

@@ -236,17 +236,19 @@ def forward_logits_batch(
     a full-height marker bar, so padding never fabricates characters — the
     stand-in decodes each row of the padded tensor at full width.
     """
-    from .glyphs import forward_logits_attention
+    from .glyphs import forward_logits_attention, read_codes_batch
 
     fwd = forward_logits_attention if arch == "attention" else forward_logits
     out: list[np.ndarray] = []
     for start in range(0, len(windows), RECO_BATCH):
         chunk = windows[start : start + RECO_BATCH]
         w_max = max(w.shape[1] for w in chunk)
+        widths = [w.shape[1] for w in chunk]
         batch = np.zeros((len(chunk), GLYPH_H, w_max), dtype=np.uint8)
         for i, w in enumerate(chunk):
             batch[i, :, : w.shape[1]] = w
-        out.extend(fwd(batch[i], vocab) for i in range(len(chunk)))
+        codes = read_codes_batch(batch, widths)
+        out.extend(fwd(batch[i], vocab, codes=codes[i]) for i in range(len(chunk)))
     return out
 
 
