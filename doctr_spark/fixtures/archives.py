@@ -379,3 +379,49 @@ def fabricate_imgur5k(root: str, n_imgs: int = 3, seed: int = 11) -> list[dict]:
     with open(f"{root}/labels.json", "w") as f:
         json.dump({"index_to_ann_map": idx_map, "ann_id": ann_map}, f)
     return expected
+
+
+def fabricate_ocr_rendered(root: str, n_imgs: int = 5, seed: int = 12) -> list[dict]:
+    """OCRDataset archive whose images are REAL engine-rendered PNG pages:
+    words drawn with the glyph font at the annotated boxes, so the full
+    read-images -> extract -> metrics loop (`tools/evaluate.py`, the
+    reference's scripts/evaluate.py flow) has exact expectations — every
+    word is detectable and decodes exactly."""
+    import numpy as np
+
+    from ..kernels.glyphs import draw_word, word_width
+    from ..kernels.png import encode_png
+
+    rng = random.Random(seed)
+    _mkdirs(f"{root}/images")
+    data: dict = {}
+    expected = []
+    for i in range(n_imgs):
+        name = f"page_{i:03d}.png"
+        canvas = np.zeros((120, 512), dtype=np.uint8)
+        typed, gt_words = [], []
+        y = 12
+        for _ in range(rng.randrange(2, 4)):  # lines
+            x = 16
+            for _ in range(rng.randrange(2, 4)):  # words per line
+                t = rng.choice(_WORDS)
+                if x + word_width(t) >= canvas.shape[1] - 4:
+                    break
+                box = draw_word(canvas, x, y, t)
+                typed.append({"geometry": [float(v) for v in box], "value": t})
+                gt_words.append(t)
+                x = box[2] + 12
+            y += 28
+        data[name] = {"typed_words": typed}
+        with open(f"{root}/images/{name}", "wb") as f:
+            f.write(encode_png(canvas))
+        expected.append(
+            {
+                "img_path": f"{root}/images/{name}",
+                "gt_text": " ".join(gt_words),
+                "n_words": len(gt_words),
+            }
+        )
+    with open(f"{root}/labels.json", "w") as f:
+        json.dump(data, f)
+    return expected
