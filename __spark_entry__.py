@@ -485,6 +485,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": dedup.simhash,
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
         "dedup_clusters": dedup.dedup_clusters,
+        "dedup_substring_spans": dedup.substring_spans,
+        "dedup_decontaminate": dedup.decontaminate,
         # similarity search
         "similarity_cosine_topk": similarity.cosine_topk,
         "similarity_lsh_ann": similarity.lsh_bucket_ann,
@@ -497,6 +499,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": text_analysis.fingerprint,
         "text_match_rates": text_analysis.match_rates,
         "text_quality_filter": text_analysis.quality_filter,
+        "text_pii_scrub": text_analysis.pii_scrub,
         # metrics
         "metric_box_iou": _metric_box_iou,
         "metric_localization": metric_localization,

@@ -422,3 +422,98 @@ ORACLES: dict[str, str] = {
     WHERE round(inter / (sa.n + sb.n - inter), 6) >= 0.5
     """,
 }
+
+
+# ---------------------------------------------------------------------------
+# repeated-span mining + benchmark decontamination
+# ---------------------------------------------------------------------------
+
+SPAN_K = 8  # tokens per span (the 8-gram of substring-dedup literature)
+SPAN_MIN_OCC = 3  # a span is "repeated" from this many occurrences
+SPAN_TOP = 100  # report the heaviest spans
+EVAL_MOD = 97  # doc_id % EVAL_MOD == 0 marks the held-out "benchmark" slice
+
+
+def _span_shingles(docs: DataFrame) -> DataFrame:
+    toks = F.split(F.col("text"), " ")
+    sh = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (SPAN_K - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, SPAN_K)),
+    )
+    return docs.where(F.size(toks) >= SPAN_K).select("doc_id", F.explode(sh).alias("span"))
+
+
+def substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-span mining (substring-level dedup, Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better"): the
+    corpus's most-repeated 8-token spans with occurrence and document
+    counts. One explode + one hash aggregation — linear in corpus tokens,
+    map-side combinable; the top-N boundary is made deterministic by the
+    (count, span) total order."""
+    sh = _span_shingles(_docs(spark, sf_dir))
+    return (
+        sh.groupBy("span")
+        .agg(
+            F.count("*").cast("long").alias("n_occurrences"),
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        )
+        .where(F.col("n_occurrences") >= SPAN_MIN_OCC)
+        .orderBy(F.col("n_occurrences").desc(), F.col("span"))
+        .limit(SPAN_TOP)
+    )
+
+
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    8-token span with a held-out "benchmark" slice (doc_id % 97 == 0 —
+    deterministic stand-in for an eval-set table). The eval span set is
+    tiny and broadcast; the corpus side is one explode + broadcast
+    semi-count, so a 100 TB corpus never shuffles on span."""
+    docs = _docs(spark, sf_dir)
+    eval_spans = (
+        _span_shingles(docs.where(F.col("doc_id") % EVAL_MOD == 0)).select("span").distinct()
+    )
+    train = docs.where(F.col("doc_id") % EVAL_MOD != 0)
+    hits = (
+        _span_shingles(train)
+        .join(F.broadcast(eval_spans), "span")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_hits"))
+    )
+    return train.join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+        (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
+    )
+
+
+_SPAN_CTE = f"""
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+), sp AS (
+    SELECT doc_id, array_to_string(ts[i:i+{SPAN_K - 1}], ' ') AS span
+    FROM toks, UNNEST(range(1, len(ts) - {SPAN_K - 2})) AS t(i)
+    WHERE len(ts) >= {SPAN_K}
+)
+"""
+
+ORACLES["dedup_substring_spans"] = _SPAN_CTE + f"""
+SELECT span, count(*)::BIGINT AS n_occurrences,
+       count(DISTINCT doc_id)::BIGINT AS n_docs
+FROM sp GROUP BY span HAVING count(*) >= {SPAN_MIN_OCC}
+ORDER BY n_occurrences DESC, span LIMIT {SPAN_TOP}
+"""
+
+ORACLES["dedup_decontaminate"] = _SPAN_CTE + f"""
+, ev AS (SELECT DISTINCT span FROM sp WHERE doc_id % {EVAL_MOD} = 0),
+hits AS (
+    SELECT sp.doc_id, count(*)::BIGINT AS n_hits
+    FROM sp JOIN ev USING (span)
+    WHERE sp.doc_id % {EVAL_MOD} != 0
+    GROUP BY sp.doc_id
+)
+SELECT d.doc_id, coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+       coalesce(h.n_hits, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+WHERE d.doc_id % {EVAL_MOD} != 0
+"""

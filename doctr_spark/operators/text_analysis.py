@@ -297,3 +297,53 @@ def _match_rates_oracle() -> str:
 
 
 ORACLES["text_match_rates"] = _match_rates_oracle()
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing
+# ---------------------------------------------------------------------------
+
+# the corpus is pre-cleaned tokens, so deterministic contact strings are
+# appended per document to exercise the scrubber on both engines identically
+_EMAIL_RE = r"[a-z0-9.]+@[a-z0-9.-]+\.[a-z]{2,}"
+_PHONE_RE = r"\+1-555-[0-9]{4}"
+
+
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: count and redact emails/phone numbers with native
+    regexp expressions (one codegen'd projection — pure map, no shuffle,
+    the shape a 100 TB scrub pass needs). The redacted text is exposed as
+    an md5 so the driver's row canonicalization stays cheap."""
+    d = _docs(spark, sf_dir)
+    synth = F.concat(
+        F.col("text"),
+        F.lit(" contact doc"),
+        F.col("doc_id").cast("string"),
+        F.lit("@corp.example.com or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(synth, _EMAIL_RE, "[EMAIL]"), _PHONE_RE, "[PHONE]"
+    )
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(synth, F.lit(_EMAIL_RE), 0)).cast("long").alias("n_emails"),
+        F.size(F.regexp_extract_all(synth, F.lit(_PHONE_RE), 0)).cast("long").alias("n_phones"),
+        F.md5(redacted).alias("redacted_md5"),
+    )
+
+
+ORACLES["text_pii_scrub"] = f"""
+WITH synth AS (
+    SELECT doc_id,
+           text || ' contact doc' || doc_id || '@corp.example.com or +1-555-' ||
+           lpad((doc_id % 10000)::VARCHAR, 4, '0') AS s
+    FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(s, '{_EMAIL_RE}'))::BIGINT AS n_emails,
+       len(regexp_extract_all(s, '{_PHONE_RE}'))::BIGINT AS n_phones,
+       md5(regexp_replace(regexp_replace(s, '{_EMAIL_RE}', '[EMAIL]', 'g'),
+                          '{_PHONE_RE}', '[PHONE]', 'g')) AS redacted_md5
+FROM synth
+"""
