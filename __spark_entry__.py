@@ -500,6 +500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_match_rates": text_analysis.match_rates,
         "text_quality_filter": text_analysis.quality_filter,
         "text_pii_scrub": text_analysis.pii_scrub,
+        "text_mix_sample": text_analysis.mix_sample,
         # metrics
         "metric_box_iou": _metric_box_iou,
         "metric_localization": metric_localization,

@@ -347,3 +347,45 @@ SELECT doc_id,
                           '{_PHONE_RE}', '[PHONE]', 'g')) AS redacted_md5
 FROM synth
 """
+
+
+# ---------------------------------------------------------------------------
+# deterministic stratified sampling (data mixing)
+# ---------------------------------------------------------------------------
+
+# per-source keep thresholds as one hex byte (lexicographic compare on the
+# md5 prefix == numeric compare for fixed-width lowercase hex): '80' keeps
+# ~50%, '40' ~25%, 'ff'+1 everything. Sources not listed keep ~50%.
+MIX_THRESHOLDS = {"src0": "ff", "src1": "40", "src2": "20", "src3": "c0"}
+MIX_DEFAULT = "80"
+
+
+def mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling for corpus mixing: each document
+    keeps iff the first md5 byte of its (doc_id, source) key falls under
+    its source's threshold — a pure codegen'd filter (no shuffle, no RNG
+    state), reproducible across engines and runs, the property a 100 TB
+    mixing pass needs for resumability. Rates are per-source (data-mixing
+    weights); the md5 key decorrelates the sample from doc_id order."""
+    d = _docs(spark, sf_dir)
+    key = F.substring(F.md5(F.concat_ws(":", F.col("doc_id").cast("string"), "source")), 1, 2)
+    thr = F.col("source")
+    expr = F.lit(MIX_DEFAULT)
+    for src, t in sorted(MIX_THRESHOLDS.items()):
+        expr = F.when(thr == src, F.lit(t)).otherwise(expr)
+    return d.where(key < expr).select("doc_id", "source", key.alias("sample_key"))
+
+
+def _mix_case() -> str:
+    arms = " ".join(
+        f"WHEN '{s}' THEN '{t}'" for s, t in sorted(MIX_THRESHOLDS.items())
+    )
+    return f"CASE source {arms} ELSE '{MIX_DEFAULT}' END"
+
+
+ORACLES["text_mix_sample"] = f"""
+SELECT doc_id, source,
+       substr(md5(doc_id || ':' || source), 1, 2) AS sample_key
+FROM documents
+WHERE substr(md5(doc_id || ':' || source), 1, 2) < {_mix_case()}
+"""

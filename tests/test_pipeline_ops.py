@@ -39,3 +39,17 @@ def test_pii_scrub_counts_and_redacts(spark):
     # every synthesized doc carries exactly one email and one phone
     assert all(r["n_emails"] == 1 and r["n_phones"] == 1 for r in rows)
     assert all(len(r["redacted_md5"]) == 32 for r in rows)
+
+
+def test_mix_sample_rates_and_determinism(spark):
+    from doctr_spark.operators.text_analysis import MIX_THRESHOLDS, mix_sample
+
+    a = mix_sample(spark, SF)
+    rates = {r["source"]: r["n"] for r in a.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    # src0 threshold 'ff' keeps ~all 25 docs; src2 ('20' = 12.5%) keeps few
+    assert rates.get("src0", 0) >= 20
+    assert rates.get("src2", 0) <= 10
+    assert rates.get("src2", 0) < rates.get("src3", 0)  # '20' < 'c0'
+    # pure function of content: a second run keeps the identical sample
+    b = sorted(map(str, mix_sample(spark, SF).collect()))
+    assert sorted(map(str, a.collect())) == b
