@@ -201,7 +201,9 @@ def load_sroie(
         spark.read.text(f"{root}/annotations/*.txt", wholetext=True)
         .withColumn("stem", _stem(F.input_file_name()))
         .select("stem", F.posexplode(F.split("value", "\n")).alias("ord", "row"))
-        .where(F.length(F.trim("row")) > 0)
+        # malformed rows (wrong field count / non-numeric coords) drop out
+        # instead of failing the ANSI cast — quarantine, not crash
+        .where(F.col("row").rlike(r"^\s*(-?\d+\s*,\s*){8}.+"))
     )
     parts = F.split("row", ",", 9)  # limit keeps commas inside the label
     corners = F.transform(
@@ -413,7 +415,7 @@ def load_ic13(
         spark.read.text(f"{label_folder}/gt_*.txt", wholetext=True)
         .withColumn("stem", F.regexp_extract(F.input_file_name(), r"gt_([^/]+)\.txt$", 1))
         .select("stem", F.posexplode(F.split("value", "\n")).alias("ord", "row"))
-        .where(F.length(F.trim("row")) > 0)
+        .where(F.col("row").rlike(rx))  # malformed rows quarantine, not crash
     )
     box = F.array(*[F.regexp_extract("row", rx, i).cast("double") for i in range(1, 5)])
     words = lines.select(

@@ -176,3 +176,24 @@ def test_imgur5k_rotated_boxes(spark, tmp_path):
         for poly, exp_poly in zip(got[p]["boxes"], exp["boxes"]):
             for c, ec in zip(poly, exp_poly):
                 assert list(c) == pytest.approx(ec, abs=1e-9)
+
+
+def test_loaders_tolerate_corrupt_annotation_files(spark, tmp_path):
+    """A malformed annotation file must not crash the distributed parse —
+    schema'd from_json/read.json yields nulls that drop out, matching the
+    pipeline's corrupt-payload quarantine philosophy."""
+    root = str(tmp_path / "funsd")
+    expected = _by_img(archives.fabricate_funsd(root))
+    ann_dir = f"{root}/dataset/training_data/annotations"
+    with open(f"{ann_dir}/broken.json", "w") as f:
+        f.write('{"form": [this is not json')
+    got = _collect(ds.load_funsd(spark, root, train=True))
+    assert set(got) == set(expected)  # corrupt file contributes nothing
+
+    root2 = str(tmp_path / "sroie")
+    expected2 = _by_img(archives.fabricate_sroie(root2))
+    with open(f"{root2}/annotations/rcpt_000.txt", "a") as f:
+        f.write("not,enough,fields\n")
+    got2 = _collect(ds.load_sroie(spark, root2))
+    # the malformed row casts to null coords but must not break the others
+    assert set(got2) == set(expected2)
