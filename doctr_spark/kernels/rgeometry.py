@@ -293,6 +293,36 @@ def estimate_orientation_contours(
     return 0.0 if abs(round(med)) == 90 else med
 
 
+def estimate_orientation(
+    img: np.ndarray,
+    general_page_orientation: tuple[int, float] | None = None,
+    min_confidence: float = 0.2,
+) -> int:
+    """Composed page-angle estimate, reference API parity
+    (`doctr/models/_utils.py:42-160` tail): a classifier-provided right
+    angle is trusted when confident (and the page analyzed as if
+    pre-rotated to it), the contour-median mechanism supplies the residual
+    skew, and the result wraps to (-180, 180]. A perpendicular residual
+    under a confident base is treated as 0 like the reference (it is
+    usually a vertical reading of horizontal lines)."""
+    base_angle, conf = general_page_orientation or (0, 0.0)
+    is_confident = base_angle is not None and conf >= min_confidence
+    if not is_confident:
+        base_angle = 0
+    # undo the right-angle part first (straighten_page convention: +90
+    # pages straighten with one clockwise quarter turn)
+    work = np.rot90(img, -((base_angle % 360) // 90)) if is_confident and base_angle else img
+    skew = int(round(estimate_orientation_contours(work)))
+    if abs(skew) == 90 or (is_confident and skew % 90 == 0):
+        skew = 0
+    final = base_angle + skew
+    while final > 180:
+        final -= 360
+    while final <= -180:
+        final += 360
+    return int(final)
+
+
 def estimate_skew_angle(
     img: np.ndarray,
     max_deg: float = SKEW_MAX_DEG,

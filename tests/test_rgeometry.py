@@ -58,6 +58,20 @@ def test_estimate_orientation_contours_median(theta):
     assert abs(est - theta) < 1.0
 
 
+def test_estimate_orientation_composed_facade():
+    from doctr_spark.kernels.rgeometry import estimate_orientation
+
+    page = _line_page()
+    # residual skew alone
+    assert estimate_orientation(rotate_image_shear(page, 7.0)) == 7
+    # confident right-angle base composes with the residual and wraps
+    for base, want in ((90, 95), (180, -175), (-90, -85)):
+        rot = np.rot90(rotate_image_shear(page, 5.0), (base % 360) // 90)
+        assert estimate_orientation(rot, (base, 0.9)) == want
+    # an unconfident base is ignored (reference min_confidence gate)
+    assert estimate_orientation(rotate_image_shear(page, 7.0), (90, 0.1)) == 7
+
+
 def test_estimate_orientation_contours_abstains_on_squarish_words():
     from doctr_spark.kernels.rgeometry import estimate_orientation_contours
 
