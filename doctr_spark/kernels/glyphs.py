@@ -21,6 +21,8 @@ Mirrors the role of `synthesize_text_img` in the reference test fixtures
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
 from ..config import CODE_BITS, GLYPH_H, GLYPH_W, INK, LOGIT_HI
@@ -33,19 +35,34 @@ def word_width(text: str) -> int:
     return len(text) * GLYPH_W
 
 
+@functools.lru_cache(maxsize=65536)
+def _word_raster(text: str) -> np.ndarray:
+    """Cached (GLYPH_H, word_width) raster of a word: per-cell marker bar +
+    code bits + the full-width baseline row. Corpus vocabularies repeat
+    heavily, so rendering becomes one cached-array blit per word."""
+    codes = encode_string(text)
+    word = np.zeros((GLYPH_H, len(codes) * GLYPH_W), dtype=np.uint8)
+    for i, code in enumerate(codes):
+        cx = i * GLYPH_W
+        word[:, cx] = INK  # marker bar
+        bits = (code & _BIT_WEIGHTS) > 0
+        word[:CODE_BITS, cx + 1][bits] = INK  # code bits
+    word[GLYPH_H - 1, :] = INK  # baseline ties cells together
+    word.setflags(write=False)
+    return word
+
+
 def draw_word(canvas: np.ndarray, x0: int, y0: int, text: str) -> tuple[int, int, int, int]:
     """Draw ``text`` with its top-left cell at (x0, y0); returns the abs box
-    (xmin, ymin, xmax, ymax), exclusive max, which is also the ink bbox."""
+    (xmin, ymin, xmax, ymax), exclusive max, which is also the ink bbox.
+
+    The blit is max-combined so existing ink (table rulings crossing the
+    region's blank columns) survives exactly as the per-pixel set did."""
     w = word_width(text)
     if y0 + GLYPH_H > canvas.shape[0] or x0 + w > canvas.shape[1]:
         raise ValueError("word does not fit on canvas")
-    codes = encode_string(text)
-    for i, code in enumerate(codes):
-        cx = x0 + i * GLYPH_W
-        canvas[y0 : y0 + GLYPH_H, cx] = INK  # marker bar
-        bits = (code & _BIT_WEIGHTS) > 0
-        canvas[y0 : y0 + CODE_BITS, cx + 1][bits] = INK  # code bits
-    canvas[y0 + GLYPH_H - 1, x0 : x0 + w] = INK  # baseline ties cells together
+    region = canvas[y0 : y0 + GLYPH_H, x0 : x0 + w]
+    np.maximum(region, _word_raster(text), out=region)
     return (x0, y0, x0 + w, y0 + GLYPH_H)
 
 
