@@ -113,6 +113,47 @@ def ctc_best_path(
     return decode_sequence(chars, vocab), confidence
 
 
+def ctc_best_path_batch(
+    logits_list: list[np.ndarray],
+    vocab: str = DEFAULT_VOCAB,
+    whitelist: str | None = None,
+    whitelist_mode: str = "mask",
+) -> list[tuple[str, float]]:
+    """`ctc_best_path` over many windows at once: all logits concatenate
+    into one matrix for a single softmax/argmax pass, the per-window
+    confidence is a segment-min (`minimum.reduceat`), and the run-length
+    collapse respects segment starts. Bit-identical to the per-window
+    decode (whitelist handling is row-independent, so it batches too)."""
+    out: list[tuple[str, float] | None] = [None] * len(logits_list)
+    idxs = [i for i, lg in enumerate(logits_list) if lg.shape[0]]
+    for i, lg in enumerate(logits_list):
+        if lg.shape[0] == 0:
+            out[i] = ("", 0.0)
+    if not idxs:
+        return out  # type: ignore[return-value]
+    big = np.concatenate([logits_list[i] for i in idxs], axis=0)
+    if whitelist is not None:
+        big = apply_whitelist(big, vocab, whitelist, whitelist_mode)
+    shifted = big - big.max(axis=1, keepdims=True)
+    ex = np.exp(shifted)
+    ex[~np.isfinite(ex)] = 0.0
+    pmax = (ex / np.clip(ex.sum(axis=1, keepdims=True), 1e-30, None)).max(axis=1)
+    path = big.argmax(axis=1)
+    lens = np.asarray([logits_list[i].shape[0] for i in idxs])
+    offs = np.concatenate(([0], np.cumsum(lens)))
+    confs = np.minimum.reduceat(pmax, offs[:-1])
+    keep = np.ones(path.shape[0], dtype=bool)
+    keep[1:] = path[1:] != path[:-1]
+    keep[offs[:-1]] = True  # a segment start never merges into its neighbor
+    blank = len(vocab)
+    for j, i in enumerate(idxs):
+        seg = slice(int(offs[j]), int(offs[j + 1]))
+        collapsed = path[seg][keep[seg]]
+        chars = collapsed[collapsed != blank]
+        out[i] = (decode_sequence(chars, vocab), float(confs[j]))
+    return out  # type: ignore[return-value]
+
+
 def attention_decode(logits: np.ndarray, vocab: str = DEFAULT_VOCAB) -> tuple[str, float]:
     """ViTSTR-style attention decode (reference
     `doctr/models/recognition/vitstr/pytorch.py:164-189`): per-step argmax,
@@ -282,12 +323,10 @@ def recognize_crops_batched(
         spans.append((len(all_windows), len(windows), last_overlap))
         all_windows.extend(windows)
     logits = forward_logits_batch(all_windows, vocab, arch)
-    decode = (
-        (lambda lg: attention_decode(lg, vocab))
-        if arch == "attention"
-        else (lambda lg: ctc_best_path(lg, vocab, whitelist, whitelist_mode))
-    )
-    preds = [decode(lg) for lg in logits]
+    if arch == "attention":
+        preds = [attention_decode(lg, vocab) for lg in logits]
+    else:
+        preds = ctc_best_path_batch(logits, vocab, whitelist, whitelist_mode)
     out: list[tuple[str, float]] = []
     for start, n, last_overlap in spans:
         if n == 0:
