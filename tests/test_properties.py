@@ -1,0 +1,110 @@
+"""Property-based tests (hypothesis) over the core kernels — a layer the
+reference's suite lacks entirely (SURVEY §5: no property-based testing).
+Each property pins an algebraic contract the pipeline's exactness rests on.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from doctr_spark.kernels.rgeometry import (
+    min_area_rect,
+    rotate_image_shear,
+    unrotate_image_shear,
+)
+from doctr_spark.kernels.vocab import DEFAULT_VOCAB, decode_sequence, encode_string
+
+_words = st.text(alphabet=DEFAULT_VOCAB, min_size=0, max_size=24)
+
+
+@given(_words)
+def test_vocab_codec_roundtrip(word):
+    assert decode_sequence(encode_string(word), DEFAULT_VOCAB) == word
+
+
+@given(
+    st.integers(min_value=20, max_value=120),
+    st.integers(min_value=20, max_value=160),
+    st.floats(min_value=-14.9, max_value=14.9, allow_nan=False),
+    st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_shear_rotation_is_lossless(h, w, theta, seed):
+    rng = np.random.default_rng(seed)
+    img = (rng.random((h, w)) < 0.15).astype(np.uint8) * 200
+    back = unrotate_image_shear(rotate_image_shear(img, theta), theta)
+    assert back.shape == img.shape and (back == img).all()
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.floats(min_value=-100, max_value=100, allow_nan=False),
+            st.floats(min_value=-100, max_value=100, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=24,
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_min_area_rect_encloses_points(pts):
+    pts = np.asarray(pts, dtype=np.float64)
+    rect = min_area_rect(pts)
+    assert rect.shape == (4, 2)
+    # every input point sits inside (or on) the rect: express each point in
+    # the rect's edge basis and check the projections stay within the sides
+    e1, e2 = rect[1] - rect[0], rect[3] - rect[0]
+    for p in pts:
+        d = p - rect[0]
+        for e in (e1, e2):
+            ln = float(np.hypot(*e))
+            if ln == 0.0:
+                continue  # degenerate side (collinear input)
+            # signed distance along the unit edge, absolute tolerance: a
+            # relative test explodes on near-degenerate (hairline) rects
+            proj = float(d @ e) / ln
+            assert -1e-6 <= proj <= ln + 1e-6
+
+
+@given(st.lists(st.sampled_from("ab"), min_size=1, max_size=12))
+@settings(max_examples=60, deadline=None)
+def test_ctc_collapse_idempotent(frames):
+    # CTC run-length collapse: repeated frames never change the decoded word
+    from doctr_spark.config import LOGIT_HI
+    from doctr_spark.kernels.recognition import ctc_best_path
+
+    vocab = DEFAULT_VOCAB
+    codes = [vocab.index(c) for c in frames]
+
+    def logits_of(seq):
+        lg = np.zeros((len(seq), len(vocab) + 1), dtype=np.float32)
+        for i, c in enumerate(seq):
+            lg[i, c] = LOGIT_HI
+        return lg
+
+    doubled = [c for c in codes for _ in (0, 1)]
+    w1, _ = ctc_best_path(logits_of(codes), vocab)
+    w2, _ = ctc_best_path(logits_of(doubled), vocab)
+    assert w1 == w2
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 80), st.integers(0, 80), st.integers(1, 40), st.integers(1, 40)
+        ),
+        min_size=0,
+        max_size=10,
+    )
+)
+@settings(max_examples=40, deadline=None)
+def test_intersection_over_area_bounds(boxes):
+    from doctr_spark.kernels.layout import intersection_over_area
+
+    arr = np.asarray([[x, y, x + w, y + h] for x, y, w, h in boxes], dtype=float).reshape(-1, 4)
+    cov = intersection_over_area(arr, arr)
+    assert ((cov >= -1e-12) & (cov <= 1 + 1e-9)).all()
+    if len(boxes):
+        assert np.allclose(np.diag(cov), 1.0)  # every box covers itself fully
