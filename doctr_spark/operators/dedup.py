@@ -238,29 +238,32 @@ def dedup_clusters(spark: SparkSession, sf_dir: str, max_iters: int = 30) -> Dat
 
 def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash over tokens: bit b set iff the signed token-vote sum
-    for bit b is non-negative."""
+    for bit b is non-negative.
+
+    Plan shape (100 TB): the 16 per-bit vote sums are parallel conditional
+    aggregates in ONE ``groupBy(doc_id)`` — the same wide-agg fold the
+    minhash seeds use (:func:`_doc_signatures`). The earlier form
+    cross-joined the exploded token table against a 16-row bit table, which
+    multiplied the shuffle input 16x for zero information; this computes
+    identical votes with a single 1x shuffle and map-side partial
+    aggregation, then folds the 16 votes into the hash word projection-side
+    (no second aggregation)."""
     docs = _docs(spark, sf_dir)
     toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
     h16 = F.conv(F.substring(F.md5(F.col("tok")), 1, 4), 16, 10).cast("long")
-    bits = spark.range(16).select(F.col("id").cast("int").alias("bit"))
-    votes = (
-        toks.withColumn("h", h16)
-        .crossJoin(F.broadcast(bits))
-        .groupBy("doc_id", "bit")
-        .agg(
+    votes = toks.withColumn("h", h16).groupBy("doc_id").agg(
+        *[
             F.sum(
-                F.when(F.expr("(shiftright(h, bit) & 1) = 1"), 1).otherwise(-1)
-            ).alias("vote")
-        )
+                F.when(F.expr(f"(shiftright(h, {b}) & 1) = 1"), 1).otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(16)
+        ]
     )
-    return (
-        votes.groupBy("doc_id")
-        .agg(
-            F.sum(
-                F.when(F.col("vote") >= 0, F.expr("shiftleft(1L, bit)")).otherwise(F.lit(0))
-            ).cast("long").alias("simhash")
-        )
-    )
+    word = None
+    for b in range(16):
+        term = F.when(F.col(f"v{b}") >= 0, F.lit(1 << b)).otherwise(F.lit(0))
+        word = term if word is None else word + term
+    return votes.select("doc_id", word.cast("long").alias("simhash"))
 
 
 def ngram_jaccard_pairs(
@@ -297,9 +300,14 @@ def ngram_jaccard_pairs(
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count("*").alias("inter"))
     )
+    # `sizes` is one row PER DOCUMENT — at corpus scale that is billions of
+    # rows, so it must never be a broadcast build side. `inter` is tiny
+    # post-candidate-generation, so the shuffled equi-join on doc ids is
+    # cheap (AQE will in fact broadcast the *inter* side when it is small
+    # enough — the safe direction).
     result = (
-        inter.join(F.broadcast(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na")), "doc_a")
-        .join(F.broadcast(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb")), "doc_b")
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
         .withColumn("jaccard", F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6))
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
