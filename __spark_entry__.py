@@ -250,6 +250,34 @@ def ocr_extract_resampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MC_ORACLE = f"""
+SELECT conv_id, turn_idx::INT AS turn_idx, gt_text AS extracted_text,
+       n_pages::BIGINT AS n_pages, n_words::BIGINT AS n_words
+FROM read_parquet('{ORACLE_SCRATCH}/mc_gt/*.parquet')
+"""
+
+
+def ocr_extract_multicolumn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layout-aware reading order end to end: two-column pages with a
+    bridging title, header/footer/footnote furniture, and a photo float
+    with a hugging caption, extracted with ``keep_reading_order=True`` (the
+    builder consumes the in-pipeline layout predictor's regions). The
+    staged oracle is the generator's designed reading-order text — title,
+    full left column, full right column — which the naive y-sorted builder
+    would interleave."""
+    from doctr_spark.fixtures.multicolumn import generate_multicolumn_transcripts
+
+    tdf, gdf = generate_multicolumn_transcripts(spark, 40, with_gt=True)
+    _stage_expectation(gdf, "mc_gt")
+    return extract_documents(tdf, keep_reading_order=True).select(
+        "conv_id",
+        "turn_idx",
+        "extracted_text",
+        F.col("n_pages").cast("long").alias("n_pages"),
+        F.col("n_words").cast("long").alias("n_words"),
+    )
+
+
 _ACCENT_ORACLE = f"""
 SELECT conv_id, turn_idx::INT AS turn_idx, gt_text AS extracted_text,
        gt_ascii AS ascii_text, n_words::BIGINT AS n_words
@@ -472,6 +500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ocr_extract_skewed": ocr_extract_skewed,
         "ocr_extract_accents": ocr_extract_accents,
         "ocr_extract_resampled": ocr_extract_resampled,
+        "ocr_extract_multicolumn": ocr_extract_multicolumn,
         "ocr_media_metadata": ocr_media_metadata,
         "ocr_artefacts": ocr_artefacts,
         "ocr_layout_regions": ocr_layout_regions,
@@ -524,6 +553,7 @@ def oracle_sql() -> dict[str, str]:
         "ocr_extract_skewed": _SKEW_ORACLE,
         "ocr_extract_accents": _ACCENT_ORACLE,
         "ocr_extract_resampled": _RESAMPLE_ORACLE,
+        "ocr_extract_multicolumn": _MC_ORACLE,
         "ocr_media_metadata": _MEDIA_ORACLE,
         "ocr_artefacts": _ARTEFACT_ORACLE,
         "ocr_layout_regions": _REGION_ORACLE,

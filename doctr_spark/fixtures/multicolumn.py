@@ -1,0 +1,193 @@
+"""Multi-column reading-order fixture.
+
+Pages generalizing the reference's reading-order docstring oracle
+(`/root/reference/doctr/models/reading_order/base.py:394-402` — a title
+spanning two columns reads [title, left column, right column]): each page
+carries a page header, a centered title bridging TWO text columns, five
+two-column body rows, a solid photo float with a caption hugging its
+bottom edge, a "[n]"-marked footnote, and a page footer.
+
+The naive y-sorted builder interleaves the column rows (L1 R1 L2 R2 ...);
+the ground truth staged here is the LAYOUT-AWARE reading order the
+`keep_reading_order=True` pipeline must reproduce end to end —
+topological column traversal (title, L1..L5, R1..R5), role ranking
+(header first, footnote + footer last), caption splicing, and
+label-driven paragraph segmentation — with every region label coming from
+the in-pipeline layout predictor (`kernels.layout.detect_layout_regions`),
+not from fixture metadata.
+
+Geometry invariants (all asserted against the engine constants):
+* title: x0 > 0.2w, width < 0.5w (detector title cue) AND >= 0.2
+  x-overlap with both columns normalized by the shorter interval, so the
+  topological sort ranks it before each column;
+* column gap (32 px) exceeds the builder's max sub-line break distance
+  (PARAGRAPH_BREAK * w ~= 18 px), so each visual row splits into a left
+  and a right line;
+* inter-row leading (8 px) stays under 0.8 x line height (12.8 px), so a
+  column's rows merge into ONE paragraph segment, while every
+  band-to-band gap (16+ px) exceeds it;
+* caption sits 4 px (<= 6) under the photo -> detector labels it caption.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import numpy as np
+import pandas as pd
+
+from ..config import GLYPH_H, LINE_LEADING, PAGE_W, WORD_GAP
+from ..kernels.artefacts import draw_artefact
+from ..kernels.glyphs import draw_word, word_width
+from .payloads import make_img_payload
+from .transcripts import GT_SCHEMA, TRANSCRIPTS_SCHEMA
+
+_EPOCH = dt.datetime(2025, 2, 1)
+_CHARS = "abcdefghijklmnopqrstuvwxyz0123456789"
+
+MC_PAGE_H = 320
+_ROW_PITCH = GLYPH_H + LINE_LEADING  # 24
+
+_Y_HEADER = 8  # band ends 24 <= 0.12 * 320 -> page_header
+_Y_TITLE = 40  # centered, past 0.2w, narrower than 0.5w -> title
+_Y_COLS = 72  # five two-column rows pitched _ROW_PITCH apart
+_N_ROWS = 5
+_Y_PHOTO = 208  # solid 40px-tall block -> picture (float, no text)
+_PHOTO_H = 40
+_Y_CAPTION = _Y_PHOTO + _PHOTO_H + 4  # 4 px <= 6 -> caption
+_Y_FOOTNOTE = 276  # > 0.7h and starts with "[n]" -> footnote
+_Y_FOOTER = 300  # >= 0.88 * 320 -> page_footer
+
+_COL_GAP = 32
+_COL_W = (PAGE_W - 2 * 16 - _COL_GAP) // 2  # 224
+_COL_X = (16, 16 + _COL_W + _COL_GAP)  # 16, 272
+_TITLE_X = 200
+_TITLE_WORD_LEN = 14  # two 14-char words -> 120 px wide, ends at 320
+
+
+def _word(rng: np.random.Generator, lo: int = 2, hi: int = 8) -> str:
+    n = int(rng.integers(lo, hi + 1))
+    return "".join(_CHARS[i] for i in rng.integers(0, len(_CHARS), n))
+
+
+def _draw_run(canvas: np.ndarray, x: int, y: int, words: list[str]) -> int:
+    for w in words:
+        draw_word(canvas, x, y, w)
+        x += word_width(w) + WORD_GAP
+    return x
+
+
+def _pack_run(rng: np.random.Generator, x: int, limit: int) -> list[str]:
+    """Random words packed left-to-right until the next one would overflow."""
+    words: list[str] = []
+    while True:
+        w = _word(rng)
+        if x + word_width(w) > limit:
+            if len(words) >= 2:
+                return words
+            continue  # a run must hold at least two words
+        words.append(w)
+        x += word_width(w) + WORD_GAP
+
+
+def gen_multicolumn_page(rng: np.random.Generator) -> tuple[np.ndarray, str, int]:
+    """One page; returns (canvas, reading-order ground truth, word count)."""
+    canvas = np.zeros((MC_PAGE_H, PAGE_W), dtype=np.uint8)
+
+    header = [_word(rng) for _ in range(int(rng.integers(2, 4)))]
+    _draw_run(canvas, 24, _Y_HEADER, header)
+
+    title = [_word(rng, _TITLE_WORD_LEN, _TITLE_WORD_LEN) for _ in range(2)]
+    assert _TITLE_X > 0.2 * PAGE_W
+    t_w = sum(word_width(w) for w in title) + WORD_GAP * (len(title) - 1)
+    assert t_w < 0.5 * PAGE_W
+    # >=0.2 x-overlap with the right column (starts at _COL_X[1]), so the
+    # title precedes BOTH columns in the reads-before DAG
+    assert (_TITLE_X + t_w - _COL_X[1]) / t_w > 0.25
+    _draw_run(canvas, _TITLE_X, _Y_TITLE, title)
+
+    cols: tuple[list[list[str]], list[list[str]]] = ([], [])
+    for r in range(_N_ROWS):
+        y = _Y_COLS + r * _ROW_PITCH
+        for ci in (0, 1):
+            run = _pack_run(rng, _COL_X[ci], _COL_X[ci] + _COL_W)
+            _draw_run(canvas, _COL_X[ci], y, run)
+            cols[ci].append(run)
+
+    draw_artefact(canvas, "photo", 40, _Y_PHOTO, int(rng.integers(80, 160)), _PHOTO_H)
+    caption = [_word(rng) for _ in range(int(rng.integers(2, 4)))]
+    _draw_run(canvas, 40, _Y_CAPTION, caption)
+
+    footnote = [f"[{int(rng.integers(1, 10))}]"] + [_word(rng) for _ in range(int(rng.integers(2, 4)))]
+    _draw_run(canvas, 24, _Y_FOOTNOTE, footnote)
+
+    footer = [_word(rng) for _ in range(int(rng.integers(2, 4)))]
+    _draw_run(canvas, 24, _Y_FOOTER, footer)
+
+    blocks = [
+        " ".join(header),
+        " ".join(title),
+        "\n".join(" ".join(run) for run in cols[0]),
+        "\n".join(" ".join(run) for run in cols[1]),
+        " ".join(caption),
+        " ".join(footnote),
+        " ".join(footer),
+    ]
+    n_words = (
+        len(header) + len(title) + len(caption) + len(footnote) + len(footer)
+        + sum(len(run) for ci in (0, 1) for run in cols[ci])
+    )
+    return canvas, "\n\n".join(blocks), n_words
+
+
+def gen_multicolumn_conversation(conv_no: int, seed: int = 42) -> tuple[list[dict], list[dict]]:
+    rng = np.random.default_rng([seed, conv_no, 23])
+    conv_id = f"mcol{conv_no:07d}"
+    n_turns = int(rng.integers(1, 4))
+    start = _EPOCH + dt.timedelta(hours=conv_no)
+    rows, gts = [], []
+    for t in range(n_turns):
+        canvas, gt_text, n_words = gen_multicolumn_page(rng)
+        rows.append(
+            {
+                "conv_id": conv_id,
+                "turn_idx": t,
+                "role": ("user", "assistant", "tool")[t % 3],
+                "text": f"multicolumn {make_img_payload(canvas)}",
+                "tool": None,
+                "ts": start + dt.timedelta(minutes=t),
+            }
+        )
+        gts.append(
+            {"conv_id": conv_id, "turn_idx": t, "gt_text": gt_text, "n_pages": 1, "n_words": n_words}
+        )
+    return rows, gts
+
+
+def generate_multicolumn_transcripts(spark, n_convs: int, seed: int = 42, with_gt: bool = False):
+    """Distributed generation (same contract as
+    `transcripts.generate_transcripts`)."""
+    parallelism = max(spark.sparkContext.defaultParallelism, 8)
+    base = spark.range(0, n_convs, 1, min(parallelism, max(1, n_convs))).withColumnRenamed(
+        "id", "conv_no"
+    )
+
+    def _gen(idx: int, cols: list[str]):
+        def fn(batches):
+            for pdf in batches:
+                all_rows = []
+                for conv_no in pdf["conv_no"].tolist():
+                    all_rows.extend(gen_multicolumn_conversation(int(conv_no), seed)[idx])
+                yield pd.DataFrame(all_rows, columns=cols)
+
+        return fn
+
+    tdf = base.mapInPandas(
+        _gen(0, ["conv_id", "turn_idx", "role", "text", "tool", "ts"]), schema=TRANSCRIPTS_SCHEMA
+    )
+    if not with_gt:
+        return tdf
+    gdf = base.mapInPandas(
+        _gen(1, ["conv_id", "turn_idx", "gt_text", "n_pages", "n_words"]), schema=GT_SCHEMA
+    )
+    return tdf, gdf

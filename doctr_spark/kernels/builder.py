@@ -212,6 +212,7 @@ def build_page(
     keep_reading_order: bool = False,
     detect_language: bool = False,
     text_direction: str | None = None,
+    layout_regions: dict[str, Any] | None = None,
 ) -> dict[str, Any]:
     """Assemble one page dict (the Spark-row analogue of `Page.export()`,
     `doctr/io/elements.py:424-512`) plus its rendered text.
@@ -238,12 +239,26 @@ def build_page(
             # `resolve_reading_segments`, reading_order/base.py:460-531);
             # direction inferred from the recognized text. Segments become
             # the page's blocks, the way the reference exporters emit one
-            # paragraph per segment (io/exporters.py:114-216).
+            # paragraph per segment (io/exporters.py:114-216). When the
+            # layout predictor's regions are supplied (the pipeline's
+            # carry_layout sentinel), each line takes the label of the
+            # region covering >= 50% of it and the sort becomes role-aware:
+            # headers first, footnotes + footers last, captions spliced next
+            # to their float (reading_order/base.py:283-315, 382-460).
             from .reading_order import detect_text_direction, resolve_reading_segments
 
             line_boxes = np.stack([enclosing_bbox(boxes[np.asarray(line)]) for line in lines])
             direction = detect_text_direction([values[i] for line in lines for i in line])
-            segments = resolve_reading_segments(line_boxes, direction=direction)
+            labels = None
+            if layout_regions is not None and layout_regions.get("class_names"):
+                from .layout import assign_layout_labels
+
+                labels = assign_layout_labels(
+                    line_boxes,
+                    np.asarray(layout_regions["boxes"], dtype=float).reshape(-1, 4),
+                    list(layout_regions["class_names"]),
+                )
+            segments = resolve_reading_segments(line_boxes, direction=direction, labels=labels)
             blocks_idx = [[lines[i] for i in seg] for seg in segments]
         else:
             blocks_idx = resolve_blocks(boxes, lines) if do_resolve_blocks else ([lines] if lines else [])

@@ -205,7 +205,23 @@ def normalize_crop_height(crop: np.ndarray) -> np.ndarray | None:
             if w2 == 0:
                 return None
             pooled = snapped[:, :w2].reshape(GLYPH_H, s, w2 // s, s).mean(axis=(1, 3))
-            return np.rint(pooled).astype(crop.dtype)
+            pooled = np.rint(pooled).astype(crop.dtype)
+            # text-likeness gate: the 2x/4x pooling windows overlap the
+            # heights of striped non-text detections (bar/QR artefacts, logo
+            # rings, photo halftone), whose pooled pixels can coincidentally
+            # form valid-looking glyph cells and emit garbage characters.
+            # Two cues, both of which real scanned text satisfies and
+            # periodic/stochastic non-text ink does not: (a) at least half
+            # the cells carry a complete marker bar, (b) the glyph cells'
+            # structurally-blank columns stay blank (a barcode's stripes
+            # fill them; a bilinear halo stays under the weak threshold).
+            n_cells = pooled.shape[1] // GLYPH_W
+            if n_cells == 0 or read_codes(pooled).shape[0] < max(1, -(-n_cells // 2)):
+                return None
+            blank_cols = pooled[:, : n_cells * GLYPH_W].reshape(GLYPH_H, n_cells, GLYPH_W)[:, :, 2:]
+            if (blank_cols >= max(1.0, _WEAK_FRAC * float(pooled.max()))).mean() > 0.2:
+                return None
+            return pooled
     return None
 
 

@@ -48,10 +48,14 @@ def _make_builder(
             }
 
         raw_tables = []
+        layout_regions = None
         if "aux" in pdf.columns:
             for blob in pdf.loc[pdf["word_idx"] == -2, "aux"]:
                 if blob:
                     raw_tables.extend(json.loads(blob))
+            for blob in pdf.loc[pdf["word_idx"] == -3, "aux"]:
+                if blob:
+                    layout_regions = json.loads(blob)
         pdf = pdf[pdf["word_idx"] >= 0]
         # unreadable detections (photos/artefacts/noise recognize as empty)
         # carry no text and are dropped here, the builder-entry analogue of
@@ -91,6 +95,7 @@ def _make_builder(
             tables=tables,
             keep_reading_order=keep_reading_order,
             text_direction=text_direction,
+            layout_regions=layout_regions,
         )
         if page_orientation is not None:
             page["orientation"] = page_orientation

@@ -35,13 +35,16 @@ _COLS = [
 ]  # fmt: skip
 
 # word_idx sentinels: -1 = empty page (no words, no tables); -2 = per-page
-# table-structure prediction carried in `aux` as JSON
+# table-structure prediction carried in `aux` as JSON; -3 = per-page layout
+# regions (label + relative box) carried in `aux` as JSON for the
+# layout-aware reading-order builder
 
 
 def _make_detector(
     mask_region_labels: tuple[str, ...] | None,
     straighten_pages: bool = False,
     det_arch: str = "db_like",
+    carry_layout: bool = False,
 ):
     import json
 
@@ -102,8 +105,19 @@ def _make_detector(
                     conv_id, int(turn_idx), int(page_idx),
                     int(img.shape[0]), int(img.shape[1]), orient, float(orient_conf),
                 )  # fmt: skip
-                if mask_region_labels:
+                regions = None
+                if mask_region_labels or carry_layout:
+                    # one layout forward serves both consumers: region
+                    # masking (ignore_regions) and the reading-order builder
                     regions = detect_layout_regions(img)
+                if carry_layout:
+                    rows.append(
+                        key
+                        + (-3, 0.0, 0.0, 0.0, 0.0, 0.0, None,
+                           json.dumps({"boxes": regions["boxes"].tolist(),
+                                       "class_names": regions["class_names"]}))
+                    )  # fmt: skip
+                if mask_region_labels:
                     drop = np.asarray(
                         [b for b, n in zip(regions["boxes"], regions["class_names"])
                          if n in mask_region_labels]
@@ -118,7 +132,7 @@ def _make_detector(
                 if tables:
                     rows.append(key + (-2, 0.0, 0.0, 0.0, 0.0, 0.0, None, json.dumps(tables)))
                 if abs_boxes.shape[0] == 0:
-                    if not tables:
+                    if not tables and not carry_layout:
                         rows.append(key + (-1, 0.0, 0.0, 0.0, 0.0, 0.0, None, None))
                     continue
                 crops = extract_crops(img, abs_boxes)
@@ -138,6 +152,7 @@ def detect_and_crop(
     mask_region_labels: tuple[str, ...] | None = None,
     straighten_pages: bool = False,
     det_arch: str = "db_like",
+    carry_layout: bool = False,
 ) -> DataFrame:
     """Detection + crop explode; ``mask_region_labels`` blanks matching
     layout regions before detection (the ignore_regions option);
@@ -145,7 +160,12 @@ def detect_and_crop(
     before detection (reference straighten loop,
     `doctr/models/predictor/pytorch.py:110-142`); ``det_arch`` selects the
     architecture's binarization/objectness threshold preset
-    (`kernels.detection.DET_PRESETS`)."""
+    (`kernels.detection.DET_PRESETS`); ``carry_layout`` runs the layout
+    predictor and ships its (label, box) regions to the builder in a
+    word_idx = -3 sentinel row — the Spark analogue of the reference
+    feeding LayoutPredictor output into reading order
+    (`doctr/models/predictor/base.py` + `reading_order/base.py:534-578`)."""
     return pages.mapInPandas(
-        _make_detector(mask_region_labels, straighten_pages, det_arch), schema=CROPS_SCHEMA
+        _make_detector(mask_region_labels, straighten_pages, det_arch, carry_layout),
+        schema=CROPS_SCHEMA,
     )

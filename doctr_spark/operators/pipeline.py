@@ -69,6 +69,9 @@ def extract_documents(
         mask_region_labels=mask_region_labels,
         straighten_pages=straighten_pages,
         det_arch=det_arch,
+        # reading order is layout-aware: the builder needs the layout
+        # predictor's (label, box) regions to rank roles + attach captions
+        carry_layout=keep_reading_order,
     )
     for hook in loc_hooks or ():
         crops = hook(crops)

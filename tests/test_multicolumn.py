@@ -1,0 +1,76 @@
+"""Multi-column layout-aware reading order, kernel level and end to end."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from doctr_spark.fixtures.multicolumn import (
+    gen_multicolumn_page,
+    generate_multicolumn_transcripts,
+)
+from doctr_spark.kernels.builder import build_page
+from doctr_spark.kernels.detection import detect_words, extract_crops
+from doctr_spark.kernels.layout import detect_layout_regions
+from doctr_spark.kernels.recognition import recognize_crops_batched
+from doctr_spark.operators.pipeline import extract_documents
+
+
+def _detect_recognize(canvas):
+    abs_boxes, rel_boxes, scores = detect_words(canvas)
+    vals = recognize_crops_batched(extract_crops(canvas, abs_boxes))
+    keep = [i for i, (v, _) in enumerate(vals) if v != ""]
+    return (
+        rel_boxes[keep],
+        scores[keep],
+        [vals[i][0] for i in keep],
+        [vals[i][1] for i in keep],
+    )
+
+
+@pytest.mark.parametrize("conv_no", [0, 7, 31])
+def test_multicolumn_page_kernel_roundtrip(conv_no):
+    rng = np.random.default_rng([42, conv_no, 23])
+    canvas, gt, n_words = gen_multicolumn_page(rng)
+    regions = detect_layout_regions(canvas)
+    # the detector must find every furniture class the fixture draws
+    assert {"page_header", "title", "picture", "caption", "footnote", "page_footer"} <= set(
+        regions["class_names"]
+    )
+    boxes, scores, values, confs = _detect_recognize(canvas)
+    assert len(values) == n_words  # the photo float must contribute no words
+    page = build_page(
+        boxes,
+        scores,
+        values,
+        confs,
+        canvas.shape,
+        keep_reading_order=True,
+        layout_regions={"boxes": regions["boxes"].tolist(), "class_names": regions["class_names"]},
+    )
+    assert page["text"] == gt
+
+
+def test_multicolumn_naive_order_differs():
+    """The staged GT is genuinely reading-ordered: the default y-sorted
+    builder interleaves the column rows and must NOT match it."""
+    rng = np.random.default_rng([42, 0, 23])
+    canvas, gt, _ = gen_multicolumn_page(rng)
+    boxes, scores, values, confs = _detect_recognize(canvas)
+    naive = build_page(boxes, scores, values, confs, canvas.shape)
+    assert naive["text"] != gt
+
+
+def test_multicolumn_pipeline_end_to_end(spark):
+    tdf, gdf = generate_multicolumn_transcripts(spark, 4, with_gt=True)
+    docs = extract_documents(tdf, keep_reading_order=True, crop_partitions=8)
+    gt = gdf.withColumnRenamed("n_words", "gt_n_words")
+    j = (
+        docs.join(gt, ["conv_id", "turn_idx"])
+        .select(
+            (F.col("extracted_text") == F.col("gt_text")).alias("text_ok"),
+            (F.col("n_words") == F.col("gt_n_words")).alias("words_ok"),
+        )
+        .collect()
+    )
+    assert len(j) >= 4
+    assert all(r.text_ok and r.words_ok for r in j)

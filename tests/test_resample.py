@@ -44,15 +44,24 @@ def test_unrotate_resampled_keeps_words_separable():
 
 def test_normalize_crop_height_scales():
     from doctr_spark.config import GLYPH_H, INK
+    from doctr_spark.kernels.glyphs import _word_raster, read_codes
 
-    crisp = np.full((GLYPH_H, 8), INK, dtype=np.uint8)
+    crisp = _word_raster("abc")
     assert normalize_crop_height(crisp) is crisp  # exact path untouched
+    ref_codes = read_codes(crisp)
     for s in (2, 4):
         big = np.kron(crisp, np.ones((s, s), dtype=np.uint8))
         pooled = normalize_crop_height(big)
-        assert pooled.shape == (GLYPH_H, 8)
-        assert (pooled == INK).all()
+        assert pooled.shape == crisp.shape
+        assert (read_codes(pooled) == ref_codes).all()
     assert normalize_crop_height(np.zeros((45, 10), dtype=np.uint8)) is None
+    # text-likeness gate: solid/striped non-text ink at 2x line height must
+    # be rejected, not decoded into garbage characters
+    solid = np.full((2 * GLYPH_H, 16), INK, dtype=np.uint8)
+    assert normalize_crop_height(solid) is None
+    stripes = np.zeros((2 * GLYPH_H, 64), dtype=np.uint8)
+    stripes[:, ::3] = INK  # barcode-like vertical bars
+    assert normalize_crop_height(stripes) is None
 
 
 def test_resampled_extraction_meets_tolerance(spark):
