@@ -213,6 +213,7 @@ def build_page(
     detect_language: bool = False,
     text_direction: str | None = None,
     layout_regions: dict[str, Any] | None = None,
+    include_furniture: bool = True,
 ) -> dict[str, Any]:
     """Assemble one page dict (the Spark-row analogue of `Page.export()`,
     `doctr/io/elements.py:424-512`) plus its rendered text.
@@ -260,8 +261,12 @@ def build_page(
                 )
             segments = resolve_reading_segments(line_boxes, direction=direction, labels=labels)
             blocks_idx = [[lines[i] for i in seg] for seg in segments]
+            block_labels = [
+                (labels[seg[0]] if labels is not None else None) for seg in segments
+            ]
         else:
             blocks_idx = resolve_blocks(boxes, lines) if do_resolve_blocks else ([lines] if lines else [])
+            block_labels = [None] * len(blocks_idx)
         if text_direction is not None:
             # per-direction word order within each line (reference
             # ordered_line_words, io/exporters.py:219-250): "auto" detects
@@ -287,10 +292,11 @@ def build_page(
             ]
     else:
         blocks_idx = []
+        block_labels = []
 
     blocks = []
     block_texts = []
-    for block in blocks_idx:
+    for block, block_label in zip(blocks_idx, block_labels):
         lines_out = []
         line_texts = []
         for line in block:
@@ -324,11 +330,25 @@ def build_page(
                 "geometry": [float(v) for v in geom],
                 "objectness_score": float(np.mean([scores[i] for i in flat])),
                 "lines": lines_out,
+                "layout_label": block_label,
             }
         )
         block_texts.append("\n".join(line_texts))
 
     from .tables import render_table
+
+    if not include_furniture:
+        # drop page header / footer / footnote blocks from the RENDER only
+        # — the JSON export keeps every block, exactly like the reference
+        # (`doctr/io/exporters.py:346-347`; roles reading_order/base.py)
+        from .reading_order import _ROLE_BY_LABEL
+
+        block_texts = [
+            t
+            for t, lbl in zip(block_texts, block_labels)
+            if _ROLE_BY_LABEL.get((lbl or "").lower(), "body")
+            not in ("header", "footer", "footnote")
+        ]
 
     text_parts = [t for t in [BLOCK_BREAK.join(block_texts)] if t]
     text_parts += [render_table(t) for t in (tables or [])]

@@ -41,16 +41,38 @@ def _md_finalize_line(line: str) -> str:
     return line
 
 
-def export_text(page: dict[str, Any]) -> str:
+_FURNITURE_ROLES = ("header", "footer", "footnote")
+
+
+def _content_blocks(page: dict[str, Any], include_furniture: bool) -> list[dict[str, Any]]:
+    """Reference `include_furniture` semantics (`exporters.py:346-347`):
+    blocks whose layout label ranks as page header / footer / footnote are
+    skipped from the render when the flag is off. Labels come from the
+    layout-aware builder (`build_page(..., layout_regions=...)`); unlabeled
+    blocks are body content and always render."""
+    blocks = page["blocks"]
+    if include_furniture:
+        return blocks
+    from .reading_order import _ROLE_BY_LABEL
+
+    return [
+        b
+        for b in blocks
+        if _ROLE_BY_LABEL.get((b.get("layout_label") or "").lower(), "body")
+        not in _FURNITURE_ROLES
+    ]
+
+
+def export_text(page: dict[str, Any], include_furniture: bool = True) -> str:
     return "\n\n".join(
         "\n".join(" ".join(w["value"] for w in line["words"]) for line in block["lines"])
-        for block in page["blocks"]
+        for block in _content_blocks(page, include_furniture)
     )
 
 
-def export_markdown(page: dict[str, Any]) -> str:
+def export_markdown(page: dict[str, Any], include_furniture: bool = True) -> str:
     parts = []
-    for block in page["blocks"]:
+    for block in _content_blocks(page, include_furniture):
         lines = [
             _md_finalize_line(" ".join(_md_escape(w["value"]) for w in line["words"]))
             for line in block["lines"]
@@ -59,9 +81,9 @@ def export_markdown(page: dict[str, Any]) -> str:
     return "\n\n".join(parts)
 
 
-def export_html(page: dict[str, Any]) -> str:
+def export_html(page: dict[str, Any], include_furniture: bool = True) -> str:
     blocks = []
-    for block in page["blocks"]:
+    for block in _content_blocks(page, include_furniture):
         lines = [
             _html.escape(" ".join(w["value"] for w in line["words"]), quote=False)
             for line in block["lines"]
@@ -111,11 +133,11 @@ _ADOC_SPECIAL = set("*_`#+|")
 _ADOC_LINE_MARKERS = set("*.-=")
 
 
-def export_asciidoc(page: dict[str, Any]) -> str:
+def export_asciidoc(page: dict[str, Any], include_furniture: bool = True) -> str:
     """AsciiDoc export (`exporters.py:474-509`): escaped text, line-marker
     neutralization via {empty}, page break "\\n\\n<<<\\n\\n"."""
     parts = []
-    for block in page["blocks"]:
+    for block in _content_blocks(page, include_furniture):
         lines = []
         for line in block["lines"]:
             text = " ".join(

@@ -32,6 +32,7 @@ def _make_builder(
     paragraph_break: float,
     keep_reading_order: bool = False,
     text_direction: str | None = None,
+    include_furniture: bool = True,
 ):
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         from ..kernels.tables import build_tables
@@ -96,6 +97,7 @@ def _make_builder(
             keep_reading_order=keep_reading_order,
             text_direction=text_direction,
             layout_regions=layout_regions,
+            include_furniture=include_furniture,
         )
         if page_orientation is not None:
             page["orientation"] = page_orientation
@@ -116,9 +118,15 @@ def build_pages(
     paragraph_break: float = 0.035,
     keep_reading_order: bool = False,
     text_direction: str | None = None,
+    include_furniture: bool = True,
 ) -> DataFrame:
     fn = _make_builder(
-        resolve_lines, resolve_blocks, paragraph_break, keep_reading_order, text_direction
+        resolve_lines,
+        resolve_blocks,
+        paragraph_break,
+        keep_reading_order,
+        text_direction,
+        include_furniture,
     )
     return words.groupBy("conv_id", "turn_idx", "page_idx").applyInPandas(fn, PAGE_DOC_SCHEMA)
 

@@ -88,23 +88,36 @@ def kie_class_counts(kie_pages: DataFrame) -> DataFrame:
 EXPORT_SCHEMA = "conv_id string, turn_idx int, page_idx int, content string"
 
 
-def export_pages(built_pages: DataFrame, fmt: str) -> DataFrame:
+def export_pages(
+    built_pages: DataFrame, fmt: str, include_furniture: bool = True
+) -> DataFrame:
     """Built pages (operators.build.build_pages output) -> per-page export
-    string in the requested format (text/markdown/html/hocr)."""
+    string in the requested format (text/markdown/html/hocr);
+    ``include_furniture=False`` drops page header / footer / footnote blocks
+    from the render (reference `doctr/io/exporters.py:346-347`; labels
+    require the layout-aware builder)."""
     renderer = EXPORTERS[fmt]
 
     def fn(batches):
         for pdf in batches:
             out = pdf[["conv_id", "turn_idx", "page_idx"]].copy()
-            out["content"] = [renderer(json.loads(pj)) for pj in pdf["page_json"]]
+            if fmt == "hocr":  # geometry format: always the full page
+                out["content"] = [renderer(json.loads(pj)) for pj in pdf["page_json"]]
+            else:
+                out["content"] = [
+                    renderer(json.loads(pj), include_furniture=include_furniture)
+                    for pj in pdf["page_json"]
+                ]
             yield out
 
     return built_pages.mapInPandas(fn, EXPORT_SCHEMA)
 
 
-def export_documents(built_pages: DataFrame, fmt: str) -> DataFrame:
+def export_documents(
+    built_pages: DataFrame, fmt: str, include_furniture: bool = True
+) -> DataFrame:
     """Assemble per-turn export documents with the format's page break."""
-    pages = export_pages(built_pages, fmt)
+    pages = export_pages(built_pages, fmt, include_furniture=include_furniture)
     return (
         pages.groupBy("conv_id", "turn_idx")
         .agg(F.array_sort(F.collect_list(F.struct("page_idx", "content"))).alias("_p"))

@@ -45,6 +45,7 @@ def extract_documents(
     reco_arch: str = "ctc",
     det_arch: str = "db_like",
     text_direction: str | None = None,
+    include_furniture: bool = True,
 ) -> DataFrame:
     """Run the detection->recognition->reconstruction pipeline.
 
@@ -88,6 +89,7 @@ def extract_documents(
         paragraph_break=paragraph_break,
         keep_reading_order=keep_reading_order,
         text_direction=text_direction,
+        include_furniture=include_furniture,
     )
     docs = assemble_documents(built)
 

@@ -74,3 +74,29 @@ def test_multicolumn_pipeline_end_to_end(spark):
     )
     assert len(j) >= 4
     assert all(r.text_ok and r.words_ok for r in j)
+
+
+def test_include_furniture_filters_render():
+    """`include_furniture=False` drops header/footnote/footer blocks from
+    the render (reference doctr/io/exporters.py:346-347) while the JSON
+    export keeps every block."""
+    from doctr_spark.kernels.exporters import export_markdown, export_text
+
+    rng = np.random.default_rng([42, 3, 23])
+    canvas, gt, _ = gen_multicolumn_page(rng)
+    regions = detect_layout_regions(canvas)
+    boxes, scores, values, confs = _detect_recognize(canvas)
+    layout = {"boxes": regions["boxes"].tolist(), "class_names": regions["class_names"]}
+    full = build_page(boxes, scores, values, confs, canvas.shape,
+                      keep_reading_order=True, layout_regions=layout)
+    bare = build_page(boxes, scores, values, confs, canvas.shape,
+                      keep_reading_order=True, layout_regions=layout, include_furniture=False)
+    blocks = gt.split("\n\n")
+    # fixture layout: header, title, left col, right col, caption, footnote, footer
+    assert full["text"] == gt
+    assert bare["text"] == "\n\n".join([blocks[1], blocks[2], blocks[3], blocks[4]])
+    assert len(bare["blocks"]) == len(full["blocks"]) == 7  # JSON keeps all
+    assert export_text(full) == gt
+    assert export_text(full, include_furniture=False) == bare["text"]
+    md = export_markdown(full, include_furniture=False)
+    assert blocks[0].split(" ")[0] not in md and blocks[2].split(" ")[0] in md
