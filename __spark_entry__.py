@@ -142,6 +142,12 @@ def _metric_box_iou(spark: SparkSession, sf_dir: str) -> DataFrame:
     return box_iou_events(spark, sf_dir)
 
 
+def _metric_polygon_iou(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from doctr_spark.operators.metrics import polygon_iou_events
+
+    return polygon_iou_events(spark, sf_dir)
+
+
 def _sf_from_dir(sf_dir: str) -> float:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     return float(m.group(1)) if m else 0.01
@@ -532,6 +538,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_mix_sample": text_analysis.mix_sample,
         # metrics
         "metric_box_iou": _metric_box_iou,
+        "metric_polygon_iou": _metric_polygon_iou,
         "metric_localization": metric_localization,
         # relational / window
         "rel_pricing_summary": relational.pricing_summary,
@@ -559,9 +566,10 @@ def oracle_sql() -> dict[str, str]:
         "ocr_layout_regions": _REGION_ORACLE,
         "dataset_loaders": _DATASET_ORACLE,
     }
-    from doctr_spark.operators.metrics import BOX_IOU_ORACLE
+    from doctr_spark.operators.metrics import BOX_IOU_ORACLE, POLY_IOU_ORACLE
 
     oracles["metric_box_iou"] = BOX_IOU_ORACLE
+    oracles["metric_polygon_iou"] = POLY_IOU_ORACLE
     oracles["metric_localization"] = _LOC_ORACLE
     oracles.update(dedup.ORACLES)
     oracles.update(similarity.ORACLES)

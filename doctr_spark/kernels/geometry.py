@@ -117,3 +117,76 @@ def box_iou(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     area_b = (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
     union = area_a[:, None] + area_b[None, :] - inter
     return np.where(union > 0, inter / np.where(union > 0, union, 1.0), 0.0)
+
+
+def polygon_area(poly: np.ndarray) -> float:
+    """Shoelace area of a (K, 2) polygon (vertices in order)."""
+    if poly.shape[0] < 3:
+        return 0.0
+    x, y = poly[:, 0], poly[:, 1]
+    return 0.5 * abs(float(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1))))
+
+
+def clip_polygon(subject: np.ndarray, clip: np.ndarray) -> np.ndarray:
+    """Sutherland-Hodgman clip of ``subject`` against CONVEX ``clip``
+    (both (K, 2), any consistent winding). Returns the (possibly empty)
+    intersection polygon — the from-scratch stand-in for the shapely
+    ``intersection`` the reference's rotated-box metrics lean on
+    (`doctr/utils/metrics.py:154-181`)."""
+    clip = np.asarray(clip, dtype=np.float64)
+    # force counter-clockwise so "inside" is a fixed half-plane sign
+    if float(np.dot(clip[:, 0], np.roll(clip[:, 1], -1)) - np.dot(clip[:, 1], np.roll(clip[:, 0], -1))) < 0:
+        clip = clip[::-1]
+    out = np.asarray(subject, dtype=np.float64)
+    for i in range(clip.shape[0]):
+        if out.shape[0] == 0:
+            break
+        a, b = clip[i], clip[(i + 1) % clip.shape[0]]
+        edge = b - a
+        side = (out[:, 0] - a[0]) * edge[1] - (out[:, 1] - a[1]) * edge[0]
+        inside = side <= 1e-12
+        nxt: list[np.ndarray] = []
+        for j in range(out.shape[0]):
+            k = (j + 1) % out.shape[0]
+            if inside[j]:
+                nxt.append(out[j])
+            if inside[j] != inside[k]:
+                t = side[j] / (side[j] - side[k])
+                nxt.append(out[j] + t * (out[k] - out[j]))
+        out = np.asarray(nxt).reshape(-1, 2)
+    return out
+
+
+def polygon_iou(polys_1: np.ndarray, polys_2: np.ndarray) -> np.ndarray:
+    """Pairwise IoU matrix between rotated-box sets (N, 4, 2) x (M, 4, 2)
+    (reference `polygon_iou`, `doctr/utils/metrics.py:154-181`). The
+    reference prunes candidate pairs with a shapely STRtree; here the same
+    pruning is a vectorized bounding-box overlap pre-check, then each
+    surviving pair runs the exact convex clip + shoelace area."""
+    polys_1 = np.asarray(polys_1, dtype=np.float64).reshape(-1, 4, 2)
+    polys_2 = np.asarray(polys_2, dtype=np.float64).reshape(-1, 4, 2)
+    n, m = polys_1.shape[0], polys_2.shape[0]
+    iou = np.zeros((n, m), dtype=np.float64)
+    if n == 0 or m == 0:
+        return iou
+    bb1 = np.concatenate((polys_1.min(axis=1), polys_1.max(axis=1)), axis=-1)
+    bb2 = np.concatenate((polys_2.min(axis=1), polys_2.max(axis=1)), axis=-1)
+    lt = np.maximum(bb1[:, None, :2], bb2[None, :, :2])
+    rb = np.minimum(bb1[:, None, 2:], bb2[None, :, 2:])
+    cand_i, cand_j = np.nonzero(((rb - lt) > 0).all(axis=-1))
+    a1 = np.array([polygon_area(p) for p in polys_1])
+    a2 = np.array([polygon_area(p) for p in polys_2])
+    for i, j in zip(cand_i, cand_j):
+        inter = polygon_area(clip_polygon(polys_1[i], polys_2[j]))
+        union = a1[i] + a2[j] - inter
+        if union > 0:
+            iou[i, j] = inter / union
+    return iou
+
+
+def rotate_polygon(poly: np.ndarray, angle_deg: float, center: tuple[float, float]) -> np.ndarray:
+    """Rotate (K, 2) points by ``angle_deg`` CCW around ``center``."""
+    theta = np.deg2rad(angle_deg)
+    rot = np.array([[np.cos(theta), -np.sin(theta)], [np.sin(theta), np.cos(theta)]])
+    c = np.asarray(center, dtype=np.float64)
+    return (np.asarray(poly, dtype=np.float64) - c) @ rot.T + c

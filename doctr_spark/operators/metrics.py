@@ -91,21 +91,29 @@ def localization_per_page(
     pairs: DataFrame,
     page_key: str = "page_key",
     iou_thresh: float = 0.5,
+    use_polygons: bool = False,
 ) -> DataFrame:
     """Per-page optimal IoU matching (Hungarian assignment on the negated
     IoU matrix, exactly the reference's `linear_sum_assignment` design,
     `doctr/utils/metrics.py:268-290`): one row per page with the matched
     counters. Matches below ``iou_thresh`` are discarded after assignment,
     like the reference. ``pairs`` holds one row per page with array columns
-    ``gt_boxes`` and ``pred_boxes`` (each array<array<double>>)."""
+    ``gt_boxes`` and ``pred_boxes`` — each element a 4-value straight box,
+    or with ``use_polygons`` an 8-value flattened (4, 2) rotated box scored
+    by the Sutherland-Hodgman clip (reference
+    ``LocalizationConfusion(use_polygons=True)``,
+    `doctr/utils/metrics.py:154-181, 268-290`)."""
     from ..kernels.assignment import linear_sum_assignment
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        from ..kernels.geometry import polygon_iou
+
+        width = 8 if use_polygons else 4
         out = []
         for key, gt, pred in zip(pdf[page_key], pdf["gt_boxes"], pdf["pred_boxes"]):
-            g = np.array([list(b) for b in gt], dtype=float) if len(gt) else np.zeros((0, 4))
-            p = np.array([list(b) for b in pred], dtype=float) if len(pred) else np.zeros((0, 4))
-            iou = box_iou(g, p)
+            g = np.array([list(b) for b in gt], dtype=float) if len(gt) else np.zeros((0, width))
+            p = np.array([list(b) for b in pred], dtype=float) if len(pred) else np.zeros((0, width))
+            iou = polygon_iou(g, p) if use_polygons else box_iou(g, p)
             matched, sum_iou = 0, 0.0
             if iou.size:
                 gi, pi = linear_sum_assignment(-iou)
@@ -133,3 +141,47 @@ def localization_confusion(
         F.round(F.sum("n_matched") / F.sum("n_pred"), 6).alias("precision"),
         F.round(F.sum("sum_iou") / F.sum("n_matched"), 6).alias("mean_iou"),
     )
+
+
+POLY_IOU_SCHEMA = "event_id long, iou double"
+
+
+def polygon_iou_events(spark, sf_dir: str) -> DataFrame:
+    """Rotated-box IoU through the Sutherland-Hodgman clip kernel
+    (`kernels.geometry.polygon_iou`, reference `doctr/utils/metrics.py:
+    154-181`) over deterministic pairs derived from events. Both boxes of a
+    pair rotate RIGIDLY by (event_id % 12) * 15 deg about (0.5, 0.5), so
+    the exact polygon IoU equals the straight-box IoU of the unrotated
+    pair — which makes the clip kernel checkable against a pure-arithmetic
+    DuckDB oracle with no staging."""
+    from ..kernels.geometry import polygon_iou, rotate_polygon
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    a_x0 = (F.col("event_id") * 13 % 100) / 100.0
+    a_y0 = (F.col("event_id") * 29 % 100) / 100.0
+    b_x0 = (F.col("event_id") * 17 % 100) / 100.0
+    b_y0 = (F.col("event_id") * 31 % 100) / 100.0
+    boxed = ev.select(
+        "event_id",
+        F.array(a_x0, a_y0, a_x0 + 0.2, a_y0 + 0.1).alias("box_a"),
+        F.array(b_x0, b_y0, b_x0 + 0.15, b_y0 + 0.12).alias("box_b"),
+        (F.col("event_id") % 12 * 15.0).alias("angle"),
+    )
+
+    def fn(batches):
+        for pdf in batches:
+            ious = []
+            for a, b, ang in zip(pdf["box_a"], pdf["box_b"], pdf["angle"]):
+                pa = np.array([[a[0], a[1]], [a[2], a[1]], [a[2], a[3]], [a[0], a[3]]])
+                pb = np.array([[b[0], b[1]], [b[2], b[1]], [b[2], b[3]], [b[0], b[3]]])
+                ra = rotate_polygon(pa, float(ang), (0.5, 0.5))
+                rb = rotate_polygon(pb, float(ang), (0.5, 0.5))
+                ious.append(round(float(polygon_iou(ra[None], rb[None])[0, 0]), 6))
+            yield pd.DataFrame({"event_id": pdf["event_id"], "iou": ious})
+
+    return boxed.mapInPandas(fn, POLY_IOU_SCHEMA).where(F.col("iou") > 0)
+
+
+# identical arithmetic to BOX_IOU_ORACLE: a rigid rotation of both boxes
+# preserves their IoU exactly, so the straight-box formula IS the oracle
+POLY_IOU_ORACLE = BOX_IOU_ORACLE

@@ -115,3 +115,57 @@ def test_metric_localization_query(spark):
     assert all(r["precision"] == 1.0 and r["mean_iou"] == 1.0 for r in rows)
     assert any(r["recall"] < 1.0 for r in rows)
     assert all(r["n_pred"] <= r["n_gt"] for r in rows)
+
+
+def test_polygon_iou_kernel_known_values():
+    import numpy as np
+
+    from doctr_spark.kernels.geometry import (
+        box_iou,
+        clip_polygon,
+        polygon_area,
+        polygon_iou,
+        rotate_polygon,
+    )
+
+    sq = np.array([[0.0, 0], [1, 0], [1, 1], [0, 1]])
+    # unit square vs itself rotated 45 deg about its center: regular octagon
+    diamond = rotate_polygon(sq, 45, (0.5, 0.5))
+    inter = polygon_area(clip_polygon(sq, diamond))
+    assert abs(inter - 2 * (np.sqrt(2) - 1)) < 1e-12
+    # rigid rotation of a pair preserves IoU exactly
+    a = np.array([[0.1, 0.2], [0.5, 0.2], [0.5, 0.4], [0.1, 0.4]])
+    b = np.array([[0.3, 0.3], [0.7, 0.3], [0.7, 0.6], [0.3, 0.6]])
+    base = box_iou(np.array([[0.1, 0.2, 0.5, 0.4]]), np.array([[0.3, 0.3, 0.7, 0.6]]))[0, 0]
+    for ang in (0, 15, 30, 77.5):
+        ra, rb = rotate_polygon(a, ang, (0.5, 0.5)), rotate_polygon(b, ang, (0.5, 0.5))
+        assert abs(polygon_iou(ra[None], rb[None])[0, 0] - base) < 1e-12
+    # disjoint polygons short-circuit through the bbox precheck
+    assert polygon_iou(a[None], (a + 5)[None])[0, 0] == 0.0
+
+
+def test_localization_use_polygons(spark):
+    import numpy as np
+
+    from doctr_spark.kernels.geometry import rotate_polygon
+    from doctr_spark.operators.metrics import localization_per_page
+
+    gt_box = np.array([[0.2, 0.2], [0.6, 0.2], [0.6, 0.4], [0.2, 0.4]])
+    rows = []
+    for ang, exact in ((30.0, True), (30.0, False)):
+        g = rotate_polygon(gt_box, ang, (0.5, 0.5)).ravel().tolist()
+        p = (
+            g
+            if exact
+            else rotate_polygon(gt_box + 0.3, ang, (0.5, 0.5)).ravel().tolist()
+        )
+        rows.append((f"p{int(exact)}", [g], [p]))
+    df = spark.createDataFrame(
+        rows, "page_key string, gt_boxes array<array<double>>, pred_boxes array<array<double>>"
+    )
+    got = {
+        r.page_key: r
+        for r in localization_per_page(df, use_polygons=True).collect()
+    }
+    assert got["p1"].n_matched == 1 and abs(got["p1"].sum_iou - 1.0) < 1e-9
+    assert got["p0"].n_matched == 0
