@@ -95,6 +95,39 @@ def kie_counts_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kie_class_counts(kie_extract(transcripts_from_documents(spark, sf_dir)))
 
 
+_KIE_VALUES_ORACLE = """
+WITH cleaned AS (
+    SELECT source AS conv_id,
+           (ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) - 1)::INT AS turn_idx,
+           trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                               ' +', ' ', 'g')) AS txt
+    FROM documents
+), c AS (
+    SELECT conv_id, turn_idx,
+           CASE WHEN txt = '' THEN []::VARCHAR[] ELSE string_split(txt, ' ') END AS toks
+    FROM cleaned
+)
+SELECT conv_id, turn_idx,
+       coalesce(array_to_string(list_sort(list_filter(toks, t -> regexp_full_match(t, '[0-9]+'))), ' '), '')
+           AS number_vals,
+       coalesce(array_to_string(list_sort(list_filter(toks, t -> regexp_full_match(t, '[a-z]+'))), ' '), '')
+           AS alpha_vals,
+       coalesce(array_to_string(list_sort(list_filter(toks,
+           t -> NOT regexp_full_match(t, '[0-9]+') AND NOT regexp_full_match(t, '[a-z]+'))), ' '), '')
+           AS mixed_vals
+FROM c
+"""
+
+
+def kie_values_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KIE content-level check: per-turn SORTED prediction values per class
+    must equal the SQL token classifier's sorted token lists — proving the
+    per-class extraction CONTENT, not just its cardinality."""
+    from doctr_spark.operators.kie import kie_class_values, kie_extract
+
+    return kie_class_values(kie_extract(transcripts_from_documents(spark, sf_dir)))
+
+
 # hOCR is XML the oracle can't re-derive bbox-for-bbox, but stripping tags
 # must give back exactly the flagship token stream, and the number of
 # ocrx_word spans must equal the SQL word count — so the export surface is
@@ -134,6 +167,60 @@ def export_hocr_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("hocr_text"),
         (F.size(F.split("content", "class='ocrx_word'")) - 1).cast("long").alias("n_word_spans"),
     )
+
+
+# markdown/asciidoc are oracle-checked the hOCR way: the flagship token
+# stream contains no escapable characters, so undoing the (golden-tested)
+# line-leading marker neutralization and collapsing the format's
+# block/page separators must reproduce exactly the cleaned source stream,
+# and the stripped token count must equal the SQL word count.
+_MD_ORACLE = """
+WITH c AS (
+    SELECT source AS conv_id,
+           (ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) - 1)::INT AS turn_idx,
+           trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                               ' +', ' ', 'g')) AS cleaned
+    FROM documents
+)
+SELECT conv_id, turn_idx, cleaned AS md_text,
+       (CASE WHEN cleaned = '' THEN 0
+             ELSE len(string_split(cleaned, ' ')) END)::BIGINT AS n_words
+FROM c
+"""
+
+_ADOC_ORACLE = _MD_ORACLE.replace("AS md_text", "AS adoc_text")
+
+
+def _export_stripped(spark: SparkSession, sf_dir: str, fmt: str, page_break: str, col: str) -> DataFrame:
+    from doctr_spark.operators.build import build_pages
+    from doctr_spark.operators.detect import detect_and_crop
+    from doctr_spark.operators.kie import export_documents
+    from doctr_spark.operators.recognize import recognize
+
+    t = transcripts_from_documents(spark, sf_dir)
+    built = build_pages(recognize(detect_and_crop(decode_pages(t))))
+    doc = export_documents(built, fmt)
+    # undo line-leading neutralization only (markdown "\\", asciidoc
+    # "{empty}"), drop the page separator, collapse whitespace
+    lead = r"(^|\n)\\" if fmt == "markdown" else r"(^|\n)\{empty\}"
+    stripped = F.regexp_replace("content", lead, "$1")
+    flat = F.trim(
+        F.regexp_replace(F.regexp_replace(stripped, page_break, " "), r"\s+", " ")
+    )
+    n_words = F.when(flat == "", F.lit(0)).otherwise(F.size(F.split(flat, " "))).cast("long")
+    return doc.select("conv_id", "turn_idx", flat.alias(col), n_words.alias("n_words"))
+
+
+def export_markdown_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markdown export surface end to end (`kernels.exporters.export_markdown`,
+    reference `doctr/io/exporters.py:436-471`), oracle-checked like hOCR."""
+    return _export_stripped(spark, sf_dir, "markdown", r"\n\n---\n\n", "md_text")
+
+
+def export_asciidoc_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AsciiDoc export surface end to end (`kernels.exporters.export_asciidoc`,
+    reference `doctr/io/exporters.py:474-509`), oracle-checked like hOCR."""
+    return _export_stripped(spark, sf_dir, "asciidoc", r"\n\n<<<\n\n", "adoc_text")
 
 
 def _metric_box_iou(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -511,7 +598,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ocr_artefacts": ocr_artefacts,
         "ocr_layout_regions": ocr_layout_regions,
         "kie_class_counts": kie_counts_documents,
+        "kie_class_values": kie_values_documents,
         "export_hocr": export_hocr_documents,
+        "export_markdown": export_markdown_documents,
+        "export_asciidoc": export_asciidoc_documents,
         "dataset_loaders": dataset_loaders,
         # dedup suite
         "dedup_exact": dedup.exact_dedup,
@@ -555,7 +645,10 @@ def oracle_sql() -> dict[str, str]:
         "ocr_extract_documents": _FLAGSHIP_ORACLE,
         "ocr_word_stats": _WORD_STATS_ORACLE,
         "kie_class_counts": _KIE_ORACLE,
+        "kie_class_values": _KIE_VALUES_ORACLE,
         "export_hocr": _HOCR_ORACLE,
+        "export_markdown": _MD_ORACLE,
+        "export_asciidoc": _ADOC_ORACLE,
         "ocr_extract_synthetic": _SYNTH_ORACLE,
         "ocr_extract_skewed": _SKEW_ORACLE,
         "ocr_extract_accents": _ACCENT_ORACLE,

@@ -127,3 +127,32 @@ def export_documents(
             F.concat_ws(PAGE_BREAKS[fmt], F.transform("_p", lambda p: p["content"])).alias("content"),
         )
     )
+
+
+def kie_class_values(kie_pages: DataFrame) -> DataFrame:
+    """Per-turn sorted token VALUES by KIE class — the content-level check
+    behind :func:`kie_class_counts` (same class partition, but exposing the
+    joined prediction values so an oracle can verify what was extracted,
+    not just how much). Native JSON path + higher-order folds, no UDF."""
+    preds = F.from_json(
+        "predictions_json", "map<string, array<struct<value: string>>>"
+    ).alias("preds")
+    tok = kie_pages.select("conv_id", "turn_idx", preds).select(
+        "conv_id", "turn_idx", F.explode_outer("preds").alias("cls", "arr")
+    ).select(
+        "conv_id", "turn_idx", "cls", F.explode_outer("arr").alias("p")
+    ).select("conv_id", "turn_idx", "cls", F.col("p.value").alias("value"))
+
+    def _vals(cls: str):
+        return F.concat_ws(
+            " ",
+            F.array_sort(
+                F.collect_list(F.when(F.col("cls") == cls, F.col("value")))
+            ),
+        )
+
+    return tok.groupBy("conv_id", "turn_idx").agg(
+        _vals("number").alias("number_vals"),
+        _vals("alpha").alias("alpha_vals"),
+        _vals("mixed").alias("mixed_vals"),
+    )
