@@ -522,7 +522,7 @@ def dataset_loaders(spark: SparkSession, sf_dir: str) -> DataFrame:
     `doctr/datasets/{{funsd,cord,sroie}}.py`). The fabricators' own
     ground-truth rows are the staged oracle; boxes are flattened to an
     int signature string (driver canonicalization can't sort arrays)."""
-    import json as _json
+    import shutil
 
     from doctr_spark.fixtures import archives
     from doctr_spark.io import datasets as dsets
@@ -535,6 +535,9 @@ def dataset_loaders(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
     exp_rows, outs = [], []
     for name, (fab, load) in fabs.items():
+        # clear any stale archive from a prior run with different
+        # parameters — the glob-based loaders would pick leftovers up
+        shutil.rmtree(f"{root}/{name}", ignore_errors=True)
         expected = fab(f"{root}/{name}", n_imgs=6)
         for e in expected:
             exp_rows.append(

@@ -63,8 +63,10 @@ def run_bench(sf_dir: str, cpus: str, shuffle_partitions: int | None = None) -> 
         "q2_ocr_synthetic",
         lambda: extract_documents(tdf).count(),
     )
-    # q3: minhash-LSH near-dup pairs
+    # q3: minhash-LSH near-dup pairs (returns a persisted pair list —
+    # release it so q4/q5 run against clean executor storage)
     timed("q3_dedup_minhash_lsh", lambda: dedup.minhash_lsh_pairs(spark, sf_dir).count())
+    spark.catalog.clearCache()
     # q4: brute-force cosine top-k
     timed("q4_similarity_topk", lambda: similarity.cosine_topk(spark, sf_dir).count())
     # q5: simhash

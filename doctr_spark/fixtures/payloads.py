@@ -96,5 +96,17 @@ def decode_payload(text: str) -> list[np.ndarray]:
         elif kind == "img":
             pages.append(decode_page(base64.b64decode(body)))
         else:  # pdf
-            pages.extend(decode_multipage(base64.b64decode(body)))
+            blob = base64.b64decode(body)
+            if blob[:5] == b"%PDF-":
+                # disclosed environment gate, same contract as the media
+                # codecs (operators/multimodal.py): a REAL PDF stream needs
+                # the pypdfium2 raster backend (reference
+                # doctr/io/pdf.py:16-43), absent in this container. Swap-in
+                # point: replace this branch with pypdfium2 page rendering;
+                # everything downstream consumes plain (H, W) uint8 pages.
+                raise NotImplementedError(
+                    "real PDF raster requires pypdfium2 (doctr/io/pdf.py:16-43); "
+                    "only the packed multi-page payload format is decodable here"
+                )
+            pages.extend(decode_multipage(blob))
     return pages

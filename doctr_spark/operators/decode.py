@@ -38,6 +38,8 @@ def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             # include_all_turns, identical to payload-free turns.
             try:
                 pages = decode_payload(text)
+            except NotImplementedError:
+                raise  # disclosed env gates (%PDF raster) must fail loudly
             except Exception:
                 continue
             for page_idx, img in enumerate(pages):

@@ -105,6 +105,11 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str, max_bucket: int = MAX_BU
       boilerplate cluster. Singleton buckets are pruned by the same pass.
     * band keys come straight off the wide signature row (array slice +
       posexplode) — no second shuffle to assemble bands.
+
+    Returns a PERSISTED (eagerly materialized) DataFrame: the pair list is
+    small and read by several consumers. Callers that keep the session
+    alive should ``unpersist()`` it after consumption (``dedup_clusters``
+    does); the oracle/bench harnesses clear the cache between queries.
     """
     wide = _doc_signatures(spark, sf_dir)
     per_seed = N_MINHASH // LSH_BANDS
@@ -281,6 +286,9 @@ def ngram_jaccard_pairs(
     intersection and the set sizes use the capped sets), so the number is
     self-consistent and both engines agree; stop-shingles carry no
     near-duplicate signal to begin with.
+
+    Returns a PERSISTED (eagerly materialized) DataFrame — same caller
+    contract as :func:`minhash_lsh_pairs`.
     """
     sh = _shingles(_docs(spark, sf_dir)).distinct().persist()
     sh.count()  # eager: df-cap scan + key join would race the cache

@@ -124,7 +124,11 @@ def embedding_near_dups(
     max_bucket: int = MAX_BUCKET,
 ) -> DataFrame:
     """Near-duplicate vector pairs (cos >= threshold) via banded multi-probe
-    sign LSH: only equi-joins on (band, key); oversized buckets skipped."""
+    sign LSH: only equi-joins on (band, key); oversized buckets skipped.
+
+    Returns a PERSISTED (eagerly materialized) DataFrame — callers keeping
+    the session alive should ``unpersist()`` after consumption; the
+    oracle/bench harnesses clear the cache between queries."""
     emb = _emb(spark, sf_dir)
     banded = _banded(emb).persist()
     banded.count()  # eager: independent downstream stages would race the cache
@@ -157,6 +161,45 @@ def embedding_near_dups(
 IVF_MOD = 40  # deterministic centroid sampling: vec_id % IVF_MOD == IVF_OFFSET
 IVF_OFFSET = 7
 NPROBE = 4
+# above this many centroids the constant-folded literal stops being the
+# right plan (codegen expression size grows linearly with k); the argmax
+# moves into an Arrow-batched kernel over an sc.broadcast matrix instead
+IVF_LITERAL_MAX = 256
+
+
+def _assign_lists_broadcast(emb: DataFrame, cent_rows) -> DataFrame:
+    """Large-k list assignment: Arrow-batched argmax over an ``sc.broadcast``
+    centroid matrix — still map-side (no shuffle, no row multiplication),
+    one BLAS matmul per batch. Bit-compatible with the literal path: the
+    cosine rounds to 6dp before the argmax and ties break to the smallest
+    centroid_id (centroids are kept in ascending-id order, so numpy's
+    first-max argmax applies the same tie-break)."""
+    import numpy as np
+    import pandas as pd
+
+    rows = sorted(cent_rows, key=lambda r: int(r["centroid_id"]))
+    cids = np.asarray([int(r["centroid_id"]) for r in rows], dtype=np.int64)
+    mat = np.asarray([list(r["cvec"]) for r in rows], dtype=np.float64)
+    mat_n = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    bc = emb.sparkSession.sparkContext.broadcast((cids, mat_n))
+
+    def fn(batches):
+        b_cids, b_mat = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = np.asarray(pdf["embedding"].tolist(), dtype=np.float64)
+            vn = v / np.linalg.norm(v, axis=1, keepdims=True)
+            cos = np.round(vn @ b_mat.T, 6)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "embedding": pdf["embedding"],
+                    "list_id": b_cids[cos.argmax(axis=1)],
+                }
+            )
+
+    return emb.mapInPandas(fn, "vec_id bigint, embedding array<double>, list_id bigint")
 
 
 def ivf_ann(
@@ -165,6 +208,7 @@ def ivf_ann(
     n_queries: int = N_QUERIES,
     k: int = TOP_K,
     nprobe: int = NPROBE,
+    assign_mode: str = "auto",
 ) -> DataFrame:
     """IVF-Flat approximate nearest neighbors: the corpus is partitioned
     into inverted lists by nearest centroid; queries probe only their
@@ -182,6 +226,13 @@ def ivf_ann(
     constant-folded literal, the same argmax moves into a ``mapInPandas``
     over an ``sc.broadcast`` numpy matrix — still map-side.) The probe is
     an equi-join on list_id — no all-pairs stage anywhere.
+
+    ``assign_mode`` selects the list-assignment kernel: ``"literal"`` is
+    the constant-folded centroid literal (right for k up to a few hundred),
+    ``"broadcast"`` the Arrow-batched argmax over an ``sc.broadcast``
+    matrix (:func:`_assign_lists_broadcast`, right for large k);
+    ``"auto"`` switches at ``IVF_LITERAL_MAX``. Both are map-side and
+    produce identical assignments (unit-tested against each other).
     """
     emb = _emb(spark, sf_dir)
     cents = emb.where(F.pmod(F.col("vec_id"), F.lit(IVF_MOD)) == IVF_OFFSET).select(
@@ -190,27 +241,30 @@ def ivf_ann(
     # Driver-side collect of the (broadcast-small) centroid table; Catalyst
     # constant-folds the nested CreateArray into ONE array literal.
     cent_rows = cents.collect()
-    cent_lit = F.array(
-        *[
-            F.struct(
-                F.lit(int(r["centroid_id"])).alias("cid"),
-                F.array(*[F.lit(float(v)) for v in r["cvec"]]).alias("cvec"),
-            )
-            for r in cent_rows
-        ]
-    )
-    # Lexicographic struct max == (max cos, then min centroid_id) — the same
-    # tie-break as the oracle's ORDER BY cos DESC, centroid_id ASC.
-    best = F.array_max(
-        F.transform(
-            cent_lit,
-            lambda c: F.struct(
-                cosine(F.col("embedding"), c["cvec"]).alias("ccos"),
-                (-c["cid"]).alias("ncid"),
-            ),
+    if assign_mode == "broadcast" or (assign_mode == "auto" and len(cent_rows) > IVF_LITERAL_MAX):
+        assign = _assign_lists_broadcast(emb, cent_rows)
+    else:
+        cent_lit = F.array(
+            *[
+                F.struct(
+                    F.lit(int(r["centroid_id"])).alias("cid"),
+                    F.array(*[F.lit(float(v)) for v in r["cvec"]]).alias("cvec"),
+                )
+                for r in cent_rows
+            ]
         )
-    )
-    assign = emb.select("vec_id", "embedding", (-best["ncid"]).alias("list_id"))
+        # Lexicographic struct max == (max cos, then min centroid_id) — the
+        # same tie-break as the oracle's ORDER BY cos DESC, centroid_id ASC.
+        best = F.array_max(
+            F.transform(
+                cent_lit,
+                lambda c: F.struct(
+                    cosine(F.col("embedding"), c["cvec"]).alias("ccos"),
+                    (-c["cid"]).alias("ncid"),
+                ),
+            )
+        )
+        assign = emb.select("vec_id", "embedding", (-best["ncid"]).alias("list_id"))
     queries = emb.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q")
     )

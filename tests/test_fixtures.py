@@ -64,3 +64,17 @@ def test_generator_deterministic_and_skewed():
     # find at least one skewed conversation in a window
     lengths = [len(gen_conversation(i)[0]) for i in range(300)]
     assert max(lengths) > 50  # ~1% skew at 50x
+
+
+def test_real_pdf_payload_gate():
+    """A %PDF-signature payload must raise the disclosed pypdfium2 gate
+    (reference doctr/io/pdf.py:16-43), not decode garbage or quarantine."""
+    import base64
+
+    import pytest
+
+    from doctr_spark.fixtures.payloads import decode_payload
+
+    body = base64.b64encode(b"%PDF-1.7\nfake pdf bytes").decode()
+    with pytest.raises(NotImplementedError, match="pypdfium2"):
+        decode_payload(f"<doc:pdf>{body}</doc:pdf>")

@@ -53,3 +53,15 @@ def test_mix_sample_rates_and_determinism(spark):
     # pure function of content: a second run keeps the identical sample
     b = sorted(map(str, mix_sample(spark, SF).collect()))
     assert sorted(map(str, a.collect())) == b
+
+
+def test_ivf_assign_paths_agree(spark):
+    """The constant-folded literal and the sc.broadcast mapInPandas argmax
+    must produce identical IVF results (operators/similarity.py)."""
+    from doctr_spark.operators import similarity
+
+    sf = "/root/testdata/sf0.001"
+    lit = similarity.ivf_ann(spark, sf, assign_mode="literal").collect()
+    bc = similarity.ivf_ann(spark, sf, assign_mode="broadcast").collect()
+    key = lambda r: (r.query_id, r.rank)
+    assert sorted(lit, key=key) == sorted(bc, key=key)

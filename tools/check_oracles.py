@@ -75,6 +75,10 @@ def main(sf_dir: str, only: list[str] | None = None) -> int:
             failures += 1
         else:
             print(f"MATCH {name}: {len(sdf)} rows")
+        # some operators return eagerly-persisted results (documented
+        # contract: pair-list queries materialize before returning) — clear
+        # between queries so one query's cache never lingers into the next
+        spark.catalog.clearCache()
     spark.stop()
     return failures
 

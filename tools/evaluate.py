@@ -28,11 +28,19 @@ from pyspark.sql import functions as F  # noqa: N812
 
 
 def evaluate(spark: SparkSession, img_folder: str, label_file: str) -> dict:
+    import os
+
     from doctr_spark.io.datasets import load_ocr_dataset
     from doctr_spark.operators.decode import decode_pages
     from doctr_spark.operators.detect import detect_and_crop
     from doctr_spark.operators.metrics import localization_per_page
     from doctr_spark.operators.pipeline import extract_documents
+
+    # the text-metrics join keys the label table's img_path (img_folder +
+    # file name; names in the label file must match the files on disk)
+    # against binaryFile's absolute 'file:'-stripped path — normalize so a
+    # relative img_folder cannot silently miss every join
+    img_folder = os.path.abspath(img_folder)
 
     gt = load_ocr_dataset(spark, img_folder, label_file).select(
         F.col("img_path").alias("conv_id"),
