@@ -532,6 +532,8 @@ def dataset_loaders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "funsd": (archives.fabricate_funsd, dsets.load_funsd),
         "cord": (archives.fabricate_cord, dsets.load_cord),
         "sroie": (archives.fabricate_sroie, dsets.load_sroie),
+        "synthtext": (archives.fabricate_synthtext, dsets.load_synthtext),
+        "iiit5k": (archives.fabricate_iiit5k, dsets.load_iiit5k),
     }
     exp_rows, outs = [], []
     for name, (fab, load) in fabs.items():

@@ -425,3 +425,72 @@ def fabricate_ocr_rendered(root: str, n_imgs: int = 5, seed: int = 12) -> list[d
     with open(f"{root}/labels.json", "w") as f:
         json.dump(data, f)
     return expected
+
+
+def fabricate_synthtext(root: str, n_imgs: int = 4, seed: int = 13) -> list[dict]:
+    """SynthText gt.mat (MATLAB v5, compressed): parallel cells imnames /
+    wordBB (2 x 4 x M corner tensor; plain 2 x 4 for a single word, the
+    reference's expand_dims path) / txt (char matrices whose
+    whitespace-split rows are the labels), written with the from-scratch
+    codec `kernels/matv5.py`."""
+    import numpy as np
+
+    from ..kernels.matv5 import Cell, savemat
+
+    rng = random.Random(seed)
+    _mkdirs(root)
+    imnames, wordbbs, txts, expected = [], [], [], []
+    for i in range(n_imgs):
+        img = f"{i // 2}/scene_{i:03d}.jpg"
+        n_words = 1 if i == 0 else rng.randrange(2, 5)  # i==0: the 2-D bb path
+        words = _gen_words(rng, n_words)
+        labels = [t for t, _ in words]
+        bb = np.zeros((2, 4, n_words))
+        for m, (_, (x0, y0, x1, y1)) in enumerate(words):
+            bb[0, :, m] = [x0, x1, x1, x0]
+            bb[1, :, m] = [y0, y0, y1, y1]
+        imnames.append(img)
+        wordbbs.append(bb[:, :, 0] if n_words == 1 else bb)
+        half = (len(labels) + 1) // 2  # 2-row char matrix exercises padding
+        rows = [" ".join(labels[:half])] + ([" ".join(labels[half:])] if labels[half:] else [])
+        txts.append(rows[0] if len(rows) == 1 else rows)
+        expected.append(
+            {"img_path": f"{root}/{img}", "labels": labels, "boxes": [b for _, b in words]}
+        )
+        _mkdirs(os.path.dirname(f"{root}/{img}"))
+        _touch(f"{root}/{img}")
+    savemat(f"{root}/gt.mat", {"imnames": Cell(imnames), "wordBB": Cell(wordbbs), "txt": Cell(txts)})
+    return expected
+
+
+def fabricate_iiit5k(root: str, n_imgs: int = 4, seed: int = 14) -> list[dict]:
+    """IIIT5K trainCharBound.mat: a (1, N) struct array with fields
+    (ImgName, chars, charBB [x, y, w, h] per character)."""
+    import numpy as np
+
+    from ..kernels.matv5 import StructArray, savemat
+
+    rng = random.Random(seed)
+    _mkdirs(f"{root}/train")
+    recs, expected = [], []
+    chars = "ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
+    for i in range(n_imgs):
+        img = f"train/{i + 1:04d}_1.png"
+        label = "".join(rng.choice(chars) for _ in range(rng.randrange(3, 7)))
+        x = 2.0
+        boxes = []
+        for _ in label:
+            w, h = float(rng.randrange(8, 20)), float(rng.randrange(16, 28))
+            boxes.append([x, 4.0, w, h])
+            x += w + 2
+        recs.append({"ImgName": img, "chars": label, "charBB": np.asarray(boxes)})
+        expected.append(
+            {
+                "img_path": f"{root}/{img}",
+                "labels": list(label),
+                "boxes": [[b[0], b[1], b[0] + b[2], b[1] + b[3]] for b in boxes],
+            }
+        )
+        _touch(f"{root}/{img}")
+    savemat(f"{root}/trainCharBound.mat", {"trainCharBound": StructArray(recs)})
+    return expected

@@ -600,5 +600,81 @@ def _gated_mat_loader(name: str, fmt: str, ref: str):
 
 # binary-container annotation formats: gated on missing scientific-IO libs
 load_svhn = _gated_mat_loader("SVHN", "HDF5 digitStruct.mat", "doctr/datasets/svhn.py:62-120")
-load_synthtext = _gated_mat_loader("SynthText", "MATLAB gt.mat", "doctr/datasets/synthtext.py:60-118")
-load_iiit5k = _gated_mat_loader("IIIT5K", "MATLAB trainCharBound.mat", "doctr/datasets/iiit5k.py:60-106")
+
+
+def _mat_word_rows(spark: SparkSession, mat_path: str, parse_fn) -> DataFrame:
+    """Parse one .mat annotation file into (img_path, ord, box, label)
+    word rows. The file enters through the binaryFile source and is parsed
+    in an EXECUTOR task (never the driver); the exploded word rows then
+    shuffle into the standard ``_assemble`` path like every other loader.
+    At real corpus scale (SynthText's gt.mat is ~400 MB for 858k pages)
+    the parse is a one-time single task whose output is the distributed
+    object — for repeated runs convert once to parquet."""
+
+    raw = spark.read.format("binaryFile").load(mat_path).select("content")
+
+    def fn(batches):
+        import pandas as pd
+
+        from ..kernels.matv5 import loadmat_bytes
+
+        for pdf in batches:
+            rows = []
+            for blob in pdf["content"]:
+                rows.extend(parse_fn(loadmat_bytes(bytes(blob))))
+            yield pd.DataFrame(rows, columns=["img_path", "ord", "box", "label"])
+
+    return raw.mapInPandas(fn, "img_path string, ord long, box array<double>, label string")
+
+
+def load_synthtext(
+    spark: SparkSession, folder: str, train: bool | None = None, use_polygons: bool = False
+) -> DataFrame:
+    """SynthText loader (reference `doctr/datasets/synthtext.py:91-118`,
+    scipy.io replaced by the from-scratch MAT v5 codec
+    `kernels/matv5.py`): ``gt.mat`` holds parallel cells ``imnames`` /
+    ``wordBB`` (2 x 4 x M corner tensors, or 2 x 4 for a single word) /
+    ``txt`` (char matrices whose whitespace-split rows are the word
+    labels). ``train`` slices the reference's 90/10 split; None loads all.
+    """
+    import numpy as np
+
+    def parse(mat):
+        imnames, wordbb, txt = mat["imnames"], mat["wordBB"], mat["txt"]
+        n_train = int(len(imnames) * 0.9)
+        sl = slice(None) if train is None else (slice(n_train) if train else slice(n_train, None))
+        rows = []
+        for img, bb, t in zip(imnames[sl], wordbb[sl], txt[sl]):
+            labels = [w for line in ([t] if isinstance(t, str) else t) for w in line.split()]
+            bb = np.asarray(bb, dtype=float)
+            polys = bb.transpose(2, 1, 0) if bb.ndim == 3 else bb.transpose(1, 0)[None]
+            boxes = np.concatenate((polys.min(axis=1), polys.max(axis=1)), axis=1)
+            for o, (box, label) in enumerate(zip(boxes, labels)):
+                rows.append((f"{folder}/{img}", o, [float(v) for v in box], label))
+        return rows
+
+    return _assemble(_mat_word_rows(spark, f"{folder}/gt.mat", parse), use_polygons)
+
+
+def load_iiit5k(
+    spark: SparkSession, folder: str, train: bool = True, use_polygons: bool = False
+) -> DataFrame:
+    """IIIT5K character-level loader (reference
+    `doctr/datasets/iiit5k.py:73-106` via the MAT v5 codec): a struct
+    array (ImgName, chars, charBB) per image; each character's
+    [x, y, w, h] box becomes xyxy and each char is one label."""
+    import numpy as np
+
+    var = "trainCharBound" if train else "testCharBound"
+
+    def parse(mat):
+        rows = []
+        for rec in mat[var]:
+            label = rec["chars"]
+            boxes = np.asarray(rec["charBB"], dtype=float).reshape(-1, 4)
+            for o, (box, ch) in enumerate(zip(boxes, label)):
+                x, y, w, h = (float(v) for v in box)
+                rows.append((f"{folder}/{rec['ImgName']}", o, [x, y, x + w, y + h], ch))
+        return rows
+
+    return _assemble(_mat_word_rows(spark, f"{folder}/{var}.mat", parse), use_polygons)

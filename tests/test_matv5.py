@@ -1,0 +1,87 @@
+"""MAT v5 codec + the .mat-backed dataset loaders."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from doctr_spark.fixtures import archives
+from doctr_spark.io import datasets as dsets
+from doctr_spark.kernels.matv5 import (
+    Cell,
+    StructArray,
+    loadmat_bytes,
+    savemat_bytes,
+)
+
+
+def test_roundtrip_numeric_char_cell_struct():
+    gt = {
+        "imnames": Cell(["8/img_1.jpg", "8/img_2.jpg"]),
+        "wordBB": Cell([np.arange(24, dtype=float).reshape(2, 4, 3), np.arange(8, dtype=float).reshape(2, 4)]),
+        "txt": Cell([["hello world ", "foo         "], ["single"]]),
+        "scalar": np.array([[3.5]]),
+    }
+    for compress in (True, False):
+        d = loadmat_bytes(savemat_bytes(gt, compress=compress))
+        assert d["imnames"] == ["8/img_1.jpg", "8/img_2.jpg"]
+        assert d["wordBB"][0].shape == (2, 4, 3)
+        assert np.allclose(d["wordBB"][0], np.arange(24).reshape(2, 4, 3))
+        assert d["wordBB"][1].shape == (2, 4)
+        assert d["txt"][0] == ["hello world ", "foo         "]  # space padding kept
+        assert d["txt"][1] == "single"
+        assert float(d["scalar"][0, 0]) == 3.5
+    rec = loadmat_bytes(
+        savemat_bytes({"t": StructArray([{"ImgName": "a.png", "chars": "AB", "charBB": np.eye(2)}])})
+    )["t"]
+    assert rec[0]["ImgName"] == "a.png" and rec[0]["chars"] == "AB"
+    assert np.allclose(rec[0]["charBB"], np.eye(2))
+
+
+def test_header_and_small_elements():
+    raw = savemat_bytes({"x": np.array([[1.0, 2.0]])}, compress=False)
+    assert raw[:6] == b"MATLAB"
+    version, endian = struct.unpack_from("<H2s", raw, 124)
+    assert version == 0x0100 and endian == b"IM"
+    # small-data-element tag form must parse too (names <= 4 bytes etc.)
+    with pytest.raises(ValueError):
+        loadmat_bytes(b"\x00" * 64)  # short header
+    big_endian = bytearray(raw)
+    big_endian[124:128] = struct.pack("<H2s", 0x0100, b"MI")
+    with pytest.raises(ValueError, match="big-endian"):
+        loadmat_bytes(bytes(big_endian))
+
+
+def test_column_major_semantics():
+    # a (2, 3) double must round-trip column-major: flattened Fortran order
+    arr = np.array([[1.0, 2, 3], [4, 5, 6]])
+    raw = savemat_bytes({"m": arr}, compress=False)
+    # locate the miDOUBLE payload: last 48 bytes of the file are the data
+    vals = np.frombuffer(raw[-48:], dtype="<f8")
+    assert list(vals) == [1.0, 4.0, 2.0, 5.0, 3.0, 6.0]
+    assert np.array_equal(loadmat_bytes(raw)["m"], arr)
+
+
+def _check(expected, rows):
+    got = {r.img_path: r for r in rows}
+    assert len(got) == len(expected)
+    for e in expected:
+        r = got[e["img_path"]]
+        assert list(r.labels) == e["labels"]
+        assert [[float(v) for v in b] for b in r.boxes] == e["boxes"]
+
+
+def test_load_synthtext(spark, tmp_path):
+    root = str(tmp_path / "synthtext")
+    exp = archives.fabricate_synthtext(root, n_imgs=5)
+    _check(exp, dsets.load_synthtext(spark, root).collect())
+    # the reference's 90/10 split semantics
+    n_train = int(5 * 0.9)
+    _check(exp[:n_train], dsets.load_synthtext(spark, root, train=True).collect())
+    _check(exp[n_train:], dsets.load_synthtext(spark, root, train=False).collect())
+
+
+def test_load_iiit5k(spark, tmp_path):
+    root = str(tmp_path / "iiit5k")
+    exp = archives.fabricate_iiit5k(root, n_imgs=4)
+    _check(exp, dsets.load_iiit5k(spark, root).collect())
