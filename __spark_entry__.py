@@ -622,6 +622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_lsh_ann": similarity.lsh_bucket_ann,
         "similarity_ivf_ann": similarity.ivf_ann,
         "similarity_near_dups": similarity.embedding_near_dups,
+        "similarity_dedup_clusters": similarity.embedding_dedup_clusters,
         # text analysis
         "text_stats": text_analysis.text_stats,
         "text_lang_id": text_analysis.lang_id,
@@ -631,6 +632,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_filter": text_analysis.quality_filter,
         "text_pii_scrub": text_analysis.pii_scrub,
         "text_mix_sample": text_analysis.mix_sample,
+        "text_source_stats": text_analysis.source_stats,
         # metrics
         "metric_box_iou": _metric_box_iou,
         "metric_polygon_iou": _metric_polygon_iou,

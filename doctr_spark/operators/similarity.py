@@ -392,3 +392,56 @@ ORACLES: dict[str, str] = {
     WHERE {_COS.format(a="ea.embedding", b="eb.embedding")} >= {NEAR_DUP_COS}
     """,
 }
+
+
+def embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic-dedup CLUSTERS: connected components over the
+    embedding-cosine near-dup pair graph (:func:`embedding_near_dups`),
+    labeling every member with its component-minimum vec_id — the
+    keep-one-canonical structure an embedding-level dedup pass acts on.
+    Reuses the O(log n)-round large-star/small-star kernel
+    (`operators.dedup.connected_components`), so the clustering holds at
+    corpus scale regardless of component shape."""
+    from .dedup import connected_components
+
+    pairs = embedding_near_dups(spark, sf_dir)
+    edges = pairs.select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
+    labels, _ = connected_components(edges)
+    pairs.unpersist()
+    return labels.select(
+        F.col("doc_id").alias("vec_id"), F.col("cluster_id").alias("cluster_id")
+    )
+
+
+ORACLES["similarity_dedup_clusters"] = f"""
+WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings),
+banded AS ({_band_keys_sql("embedding")}),
+eligible AS (
+    SELECT band, bkey FROM banded
+    GROUP BY band, bkey HAVING count(*) BETWEEN 2 AND {MAX_BUCKET}
+),
+cand AS (SELECT banded.* FROM banded JOIN eligible USING (band, bkey)),
+cpairs AS (
+    SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+    FROM cand a JOIN cand b ON a.band = b.band AND a.bkey = b.bkey
+    WHERE a.vec_id < b.vec_id
+),
+pairs AS (
+    SELECT vec_a, vec_b FROM cpairs
+    JOIN e ea ON ea.vec_id = vec_a
+    JOIN e eb ON eb.vec_id = vec_b
+    WHERE {_COS.format(a="ea.embedding", b="eb.embedding")} >= {NEAR_DUP_COS}
+),
+edges AS (
+    SELECT vec_a AS s, vec_b AS d FROM pairs
+    UNION ALL
+    SELECT vec_b AS s, vec_a AS d FROM pairs
+),
+reach AS (
+    SELECT s AS node, d AS root FROM edges
+    UNION
+    SELECT r.node, ed.d AS root FROM reach r JOIN edges ed ON ed.s = r.root
+)
+SELECT node::BIGINT AS vec_id, least(node, min(root))::BIGINT AS cluster_id
+FROM reach GROUP BY node
+"""

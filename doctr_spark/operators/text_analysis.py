@@ -389,3 +389,38 @@ SELECT doc_id, source,
 FROM documents
 WHERE substr(md5(doc_id || ':' || source), 1, 2) < {_mix_case()}
 """
+
+
+def source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus curation profile: the aggregates a data-mixing
+    decision needs (document count, token mass, length distribution,
+    language spread, exact-dup rate within the source). One hash groupBy
+    with map-side partial aggregation — scale-safe at any corpus size."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.when(F.col("text") == "", 0).otherwise(F.size(F.split("text", " ")))
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(toks).cast("long").alias("n_tokens"),
+            F.round(F.avg(F.length("text")), 6).alias("avg_chars"),
+            F.countDistinct("lang").cast("long").alias("n_langs"),
+            F.countDistinct(F.md5("text")).cast("long").alias("n_unique_texts"),
+        )
+        .withColumn(
+            "dup_rate",
+            F.round(1.0 - F.col("n_unique_texts") / F.col("n_docs"), 6),
+        )
+    )
+
+
+ORACLES["text_source_stats"] = """
+SELECT source,
+       count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN text = '' THEN 0 ELSE len(string_split(text, ' ')) END)::BIGINT AS n_tokens,
+       round(avg(length(text)), 6) AS avg_chars,
+       count(DISTINCT lang)::BIGINT AS n_langs,
+       count(DISTINCT md5(text))::BIGINT AS n_unique_texts,
+       round(1.0 - count(DISTINCT md5(text)) / count(*), 6) AS dup_rate
+FROM documents GROUP BY source
+"""
