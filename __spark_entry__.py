@@ -343,6 +343,32 @@ def ocr_extract_resampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RTL_ORACLE = f"""
+SELECT conv_id, turn_idx::INT AS turn_idx, gt_text AS extracted_text,
+       n_pages::BIGINT AS n_pages, n_words::BIGINT AS n_words
+FROM read_parquet('{ORACLE_SCRATCH}/rtl_gt/*.parquet')
+"""
+
+
+def ocr_extract_rtl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-left slice: Hebrew pages laid out right-to-left (with
+    embedded LTR digit lines), recognized with the ``hebrew`` working
+    vocab and rendered under ``text_direction="auto"`` — each line takes
+    its own base direction from its text, so extraction must equal the
+    generation-time LOGICAL word order."""
+    from doctr_spark.fixtures.rtl import generate_rtl_transcripts
+
+    tdf, gdf = generate_rtl_transcripts(spark, 40, with_gt=True)
+    _stage_expectation(gdf, "rtl_gt")
+    return extract_documents(tdf, reco_vocab="hebrew", text_direction="auto").select(
+        "conv_id",
+        "turn_idx",
+        "extracted_text",
+        F.col("n_pages").cast("long").alias("n_pages"),
+        F.col("n_words").cast("long").alias("n_words"),
+    )
+
+
 _MC_ORACLE = f"""
 SELECT conv_id, turn_idx::INT AS turn_idx, gt_text AS extracted_text,
        n_pages::BIGINT AS n_pages, n_words::BIGINT AS n_words
@@ -599,6 +625,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ocr_extract_accents": ocr_extract_accents,
         "ocr_extract_resampled": ocr_extract_resampled,
         "ocr_extract_multicolumn": ocr_extract_multicolumn,
+        "ocr_extract_rtl": ocr_extract_rtl,
         "ocr_media_metadata": ocr_media_metadata,
         "ocr_artefacts": ocr_artefacts,
         "ocr_layout_regions": ocr_layout_regions,
@@ -661,6 +688,7 @@ def oracle_sql() -> dict[str, str]:
         "ocr_extract_accents": _ACCENT_ORACLE,
         "ocr_extract_resampled": _RESAMPLE_ORACLE,
         "ocr_extract_multicolumn": _MC_ORACLE,
+        "ocr_extract_rtl": _RTL_ORACLE,
         "ocr_media_metadata": _MEDIA_ORACLE,
         "ocr_artefacts": _ARTEFACT_ORACLE,
         "ocr_layout_regions": _REGION_ORACLE,

@@ -36,11 +36,11 @@ def word_width(text: str) -> int:
 
 
 @functools.lru_cache(maxsize=65536)
-def _word_raster(text: str) -> np.ndarray:
+def _word_raster(text: str, vocab: str = DEFAULT_VOCAB) -> np.ndarray:
     """Cached (GLYPH_H, word_width) raster of a word: per-cell marker bar +
     code bits + the full-width baseline row. Corpus vocabularies repeat
     heavily, so rendering becomes one cached-array blit per word."""
-    codes = encode_string(text)
+    codes = encode_string(text, vocab)
     word = np.zeros((GLYPH_H, len(codes) * GLYPH_W), dtype=np.uint8)
     for i, code in enumerate(codes):
         cx = i * GLYPH_W
@@ -52,7 +52,9 @@ def _word_raster(text: str) -> np.ndarray:
     return word
 
 
-def draw_word(canvas: np.ndarray, x0: int, y0: int, text: str) -> tuple[int, int, int, int]:
+def draw_word(
+    canvas: np.ndarray, x0: int, y0: int, text: str, vocab: str = DEFAULT_VOCAB
+) -> tuple[int, int, int, int]:
     """Draw ``text`` with its top-left cell at (x0, y0); returns the abs box
     (xmin, ymin, xmax, ymax), exclusive max, which is also the ink bbox.
 
@@ -62,7 +64,7 @@ def draw_word(canvas: np.ndarray, x0: int, y0: int, text: str) -> tuple[int, int
     if y0 + GLYPH_H > canvas.shape[0] or x0 + w > canvas.shape[1]:
         raise ValueError("word does not fit on canvas")
     region = canvas[y0 : y0 + GLYPH_H, x0 : x0 + w]
-    np.maximum(region, _word_raster(text), out=region)
+    np.maximum(region, _word_raster(text, vocab), out=region)
     return (x0, y0, x0 + w, y0 + GLYPH_H)
 
 

@@ -19,6 +19,8 @@ PUNCTUATION = "!\"#$%&'()*+,-./:;<=>?@[\\]^_`{|}~"
 LATIN1_ACCENTS = "àâéèêëîïôùûüçÀÂÉÈÊËÎÏÔÙÛÜÇ"
 
 CURRENCY = "£€¥¢฿"
+# the reference's hebrew consonant block (vocabs.py:228; composite at :468)
+HEBREW_CONSONANTS = "אבגדהוזחטיךכלםמןנסעףפץצקרשת"
 
 VOCABS: dict[str, str] = {
     "digits": DIGITS,
@@ -32,6 +34,10 @@ VOCABS: dict[str, str] = {
     "french": DIGITS + ASCII_LOWER + ASCII_UPPER + PUNCTUATION + LATIN1_ACCENTS,
 }
 VOCABS["english"] = VOCABS["latin"] + "°" + CURRENCY
+# RTL working vocab: digits + punctuation + consonants (69 chars, fits the
+# 7-bit glyph code space; the reference composite additionally carries
+# vowel points/cantillations the render font does not model)
+VOCABS["hebrew"] = DIGITS + PUNCTUATION + HEBREW_CONSONANTS
 
 # Latin-family composites, composed by the reference's rule (vocabs.py:
 # 238-350): english minus language-absent letters plus the language's

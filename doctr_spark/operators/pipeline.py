@@ -43,6 +43,7 @@ def extract_documents(
     straighten_pages: bool = False,
     loc_hooks: Sequence[Callable[[DataFrame], DataFrame]] | None = None,
     reco_arch: str = "ctc",
+    reco_vocab: str = "french",
     det_arch: str = "db_like",
     text_direction: str | None = None,
     include_furniture: bool = True,
@@ -81,6 +82,7 @@ def extract_documents(
         num_partitions=crop_partitions,
         detect_orientation=detect_crop_orientation,
         arch=reco_arch,
+        vocab=reco_vocab,
     )
     built = build_pages(
         words,

@@ -35,8 +35,11 @@ _PASS = ["conv_id", "turn_idx", "page_idx", "page_h", "page_w", "page_orient", "
          "word_idx", "xmin", "ymin", "xmax", "ymax", "score", "aux"]  # fmt: skip
 
 
-def _make_recognizer(detect_orientation: bool, arch: str = "ctc"):
+def _make_recognizer(detect_orientation: bool, arch: str = "ctc", vocab_name: str = "french"):
     from ..kernels.orientation import estimate_crop_orientation, rectify_crop
+    from ..kernels.vocab import VOCABS
+
+    vocab = VOCABS[vocab_name]
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -67,7 +70,7 @@ def _make_recognizer(detect_orientation: bool, arch: str = "ctc"):
                 oconfs.append(oconf)
                 todo.append(crop)
                 todo_pos.append(len(values) - 1)
-            for pos, (v, c) in zip(todo_pos, recognize_crops_batched(todo, arch=arch)):
+            for pos, (v, c) in zip(todo_pos, recognize_crops_batched(todo, vocab=vocab, arch=arch)):
                 values[pos] = v
                 confs[pos] = c
             out = pdf[_PASS].copy()
@@ -85,16 +88,21 @@ def recognize(
     num_partitions: int | None = None,
     detect_orientation: bool = True,
     arch: str = "ctc",
+    vocab: str = "french",
 ) -> DataFrame:
     """Recognize every crop; optionally rebalance onto ``num_partitions``.
 
     ``detect_orientation`` enables the crop-orientation classifier +
     rectification (the reference's ``detect_crop_orientation`` predictor
     option); disabled it reports 0deg/1.0 like the identity predictor
-    (`classification/predictor/pytorch.py:47-50`).
+    (`classification/predictor/pytorch.py:47-50`). ``vocab`` names the
+    recognition vocabulary (`kernels.vocab.VOCABS` — the reference's
+    per-language model vocab selection, `datasets/vocabs.py:238-350`).
     """
     if num_partitions:
         crops = crops.repartition(
             num_partitions, F.xxhash64("conv_id", "turn_idx", "page_idx", "word_idx")
         )
-    return crops.mapInPandas(_make_recognizer(detect_orientation, arch), schema=WORDS_SCHEMA)
+    return crops.mapInPandas(
+        _make_recognizer(detect_orientation, arch, vocab), schema=WORDS_SCHEMA
+    )
