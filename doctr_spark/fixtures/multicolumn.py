@@ -4,8 +4,14 @@ Pages generalizing the reference's reading-order docstring oracle
 (`/root/reference/doctr/models/reading_order/base.py:394-402` — a title
 spanning two columns reads [title, left column, right column]): each page
 carries a page header, a centered title bridging TWO text columns, five
-two-column body rows, a solid photo float with a caption hugging its
-bottom edge, a "[n]"-marked footnote, and a page footer.
+two-column body rows, a bullet list inside the left column (one WRAPPED
+two-line bullet — its gutter bar ties the lines into one detector region
+— followed by a second, separate bullet), a solid photo float with a
+caption hugging its bottom edge, a "[n]"-marked footnote, and a page
+footer. The wrapped bullet vs second bullet drives the reference's
+list-item grouping (`group_reading_items`): plain segment-merging would
+fuse both bullets (labels equal, gaps tiny); region-aware grouping keeps
+each bullet its own item.
 
 The naive y-sorted builder interleaves the column rows (L1 R1 L2 R2 ...);
 the ground truth staged here is the LAYOUT-AWARE reading order the
@@ -36,7 +42,7 @@ import datetime as dt
 import numpy as np
 import pandas as pd
 
-from ..config import GLYPH_H, LINE_LEADING, PAGE_W, WORD_GAP
+from ..config import GLYPH_H, LINE_LEADING, PAGE_W, RULING_INK, WORD_GAP
 from ..kernels.artefacts import draw_artefact
 from ..kernels.glyphs import draw_word, word_width
 from .payloads import make_img_payload
@@ -45,18 +51,25 @@ from .transcripts import GT_SCHEMA, TRANSCRIPTS_SCHEMA
 _EPOCH = dt.datetime(2025, 2, 1)
 _CHARS = "abcdefghijklmnopqrstuvwxyz0123456789"
 
-MC_PAGE_H = 320
+MC_PAGE_H = 360
 _ROW_PITCH = GLYPH_H + LINE_LEADING  # 24
 
-_Y_HEADER = 8  # band ends 24 <= 0.12 * 320 -> page_header
+_Y_HEADER = 8  # band ends 24 <= 0.12 * 360 -> page_header
 _Y_TITLE = 40  # centered, past 0.2w, narrower than 0.5w -> title
 _Y_COLS = 72  # five two-column rows pitched _ROW_PITCH apart
 _N_ROWS = 5
-_Y_PHOTO = 208  # solid 40px-tall block -> picture (float, no text)
+# bullet list in the left column: a wrapped bullet (two lines 1 px apart
+# so the gutter bar keeps them one ink band -> one list region) then a
+# separate bullet region two blank rows below
+_Y_LIST_A = (192, 209)
+_Y_LIST_B = 227
+_LIST_BAR_X = 20
+_LIST_TEXT_X = 30
+_Y_PHOTO = 248  # solid 40px-tall block -> picture (float, no text)
 _PHOTO_H = 40
 _Y_CAPTION = _Y_PHOTO + _PHOTO_H + 4  # 4 px <= 6 -> caption
-_Y_FOOTNOTE = 276  # > 0.7h and starts with "[n]" -> footnote
-_Y_FOOTER = 300  # >= 0.88 * 320 -> page_footer
+_Y_FOOTNOTE = 312  # > 0.7h, < 0.88h, starts with "[n]" -> footnote
+_Y_FOOTER = 344  # >= 0.88 * 360 -> page_footer
 
 _COL_GAP = 32
 _COL_W = (PAGE_W - 2 * 16 - _COL_GAP) // 2  # 224
@@ -114,6 +127,16 @@ def gen_multicolumn_page(rng: np.random.Generator) -> tuple[np.ndarray, str, int
             _draw_run(canvas, _COL_X[ci], y, run)
             cols[ci].append(run)
 
+    # wrapped bullet: two lines, bar from the first line's top to just
+    # past the second line's bottom; then the standalone second bullet
+    bullets: list[list[str]] = []
+    for ys, bar in (( _Y_LIST_A, (_Y_LIST_A[0], _Y_LIST_A[1] + GLYPH_H)), ((_Y_LIST_B,), (_Y_LIST_B, _Y_LIST_B + GLYPH_H))):
+        canvas[bar[0] : bar[1], _LIST_BAR_X : _LIST_BAR_X + 2] = RULING_INK
+        for y in ys:
+            run = _pack_run(rng, _LIST_TEXT_X, _COL_X[0] + _COL_W)
+            _draw_run(canvas, _LIST_TEXT_X, y, run)
+            bullets.append(run)
+
     draw_artefact(canvas, "photo", 40, _Y_PHOTO, int(rng.integers(80, 160)), _PHOTO_H)
     caption = [_word(rng) for _ in range(int(rng.integers(2, 4)))]
     _draw_run(canvas, 40, _Y_CAPTION, caption)
@@ -124,10 +147,15 @@ def gen_multicolumn_page(rng: np.random.Generator) -> tuple[np.ndarray, str, int
     footer = [_word(rng) for _ in range(int(rng.integers(2, 4)))]
     _draw_run(canvas, 24, _Y_FOOTER, footer)
 
+    # reading order: the column walk follows the LEFT column down into
+    # the bullets (they sit in its column region) before jumping to the
+    # right column; the wrapped bullet is one item, the second its own
     blocks = [
         " ".join(header),
         " ".join(title),
         "\n".join(" ".join(run) for run in cols[0]),
+        "\n".join(" ".join(run) for run in bullets[:2]),
+        " ".join(bullets[2]),
         "\n".join(" ".join(run) for run in cols[1]),
         " ".join(caption),
         " ".join(footnote),
@@ -136,6 +164,7 @@ def gen_multicolumn_page(rng: np.random.Generator) -> tuple[np.ndarray, str, int
     n_words = (
         len(header) + len(title) + len(caption) + len(footnote) + len(footer)
         + sum(len(run) for ci in (0, 1) for run in cols[ci])
+        + sum(len(b) for b in bullets)
     )
     return canvas, "\n\n".join(blocks), n_words
 

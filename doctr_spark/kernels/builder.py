@@ -246,20 +246,29 @@ def build_page(
             # region covering >= 50% of it and the sort becomes role-aware:
             # headers first, footnotes + footers last, captions spliced next
             # to their float (reading_order/base.py:283-315, 382-460).
-            from .reading_order import detect_text_direction, resolve_reading_segments
+            from .reading_order import detect_text_direction, group_reading_items
 
             line_boxes = np.stack([enclosing_bbox(boxes[np.asarray(line)]) for line in lines])
             direction = detect_text_direction([values[i] for line in lines for i in line])
             labels = None
+            region_boxes = None
             if layout_regions is not None and layout_regions.get("class_names"):
                 from .layout import assign_layout_labels
 
+                region_boxes = np.asarray(layout_regions["boxes"], dtype=float).reshape(-1, 4)
                 labels = assign_layout_labels(
-                    line_boxes,
-                    np.asarray(layout_regions["boxes"], dtype=float).reshape(-1, 4),
-                    list(layout_regions["class_names"]),
+                    line_boxes, region_boxes, list(layout_regions["class_names"])
                 )
-            segments = resolve_reading_segments(line_boxes, direction=direction, labels=labels)
+            # group_reading_items = reading segments + list-item grouping
+            # (consecutive list lines covered by the SAME list region — a
+            # wrapped bullet — stay one item; a new region starts a new
+            # item). With labels=None it reduces to plain segmentation.
+            segments = group_reading_items(
+                line_boxes,
+                direction=direction,
+                labels=labels,
+                region_geoms=region_boxes if labels is not None else None,
+            )
             blocks_idx = [[lines[i] for i in seg] for seg in segments]
             block_labels = [
                 (labels[seg[0]] if labels is not None else None) for seg in segments

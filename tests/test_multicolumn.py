@@ -92,10 +92,11 @@ def test_include_furniture_filters_render():
     bare = build_page(boxes, scores, values, confs, canvas.shape,
                       keep_reading_order=True, layout_regions=layout, include_furniture=False)
     blocks = gt.split("\n\n")
-    # fixture layout: header, title, left col, right col, caption, footnote, footer
+    # fixture layout: header, title, left col, wrapped bullet, second
+    # bullet, right col, caption, footnote, footer
     assert full["text"] == gt
-    assert bare["text"] == "\n\n".join([blocks[1], blocks[2], blocks[3], blocks[4]])
-    assert len(bare["blocks"]) == len(full["blocks"]) == 7  # JSON keeps all
+    assert bare["text"] == "\n\n".join(blocks[1:7])
+    assert len(bare["blocks"]) == len(full["blocks"]) == 9  # JSON keeps all
     assert export_text(full) == gt
     assert export_text(full, include_furniture=False) == bare["text"]
     md = export_markdown(full, include_furniture=False)
