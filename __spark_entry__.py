@@ -660,6 +660,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii_scrub": text_analysis.pii_scrub,
         "text_mix_sample": text_analysis.mix_sample,
         "text_source_stats": text_analysis.source_stats,
+        "text_char_entropy": text_analysis.char_entropy,
         # metrics
         "metric_box_iou": _metric_box_iou,
         "metric_polygon_iou": _metric_polygon_iou,

@@ -424,3 +424,41 @@ SELECT source,
        round(1.0 - count(DISTINCT md5(text)) / count(*), 6) AS dup_rate
 FROM documents GROUP BY source
 """
+
+
+def char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon character entropy (bits) — the classic cheap
+    gibberish/boilerplate signal (low entropy = repeated filler, high =
+    random noise; used alongside the Gopher-style gates). Shape: one
+    explode to (doc, char) with map-side combinable counting, then one
+    per-doc fold — linear in corpus characters, no wide rows."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    chars = docs.where(F.length("text") > 0).select(
+        "doc_id", F.explode(F.split("text", "(?!^)")).alias("ch")
+    ).where(F.col("ch") != "")
+    counts = chars.groupBy("doc_id", "ch").agg(F.count("*").alias("n"))
+    return (
+        counts.groupBy("doc_id")
+        .agg(
+            F.sum("n").alias("total"),
+            F.sum(F.col("n") * F.log2("n")).alias("nlogn"),
+        )
+        .select(
+            "doc_id",
+            F.round(F.log2("total") - F.col("nlogn") / F.col("total"), 6).alias("entropy_bits"),
+        )
+    )
+
+
+ORACLES["text_char_entropy"] = """
+WITH chars AS (
+    SELECT doc_id, unnest(string_split_regex(text, '')) AS ch
+    FROM documents WHERE length(text) > 0
+), counts AS (
+    SELECT doc_id, ch, count(*)::DOUBLE AS n
+    FROM chars WHERE ch != '' GROUP BY doc_id, ch
+)
+SELECT doc_id,
+       round(log2(sum(n)) - sum(n * log2(n)) / sum(n), 6) AS entropy_bits
+FROM counts GROUP BY doc_id
+"""
