@@ -397,6 +397,42 @@ def ocr_extract_multicolumn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MC_BARE_ORACLE = f"""
+SELECT conv_id, turn_idx::INT AS turn_idx, gt_text AS extracted_text,
+       n_words::BIGINT AS n_words
+FROM read_parquet('{ORACLE_SCRATCH}/mc_bare_gt/*.parquet')
+"""
+
+
+def ocr_extract_multicolumn_bare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``include_furniture=False`` render end to end (reference
+    `doctr/io/exporters.py:346-347`): same multicolumn pages, but the
+    extraction must drop exactly the page-header, footnote and footer
+    blocks. The staged oracle slices those blocks out of the generator's
+    full reading-order ground truth (fixture block layout: header, title,
+    left column, wrapped bullet, second bullet, right column, caption,
+    footnote, footer)."""
+    from doctr_spark.fixtures.multicolumn import generate_multicolumn_transcripts
+
+    tdf, gdf = generate_multicolumn_transcripts(spark, 40, with_gt=True)
+    bare_text = F.concat_ws("\n\n", F.slice(F.split("gt_text", "\n\n"), 2, 6))
+    bare = gdf.select(
+        "conv_id",
+        "turn_idx",
+        bare_text.alias("gt_text"),
+        F.size(F.split(bare_text, r"\s+")).cast("long").alias("n_words"),
+    )
+    _stage_expectation(bare, "mc_bare_gt")
+    docs = extract_documents(tdf, keep_reading_order=True, include_furniture=False)
+    flat = F.coalesce(F.col("extracted_text"), F.lit(""))
+    return docs.select(
+        "conv_id",
+        "turn_idx",
+        "extracted_text",
+        F.size(F.split(flat, r"\s+")).cast("long").alias("n_words"),
+    )
+
+
 _ACCENT_ORACLE = f"""
 SELECT conv_id, turn_idx::INT AS turn_idx, gt_text AS extracted_text,
        gt_ascii AS ascii_text, n_words::BIGINT AS n_words
@@ -626,6 +662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ocr_extract_resampled": ocr_extract_resampled,
         "ocr_extract_multicolumn": ocr_extract_multicolumn,
         "ocr_extract_rtl": ocr_extract_rtl,
+        "ocr_extract_multicolumn_bare": ocr_extract_multicolumn_bare,
         "ocr_media_metadata": ocr_media_metadata,
         "ocr_artefacts": ocr_artefacts,
         "ocr_layout_regions": ocr_layout_regions,
@@ -690,6 +727,7 @@ def oracle_sql() -> dict[str, str]:
         "ocr_extract_resampled": _RESAMPLE_ORACLE,
         "ocr_extract_multicolumn": _MC_ORACLE,
         "ocr_extract_rtl": _RTL_ORACLE,
+        "ocr_extract_multicolumn_bare": _MC_BARE_ORACLE,
         "ocr_media_metadata": _MEDIA_ORACLE,
         "ocr_artefacts": _ARTEFACT_ORACLE,
         "ocr_layout_regions": _REGION_ORACLE,
