@@ -108,3 +108,53 @@ def test_intersection_over_area_bounds(boxes):
     assert ((cov >= -1e-12) & (cov <= 1 + 1e-9)).all()
     if len(boxes):
         assert np.allclose(np.diag(cov), 1.0)  # every box covers itself fully
+
+
+@given(
+    st.lists(
+        st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126), min_size=1, max_size=12),
+        min_size=1,
+        max_size=5,
+    ),
+    st.lists(st.integers(min_value=-999, max_value=999), min_size=1, max_size=24),
+    st.booleans(),
+)
+@settings(max_examples=50, deadline=None)
+def test_matv5_roundtrip_property(strings, ints, compress):
+    import numpy as np
+
+    from doctr_spark.kernels.matv5 import Cell, loadmat_bytes, savemat_bytes
+
+    arr = np.asarray(ints, dtype=float).reshape(1, -1)
+    d = loadmat_bytes(
+        savemat_bytes({"c": Cell(strings), "a": arr, "s": strings[0]}, compress=compress)
+    )
+    assert d["c"] == (strings if len(strings) > 1 else strings) and d["s"] == strings[0]
+    assert np.array_equal(d["a"], arr)
+
+
+@given(
+    st.lists(st.floats(min_value=0.0, max_value=0.8, allow_nan=False), min_size=4, max_size=4),
+    st.lists(st.floats(min_value=0.0, max_value=0.8, allow_nan=False), min_size=4, max_size=4),
+    st.floats(min_value=-180.0, max_value=180.0, allow_nan=False),
+)
+@settings(max_examples=60, deadline=None)
+def test_polygon_iou_rigid_invariance_property(a, b, angle):
+    import numpy as np
+
+    from doctr_spark.kernels.geometry import box_iou, polygon_iou, rotate_polygon
+
+    boxes = []
+    for v in (a, b):
+        x0, y0 = v[0], v[1]
+        x1, y1 = x0 + 0.05 + v[2] / 4, y0 + 0.05 + v[3] / 4
+        boxes.append((x0, y0, x1, y1))
+    base = box_iou(np.array([boxes[0]]), np.array([boxes[1]]))[0, 0]
+    polys = [
+        rotate_polygon(
+            np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1]]), angle, (0.5, 0.5)
+        )
+        for x0, y0, x1, y1 in boxes
+    ]
+    got = polygon_iou(polys[0][None], polys[1][None])[0, 0]
+    assert abs(got - base) < 1e-9
