@@ -434,6 +434,22 @@ def min_area_rect(pts: np.ndarray) -> np.ndarray:
     hull = _convex_hull(pts.astype(np.float64))
     if hull.shape[0] == 1:
         return np.repeat(hull, 4, axis=0)
+    if hull.shape[0] > 2:
+        # A hull whose area is rounding noise relative to its extent (e.g. a
+        # subnormal-width sliver from near-collinear input) is really a
+        # segment: the caliper sweep below would emit a hairline "rectangle"
+        # whose short side is noise and not orthogonal to the long side.
+        # Collapse it to its diameter pair so the 2-point branch returns an
+        # exact (degenerate but true) rectangle.
+        x, y = hull[:, 0], hull[:, 1]
+        area2 = abs(float(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1))))
+        extent = float(np.max(np.ptp(hull, axis=0)))
+        if area2 <= 1e-12 * extent * extent:
+            d = hull[:, None, :] - hull[None, :, :]
+            i, j = np.unravel_index(
+                int(np.argmax((d * d).sum(axis=-1))), (hull.shape[0], hull.shape[0])
+            )
+            hull = hull[[i, j]]
     if hull.shape[0] == 2:
         return np.array([hull[0], hull[1], hull[1], hull[0]])
     best_area, best = np.inf, None

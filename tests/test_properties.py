@@ -60,8 +60,11 @@ def test_min_area_rect_encloses_points(pts):
         d = p - rect[0]
         for e in (e1, e2):
             ln = float(np.hypot(*e))
-            if ln == 0.0:
-                continue  # degenerate side (collinear input)
+            if ln <= 1e-9:
+                # degenerate side (collinear/duplicate input): normalizing by
+                # a rounding-noise length would amplify ~1e-17 absolute
+                # enclosure error into an arbitrary projection
+                continue
             # signed distance along the unit edge, absolute tolerance: a
             # relative test explodes on near-degenerate (hairline) rects
             proj = float(d @ e) / ln
@@ -129,7 +132,7 @@ def test_matv5_roundtrip_property(strings, ints, compress):
     d = loadmat_bytes(
         savemat_bytes({"c": Cell(strings), "a": arr, "s": strings[0]}, compress=compress)
     )
-    assert d["c"] == (strings if len(strings) > 1 else strings) and d["s"] == strings[0]
+    assert d["c"] == strings and d["s"] == strings[0]
     assert np.array_equal(d["a"], arr)
 
 
