@@ -408,14 +408,17 @@ def ocr_extract_multicolumn_bare(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ``include_furniture=False`` render end to end (reference
     `doctr/io/exporters.py:346-347`): same multicolumn pages, but the
     extraction must drop exactly the page-header, footnote and footer
-    blocks. The staged oracle slices those blocks out of the generator's
-    full reading-order ground truth (fixture block layout: header, title,
-    left column, wrapped bullet, second bullet, right column, caption,
-    footnote, footer)."""
-    from doctr_spark.fixtures.multicolumn import generate_multicolumn_transcripts
+    blocks. The staged oracle filters the generator's full reading-order
+    ground truth by the per-block roles the fixture emits (`gt_roles`,
+    parallel to the blocks) — position-independent, so a fixture-layout
+    change cannot silently shift which blocks count as furniture."""
+    from doctr_spark.fixtures.multicolumn import (
+        bare_gt_text,
+        generate_multicolumn_transcripts,
+    )
 
     tdf, gdf = generate_multicolumn_transcripts(spark, 40, with_gt=True)
-    bare_text = F.concat_ws("\n\n", F.slice(F.split("gt_text", "\n\n"), 2, 6))
+    bare_text = bare_gt_text()
     bare = gdf.select(
         "conv_id",
         "turn_idx",

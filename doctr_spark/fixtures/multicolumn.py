@@ -48,6 +48,10 @@ from ..kernels.glyphs import draw_word, word_width
 from .payloads import make_img_payload
 from .transcripts import GT_SCHEMA, TRANSCRIPTS_SCHEMA
 
+#: GT schema extended with the per-block role list (comma-joined, parallel
+#: to the "\n\n"-separated blocks of ``gt_text``).
+MC_GT_SCHEMA = GT_SCHEMA + ", gt_roles string"
+
 _EPOCH = dt.datetime(2025, 2, 1)
 _CHARS = "abcdefghijklmnopqrstuvwxyz0123456789"
 
@@ -103,8 +107,18 @@ def _pack_run(rng: np.random.Generator, x: int, limit: int) -> list[str]:
         x += word_width(w) + WORD_GAP
 
 
-def gen_multicolumn_page(rng: np.random.Generator) -> tuple[np.ndarray, str, int]:
-    """One page; returns (canvas, reading-order ground truth, word count)."""
+#: GT block roles that the ``include_furniture=False`` render drops
+#: (mirrors `kernels.exporters._FURNITURE_ROLES` at layout-label level).
+FURNITURE_BLOCK_ROLES = ("page_header", "footnote", "page_footer")
+
+
+def gen_multicolumn_page(
+    rng: np.random.Generator,
+) -> tuple[np.ndarray, str, int, list[str]]:
+    """One page; returns (canvas, reading-order ground truth, word count,
+    per-block roles). The roles list parallels ``gt.split("\\n\\n")`` so GT
+    consumers can filter blocks by role instead of by position (e.g. the
+    bare-render oracle drops `FURNITURE_BLOCK_ROLES` wherever they sit)."""
     canvas = np.zeros((MC_PAGE_H, PAGE_W), dtype=np.uint8)
 
     header = [_word(rng) for _ in range(int(rng.integers(2, 4)))]
@@ -151,22 +165,22 @@ def gen_multicolumn_page(rng: np.random.Generator) -> tuple[np.ndarray, str, int
     # the bullets (they sit in its column region) before jumping to the
     # right column; the wrapped bullet is one item, the second its own
     blocks = [
-        " ".join(header),
-        " ".join(title),
-        "\n".join(" ".join(run) for run in cols[0]),
-        "\n".join(" ".join(run) for run in bullets[:2]),
-        " ".join(bullets[2]),
-        "\n".join(" ".join(run) for run in cols[1]),
-        " ".join(caption),
-        " ".join(footnote),
-        " ".join(footer),
+        ("page_header", " ".join(header)),
+        ("title", " ".join(title)),
+        ("column", "\n".join(" ".join(run) for run in cols[0])),
+        ("list_item", "\n".join(" ".join(run) for run in bullets[:2])),
+        ("list_item", " ".join(bullets[2])),
+        ("column", "\n".join(" ".join(run) for run in cols[1])),
+        ("caption", " ".join(caption)),
+        ("footnote", " ".join(footnote)),
+        ("page_footer", " ".join(footer)),
     ]
     n_words = (
         len(header) + len(title) + len(caption) + len(footnote) + len(footer)
         + sum(len(run) for ci in (0, 1) for run in cols[ci])
         + sum(len(b) for b in bullets)
     )
-    return canvas, "\n\n".join(blocks), n_words
+    return canvas, "\n\n".join(t for _, t in blocks), n_words, [r for r, _ in blocks]
 
 
 def gen_multicolumn_conversation(conv_no: int, seed: int = 42) -> tuple[list[dict], list[dict]]:
@@ -176,7 +190,7 @@ def gen_multicolumn_conversation(conv_no: int, seed: int = 42) -> tuple[list[dic
     start = _EPOCH + dt.timedelta(hours=conv_no)
     rows, gts = [], []
     for t in range(n_turns):
-        canvas, gt_text, n_words = gen_multicolumn_page(rng)
+        canvas, gt_text, n_words, roles = gen_multicolumn_page(rng)
         rows.append(
             {
                 "conv_id": conv_id,
@@ -188,9 +202,34 @@ def gen_multicolumn_conversation(conv_no: int, seed: int = 42) -> tuple[list[dic
             }
         )
         gts.append(
-            {"conv_id": conv_id, "turn_idx": t, "gt_text": gt_text, "n_pages": 1, "n_words": n_words}
+            {
+                "conv_id": conv_id,
+                "turn_idx": t,
+                "gt_text": gt_text,
+                "n_pages": 1,
+                "n_words": n_words,
+                "gt_roles": ",".join(roles),
+            }
         )
     return rows, gts
+
+
+def bare_gt_text(gt_text_col: str = "gt_text", gt_roles_col: str = "gt_roles"):
+    """Spark expression: ``gt_text`` with the `FURNITURE_BLOCK_ROLES` blocks
+    removed, driven by the parallel per-block role list — position-
+    independent, so fixture-layout changes cannot silently shift the
+    bare-render oracle."""
+    from pyspark.sql import functions as F  # noqa: N812
+
+    kept = F.filter(
+        F.zip_with(
+            F.split(gt_text_col, "\n\n"),
+            F.split(gt_roles_col, ","),
+            lambda b, r: F.struct(b.alias("b"), r.alias("r")),
+        ),
+        lambda s: ~s["r"].isin(*FURNITURE_BLOCK_ROLES),
+    )
+    return F.array_join(F.transform(kept, lambda s: s["b"]), "\n\n")
 
 
 def generate_multicolumn_transcripts(spark, n_convs: int, seed: int = 42, with_gt: bool = False):
@@ -217,6 +256,7 @@ def generate_multicolumn_transcripts(spark, n_convs: int, seed: int = 42, with_g
     if not with_gt:
         return tdf
     gdf = base.mapInPandas(
-        _gen(1, ["conv_id", "turn_idx", "gt_text", "n_pages", "n_words"]), schema=GT_SCHEMA
+        _gen(1, ["conv_id", "turn_idx", "gt_text", "n_pages", "n_words", "gt_roles"]),
+        schema=MC_GT_SCHEMA,
     )
     return tdf, gdf
