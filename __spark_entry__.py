@@ -223,6 +223,35 @@ def export_asciidoc_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _export_stripped(spark, sf_dir, "asciidoc", r"\n\n<<<\n\n", "adoc_text")
 
 
+_ROUNDTRIP_ORACLE = """
+SELECT source AS conv_id,
+       (ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) - 1)::INT AS turn_idx,
+       trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                           ' +', ' ', 'g')) AS flat_text,
+       TRUE AS roundtrip_ok
+FROM documents
+"""
+
+
+def export_roundtrip_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``Document.from_dict`` round trip end to end (reference
+    `doctr/io/elements.py:115-118,503-512`): extract the flagship corpus,
+    re-import every turn's exported ``pages_json`` through the validating
+    element re-builder, and re-render. ``roundtrip_ok`` asserts re-render ==
+    original per turn; ``flat_text`` must still equal the cleaned source
+    token stream, proving the re-imported structure carries the full text."""
+    from doctr_spark.operators.kie import documents_from_json
+
+    t = transcripts_from_documents(spark, sf_dir)
+    rt = documents_from_json(extract_documents(t))
+    return rt.select(
+        "conv_id",
+        "turn_idx",
+        F.regexp_replace("rendered_text", "\n+", " ").alias("flat_text"),
+        "roundtrip_ok",
+    )
+
+
 def _metric_box_iou(spark: SparkSession, sf_dir: str) -> DataFrame:
     from doctr_spark.operators.metrics import box_iou_events
 
@@ -674,6 +703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "export_hocr": export_hocr_documents,
         "export_markdown": export_markdown_documents,
         "export_asciidoc": export_asciidoc_documents,
+        "export_roundtrip": export_roundtrip_documents,
         "dataset_loaders": dataset_loaders,
         # dedup suite
         "dedup_exact": dedup.exact_dedup,
@@ -724,6 +754,7 @@ def oracle_sql() -> dict[str, str]:
         "export_hocr": _HOCR_ORACLE,
         "export_markdown": _MD_ORACLE,
         "export_asciidoc": _ADOC_ORACLE,
+        "export_roundtrip": _ROUNDTRIP_ORACLE,
         "ocr_extract_synthetic": _SYNTH_ORACLE,
         "ocr_extract_skewed": _SKEW_ORACLE,
         "ocr_extract_accents": _ACCENT_ORACLE,

@@ -129,6 +129,44 @@ def export_documents(
     )
 
 
+ROUNDTRIP_SCHEMA = (
+    "conv_id string, turn_idx int, rendered_text string, n_pages int, roundtrip_ok boolean"
+)
+
+
+def documents_from_json(docs: DataFrame) -> DataFrame:
+    """``Document.from_dict`` round trip (reference
+    `doctr/io/elements.py:115-118,503-512`): re-import each turn's exported
+    ``pages_json``, rebuild the nested page structure with exported-key
+    validation (`kernels.elements`), and re-render the document text. The
+    re-render must equal the original ``extracted_text`` — that equality is
+    returned per row so the oracle can assert it corpus-wide.
+
+    100 TB design note: pure Arrow-batched per-row map over the already-
+    assembled documents — no shuffle, no driver traffic; a second-pass
+    re-export job over an exported corpus scales with input splits.
+    """
+    from ..kernels.elements import document_from_json_pages
+
+    def fn(batches):
+        for pdf in batches:
+            out = pdf[["conv_id", "turn_idx"]].copy()
+            texts, n_pages, ok = [], [], []
+            for pages, orig in zip(pdf["pages_json"], pdf["extracted_text"]):
+                doc = document_from_json_pages(list(pages))
+                texts.append(doc["text"])
+                n_pages.append(len(doc["pages"]))
+                ok.append(doc["text"] == orig)
+            out["rendered_text"] = texts
+            out["n_pages"] = n_pages
+            out["roundtrip_ok"] = ok
+            yield out
+
+    return docs.select("conv_id", "turn_idx", "extracted_text", "pages_json").mapInPandas(
+        fn, ROUNDTRIP_SCHEMA
+    )
+
+
 def kie_class_values(kie_pages: DataFrame) -> DataFrame:
     """Per-turn sorted token VALUES by KIE class — the content-level check
     behind :func:`kie_class_counts` (same class partition, but exposing the
