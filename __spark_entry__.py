@@ -223,6 +223,28 @@ def export_asciidoc_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _export_stripped(spark, sf_dir, "asciidoc", r"\n\n<<<\n\n", "adoc_text")
 
 
+_HTML_ORACLE = _MD_ORACLE.replace("AS md_text", "AS html_text")
+
+
+def export_html_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML export surface end to end (`kernels.exporters.export_html`,
+    reference `doctr/io/exporters.py:512-540`), oracle-checked the hOCR way:
+    stripping the ``<p>``/``<br>``/``<hr>`` markup must reproduce exactly
+    the flagship token stream and its word count (the markup itself is
+    golden-tested in tests/test_exporters_kie.py)."""
+    from doctr_spark.operators.build import build_pages
+    from doctr_spark.operators.detect import detect_and_crop
+    from doctr_spark.operators.kie import export_documents
+    from doctr_spark.operators.recognize import recognize
+
+    t = transcripts_from_documents(spark, sf_dir)
+    built = build_pages(recognize(detect_and_crop(decode_pages(t))))
+    doc = export_documents(built, "html")
+    flat = F.trim(F.regexp_replace(F.regexp_replace("content", "<[^>]+>", " "), r"\s+", " "))
+    n_words = F.when(flat == "", F.lit(0)).otherwise(F.size(F.split(flat, " "))).cast("long")
+    return doc.select("conv_id", "turn_idx", flat.alias("html_text"), n_words.alias("n_words"))
+
+
 _ROUNDTRIP_ORACLE = """
 SELECT source AS conv_id,
        (ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) - 1)::INT AS turn_idx,
@@ -703,6 +725,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "export_hocr": export_hocr_documents,
         "export_markdown": export_markdown_documents,
         "export_asciidoc": export_asciidoc_documents,
+        "export_html": export_html_documents,
         "export_roundtrip": export_roundtrip_documents,
         "dataset_loaders": dataset_loaders,
         # dedup suite
@@ -754,6 +777,7 @@ def oracle_sql() -> dict[str, str]:
         "export_hocr": _HOCR_ORACLE,
         "export_markdown": _MD_ORACLE,
         "export_asciidoc": _ADOC_ORACLE,
+        "export_html": _HTML_ORACLE,
         "export_roundtrip": _ROUNDTRIP_ORACLE,
         "ocr_extract_synthetic": _SYNTH_ORACLE,
         "ocr_extract_skewed": _SKEW_ORACLE,
