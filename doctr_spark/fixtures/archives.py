@@ -446,16 +446,26 @@ def fabricate_synthtext(root: str, n_imgs: int = 4, seed: int = 13) -> list[dict
         words = _gen_words(rng, n_words)
         labels = [t for t, _ in words]
         bb = np.zeros((2, 4, n_words))
+        boxes_exp, polys_exp = [], []
         for m, (_, (x0, y0, x1, y1)) in enumerate(words):
-            bb[0, :, m] = [x0, x1, x1, x0]
-            bb[1, :, m] = [y0, y0, y1, y1]
+            c = np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1]], dtype=float)
+            if i % 2:  # rotated corners exercise the true-polygon path
+                ang, ctr = np.deg2rad(12.0), c.mean(axis=0)
+                rot = np.array([[np.cos(ang), -np.sin(ang)], [np.sin(ang), np.cos(ang)]])
+                c = (c - ctr) @ rot.T + ctr
+            bb[0, :, m] = c[:, 0]
+            bb[1, :, m] = c[:, 1]
+            boxes_exp.append(
+                [float(c[:, 0].min()), float(c[:, 1].min()), float(c[:, 0].max()), float(c[:, 1].max())]
+            )
+            polys_exp.append([[float(x), float(y)] for x, y in c])
         imnames.append(img)
         wordbbs.append(bb[:, :, 0] if n_words == 1 else bb)
         half = (len(labels) + 1) // 2  # 2-row char matrix exercises padding
         rows = [" ".join(labels[:half])] + ([" ".join(labels[half:])] if labels[half:] else [])
         txts.append(rows[0] if len(rows) == 1 else rows)
         expected.append(
-            {"img_path": f"{root}/{img}", "labels": labels, "boxes": [b for _, b in words]}
+            {"img_path": f"{root}/{img}", "labels": labels, "boxes": boxes_exp, "polys": polys_exp}
         )
         _mkdirs(os.path.dirname(f"{root}/{img}"))
         _touch(f"{root}/{img}")

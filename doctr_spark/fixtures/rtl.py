@@ -51,30 +51,34 @@ def gen_rtl_page(rng: np.random.Generator) -> tuple[np.ndarray, str, int]:
     y = MARGIN
     for _ in range(n_rows):
         latin_line = rng.random() < 0.25
-        words: list[str] = []
+        # pack first, draw only after the row passes the >=2-word check:
+        # drawing inside the packing loop would leave stray ink excluded
+        # from the GT when a degenerate row is retried at the same y
+        placements: list[tuple[int, str]] = []
         if latin_line:
             # embedded LTR run: natural left-to-right placement
             x = MARGIN
             while True:
                 w = _digit_word(rng)
-                if x + word_width(w) > PAGE_W - MARGIN or len(words) >= 6:
+                if x + word_width(w) > PAGE_W - MARGIN or len(placements) >= 6:
                     break
-                draw_word(canvas, x, y, w, _VOCAB)
-                words.append(w)
+                placements.append((x, w))
                 x += word_width(w) + WORD_GAP
         else:
             # RTL: logical first word at the right margin, extending left
             x = PAGE_W - MARGIN
             while True:
                 w = _hebrew_word(rng)
-                if x - word_width(w) < MARGIN or len(words) >= 8:
+                if x - word_width(w) < MARGIN or len(placements) >= 8:
                     break
                 x -= word_width(w)
-                draw_word(canvas, x, y, w, _VOCAB)
-                words.append(w)
+                placements.append((x, w))
                 x -= WORD_GAP
-        if len(words) < 2:  # degenerate row: retry deterministic-ish
+        if len(placements) < 2:  # degenerate row: retry deterministic-ish
             continue
+        for x, w in placements:
+            draw_word(canvas, x, y, w, _VOCAB)
+        words = [w for _, w in placements]
         lines.append(words)
         y += _ROW_PITCH
         if y + GLYPH_H > PAGE_H - MARGIN:

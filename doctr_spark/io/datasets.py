@@ -51,18 +51,43 @@ def _xyxy_to_corners(box: Column) -> Column:
     )
 
 
-def _assemble(words: DataFrame, use_polygons: bool) -> DataFrame:
-    """(img_path, ord, box, label) word rows -> one row per image with
-    order-preserving boxes/labels arrays (sort_array over a keyed struct
-    keeps the annotation-file order deterministic after the shuffle)."""
-    packed = words.groupBy("img_path").agg(
-        F.sort_array(F.collect_list(F.struct("ord", "box", "label"))).alias("ws")
+def _flat_poly_to_corners(poly: Column) -> Column:
+    """Flattened [x0,y0,...,x3,y3] annotation corners -> (4, 2) arrays."""
+    return F.array(
+        F.array(poly[0], poly[1]),
+        F.array(poly[2], poly[3]),
+        F.array(poly[4], poly[5]),
+        F.array(poly[6], poly[7]),
     )
+
+
+def _assemble(words: DataFrame, use_polygons: bool) -> DataFrame:
+    """(img_path, ord, box, label[, poly]) word rows -> one row per image
+    with order-preserving boxes/labels arrays (sort_array over a keyed
+    struct keeps the annotation-file order deterministic after the
+    shuffle). When the annotation carries true rotated corners (a ``poly``
+    column, e.g. SynthText's wordBB tensors), ``use_polygons=True`` returns
+    those instead of fabricating axis-aligned corners from the xyxy
+    collapse (reference `doctr/datasets/synthtext.py:106-116` keeps the
+    rotated geometry in its use_polygons branch)."""
+    has_poly = "poly" in words.columns
+    fields = ["ord", "box", "label"] + (["poly"] if has_poly else [])
+    packed = words.groupBy("img_path").agg(
+        F.sort_array(F.collect_list(F.struct(*fields))).alias("ws")
+    )
+
+    def geom(w):
+        if not use_polygons:
+            return w["box"]
+        if has_poly:
+            return F.when(w["poly"].isNotNull(), _flat_poly_to_corners(w["poly"])).otherwise(
+                _xyxy_to_corners(w["box"])
+            )
+        return _xyxy_to_corners(w["box"])
+
     return packed.select(
         "img_path",
-        F.transform(
-            "ws", lambda w: _xyxy_to_corners(w["box"]) if use_polygons else w["box"]
-        ).alias("boxes"),
+        F.transform("ws", geom).alias("boxes"),
         F.transform("ws", lambda w: w["label"]).alias("labels"),
     )
 
@@ -621,10 +646,15 @@ def _mat_word_rows(spark: SparkSession, mat_path: str, parse_fn) -> DataFrame:
         for pdf in batches:
             rows = []
             for blob in pdf["content"]:
-                rows.extend(parse_fn(loadmat_bytes(bytes(blob))))
-            yield pd.DataFrame(rows, columns=["img_path", "ord", "box", "label"])
+                # parse rows are (img_path, ord, box, label) or, when the
+                # annotation has true rotated corners, + a flattened 8-value
+                # polygon (None pads the 4-tuple loaders)
+                rows.extend(r if len(r) == 5 else (*r, None) for r in parse_fn(loadmat_bytes(bytes(blob))))
+            yield pd.DataFrame(rows, columns=["img_path", "ord", "box", "label", "poly"])
 
-    return raw.mapInPandas(fn, "img_path string, ord long, box array<double>, label string")
+    return raw.mapInPandas(
+        fn, "img_path string, ord long, box array<double>, label string, poly array<double>"
+    )
 
 
 def load_synthtext(
@@ -647,10 +677,19 @@ def load_synthtext(
         for img, bb, t in zip(imnames[sl], wordbb[sl], txt[sl]):
             labels = [w for line in ([t] if isinstance(t, str) else t) for w in line.split()]
             bb = np.asarray(bb, dtype=float)
+            # (M, 4, 2) corners in TL,TR,BR,BL order (synthtext.py:108-112)
             polys = bb.transpose(2, 1, 0) if bb.ndim == 3 else bb.transpose(1, 0)[None]
             boxes = np.concatenate((polys.min(axis=1), polys.max(axis=1)), axis=1)
-            for o, (box, label) in enumerate(zip(boxes, labels)):
-                rows.append((f"{folder}/{img}", o, [float(v) for v in box], label))
+            for o, (box, poly, label) in enumerate(zip(boxes, polys, labels)):
+                rows.append(
+                    (
+                        f"{folder}/{img}",
+                        o,
+                        [float(v) for v in box],
+                        label,
+                        [float(v) for v in poly.reshape(-1)],
+                    )
+                )
         return rows
 
     return _assemble(_mat_word_rows(spark, f"{folder}/gt.mat", parse), use_polygons)

@@ -433,8 +433,12 @@ def char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode to (doc, char) with map-side combinable counting, then one
     per-doc fold — linear in corpus characters, no wide rows."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # split on the empty pattern, NOT '(?!^)': the lookahead splits between
+    # UTF-16 code units and would shear astral-plane characters into
+    # surrogate halves, while '' (like DuckDB's string_split_regex) yields
+    # whole codepoints (ADVICE r4)
     chars = docs.where(F.length("text") > 0).select(
-        "doc_id", F.explode(F.split("text", "(?!^)")).alias("ch")
+        "doc_id", F.explode(F.split("text", "")).alias("ch")
     ).where(F.col("ch") != "")
     counts = chars.groupBy("doc_id", "ch").agg(F.count("*").alias("n"))
     return (

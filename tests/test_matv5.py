@@ -75,6 +75,14 @@ def test_load_synthtext(spark, tmp_path):
     root = str(tmp_path / "synthtext")
     exp = archives.fabricate_synthtext(root, n_imgs=5)
     _check(exp, dsets.load_synthtext(spark, root).collect())
+    # use_polygons must return the TRUE rotated wordBB corners, not an
+    # axis-aligned fabrication from the xyxy collapse (ADVICE r4 medium;
+    # reference synthtext.py:106-116 keeps the rotated geometry)
+    polys = {r.img_path: r for r in dsets.load_synthtext(spark, root, use_polygons=True).collect()}
+    assert len(polys) == len(exp)
+    for e in exp:
+        got = [[[float(v) for v in pt] for pt in b] for b in polys[e["img_path"]].boxes]
+        assert got == e["polys"]
     # the reference's 90/10 split semantics
     n_train = int(5 * 0.9)
     _check(exp[:n_train], dsets.load_synthtext(spark, root, train=True).collect())
