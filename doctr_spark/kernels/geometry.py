@@ -134,8 +134,17 @@ def clip_polygon(subject: np.ndarray, clip: np.ndarray) -> np.ndarray:
     ``intersection`` the reference's rotated-box metrics lean on
     (`doctr/utils/metrics.py:154-181`)."""
     clip = np.asarray(clip, dtype=np.float64)
+    area2 = float(np.dot(clip[:, 0], np.roll(clip[:, 1], -1)) - np.dot(clip[:, 1], np.roll(clip[:, 0], -1)))
+    # A clip whose area is rounding noise relative to its extent (point or
+    # subnormal-width sliver) cannot contain anything: its zero-length
+    # edges define no half-plane and would pass the whole subject through.
+    # Its true intersection area is bounded by its own ~0 area, so the
+    # empty polygon is the numerically honest result.
+    extent = float(np.max(np.ptp(clip, axis=0), initial=0.0))
+    if extent == 0.0 or abs(area2) <= 1e-12 * extent * extent:
+        return np.zeros((0, 2))
     # force counter-clockwise so "inside" is a fixed half-plane sign
-    if float(np.dot(clip[:, 0], np.roll(clip[:, 1], -1)) - np.dot(clip[:, 1], np.roll(clip[:, 0], -1))) < 0:
+    if area2 < 0:
         clip = clip[::-1]
     out = np.asarray(subject, dtype=np.float64)
     for i in range(clip.shape[0]):
@@ -177,7 +186,10 @@ def polygon_iou(polys_1: np.ndarray, polys_2: np.ndarray) -> np.ndarray:
     a1 = np.array([polygon_area(p) for p in polys_1])
     a2 = np.array([polygon_area(p) for p in polys_2])
     for i, j in zip(cand_i, cand_j):
-        inter = polygon_area(clip_polygon(polys_1[i], polys_2[j]))
+        # clamp: the exact intersection area can never exceed either input
+        # area, but the float clip of near-degenerate slivers can — without
+        # the clamp a sliver pair can report inter > union (IoU >> 1)
+        inter = min(polygon_area(clip_polygon(polys_1[i], polys_2[j])), a1[i], a2[j])
         union = a1[i] + a2[j] - inter
         if union > 0:
             iou[i, j] = inter / union

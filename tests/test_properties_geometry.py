@@ -1,0 +1,182 @@
+"""Degenerate-input property sweep over the geometry kernels (VERDICT r4
+item 7): the input classes that caught the min_area_rect sliver hull —
+duplicate points, collinear layouts, subnormal offsets, zero-extent boxes —
+applied to the clip/IoU/rotation/warp kernels with the fixed absolute-
+tolerance methodology."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from doctr_spark.kernels.geometry import (
+    clip_polygon,
+    polygon_area,
+    polygon_iou,
+    rotate_polygon,
+)
+from doctr_spark.kernels.rgeometry import (
+    extract_rcrops,
+    min_area_rect,
+    order_points,
+    resolve_enclosing_rbbox,
+)
+
+_coord = st.floats(min_value=-50.0, max_value=50.0, allow_nan=False)
+_angle = st.floats(min_value=-360.0, max_value=360.0, allow_nan=False)
+# widths drawn across scales down to subnormal: the sliver/degenerate class
+_extent = st.one_of(
+    st.floats(min_value=0.5, max_value=20.0, allow_nan=False),
+    st.floats(min_value=1e-12, max_value=1e-6, allow_nan=False),
+    st.just(0.0),
+    st.just(5e-324),
+)
+
+
+def _rect_poly(x0, y0, w, h, ang):
+    base = np.array([[x0, y0], [x0 + w, y0], [x0 + w, y0 + h], [x0, y0 + h]])
+    return rotate_polygon(base, ang, (x0, y0))
+
+
+_rect = st.tuples(_coord, _coord, _extent, _extent, _angle)
+
+
+@given(_rect, _rect)
+@settings(max_examples=250, deadline=None)
+def test_polygon_iou_bounded_finite_symmetric(ra, rb):
+    a, b = _rect_poly(*ra), _rect_poly(*rb)
+    m_ab = polygon_iou(a[None], b[None])[0, 0]
+    m_ba = polygon_iou(b[None], a[None])[0, 0]
+    assert np.isfinite(m_ab) and np.isfinite(m_ba)
+    assert -1e-12 <= m_ab <= 1 + 1e-9
+    # symmetric up to the float noise of clipping sliver pairs: tiny IoUs
+    # carry a small relative wobble between clip(A,B) and clip(B,A)
+    assert abs(m_ab - m_ba) <= 1e-9 + 1e-2 * max(m_ab, m_ba)
+
+
+@given(_rect)
+@settings(max_examples=250, deadline=None)
+def test_polygon_iou_self_is_one_or_degenerate_zero(r):
+    a = _rect_poly(*r)
+    m = polygon_iou(a[None], a[None])[0, 0]
+    if polygon_area(a) > 1e-9:
+        assert abs(m - 1.0) <= 1e-9
+    else:
+        # near-zero-area sliver: IoU either still resolves to itself or
+        # degrades toward 0 — but stays bounded and finite, never garbage
+        assert np.isfinite(m) and 0.0 <= m <= 1 + 1e-9
+
+
+@given(_rect, _rect)
+@settings(max_examples=250, deadline=None)
+def test_clip_polygon_intersection_bounds(ra, rb):
+    a, b = _rect_poly(*ra), _rect_poly(*rb)
+    inter = polygon_area(clip_polygon(a, b))
+    tol = 1e-6 * (1.0 + max(polygon_area(a), polygon_area(b)))
+    assert inter <= min(polygon_area(a), polygon_area(b)) + tol
+    # clip against itself reproduces its own area (convex subject); a
+    # degenerate self-clip may collapse to empty, never grow
+    self_inter = polygon_area(clip_polygon(a, a))
+    if polygon_area(a) > 1e-9:
+        assert abs(self_inter - polygon_area(a)) <= tol
+    else:
+        assert self_inter <= polygon_area(a) + tol
+
+
+@given(_rect, _angle)
+@settings(max_examples=250, deadline=None)
+def test_rotate_polygon_isometry_and_inverse(r, ang):
+    a = _rect_poly(*r)
+    rotated = rotate_polygon(a, ang, (0.3, -0.7))
+    back = rotate_polygon(rotated, -ang, (0.3, -0.7))
+    # rigid motion: areas and pairwise distances preserved, inverse exact
+    # to absolute tolerance (coordinates bounded by ~100)
+    assert abs(polygon_area(rotated) - polygon_area(a)) <= 1e-7
+    d0 = np.linalg.norm(a[:, None] - a[None, :], axis=-1)
+    d1 = np.linalg.norm(rotated[:, None] - rotated[None, :], axis=-1)
+    assert np.abs(d0 - d1).max() <= 1e-7
+    assert np.abs(back - a).max() <= 1e-7
+
+
+_pts = st.lists(st.tuples(_coord, _coord), min_size=1, max_size=12)
+
+
+@given(_pts)
+@settings(max_examples=250, deadline=None)
+def test_order_points_preserves_multiset(pts):
+    arr = np.asarray(pts, dtype=np.float64)
+    rect = min_area_rect(arr)
+    ordered = order_points(rect)
+    assert sorted(map(tuple, ordered)) == sorted(map(tuple, rect))
+
+
+@given(st.lists(_pts, min_size=1, max_size=3))
+@settings(max_examples=200, deadline=None)
+def test_resolve_enclosing_rbbox_encloses_every_corner(groups):
+    polys = [np.asarray(g, dtype=np.float64) for g in groups]
+    rect = resolve_enclosing_rbbox(polys)
+    assert rect.shape == (4, 2) and np.isfinite(rect).all()
+    cloud = np.concatenate(polys, axis=0)
+    # enclosure is guaranteed to float precision AT THE CLOUD'S SCALE: the
+    # hull's collinearity pop works on cross products of coordinate-sized
+    # magnitudes, so a point clustered on a ~1e-6 edge can be absorbed
+    # with an offset the cross test cannot resolve
+    tol = 1e-9 + 1e-7 * max(1.0, float(np.max(np.ptp(cloud, axis=0))))
+    e1, e2 = rect[1] - rect[0], rect[3] - rect[0]
+    for p in cloud:
+        d = p - rect[0]
+        for e in (e1, e2):
+            ln = float(np.hypot(*e))
+            if ln <= 1e-9:
+                continue  # degenerate side: absolute tolerance, not relative
+            proj = float(d @ e) / ln
+            assert -tol <= proj <= ln + tol
+
+
+@given(
+    st.integers(min_value=4, max_value=40),
+    st.integers(min_value=4, max_value=40),
+    st.integers(min_value=0, max_value=2**31 - 1),
+    st.sampled_from(["proper", "dup_corner", "collinear", "subnormal"]),
+)
+@settings(max_examples=200, deadline=None)
+def test_extract_rcrops_shape_contract_on_degenerates(h, w, seed, mode):
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 255, (h, w), dtype=np.uint8)
+    poly = np.array([[0.1, 0.1], [0.8, 0.2], [0.85, 0.7], [0.15, 0.6]])
+    if mode == "dup_corner":
+        poly[1] = poly[0]
+    elif mode == "collinear":
+        poly[2] = poly[0] + 2 * (poly[1] - poly[0])
+    elif mode == "subnormal":
+        poly[1] = poly[0] + np.array([5e-324, 0.0])
+    (crop,) = extract_rcrops(img, poly[None])
+    p = poly * np.array([w, h])
+    d1 = int(round(np.linalg.norm(p[1] - p[0])))
+    d2 = int(round(np.linalg.norm(p[2] - p[1])))
+    if d1 < 1 or d2 < 1:
+        assert crop.shape == (0, 0)
+    else:
+        assert crop.shape == (d2, d1)
+        assert crop.dtype == img.dtype
+
+
+@given(
+    st.integers(min_value=2, max_value=20),
+    st.integers(min_value=2, max_value=20),
+    st.data(),
+)
+@settings(max_examples=100, deadline=None)
+def test_extract_rcrops_identity_on_axis_aligned_pixel_boxes(h, w, data):
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 255, (h, w), dtype=np.uint8)
+    x0 = data.draw(st.integers(min_value=0, max_value=w - 2))
+    y0 = data.draw(st.integers(min_value=0, max_value=h - 2))
+    x1 = data.draw(st.integers(min_value=x0 + 1, max_value=w - 1))
+    y1 = data.draw(st.integers(min_value=y0 + 1, max_value=h - 1))
+    poly = np.array(
+        [[x0 / w, y0 / h], [x1 / w, y0 / h], [x1 / w, y1 / h], [x0 / w, y1 / h]]
+    )
+    (crop,) = extract_rcrops(img, poly[None])
+    assert np.array_equal(crop, img[y0:y1, x0:x1])
