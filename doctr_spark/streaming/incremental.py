@@ -32,7 +32,6 @@ import datetime as dt
 
 import uuid
 
-from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F  # noqa: N812
 
@@ -69,6 +68,40 @@ def extract_bucketed(transcripts: DataFrame, n_buckets: int, buckets: list[int])
     return with_bucket(extract_documents(part), n_buckets)
 
 
+def _group_partition_paths(spark: SparkSession, output_dir: str, group: list[int]) -> list[str]:
+    """The ``bucket=<b>`` partition directories this pass wrote, existence-
+    checked through Spark's filesystem layer (HDFS/S3/local alike). A
+    bucket with zero rows writes no directory under dynamic overwrite."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    paths = []
+    for b in group:
+        p = jvm.org.apache.hadoop.fs.Path(f"{output_dir}/bucket={int(b)}")
+        if p.getFileSystem(conf).exists(p):
+            paths.append(f"{output_dir}/bucket={int(b)}")
+    return paths
+
+
+def group_stats_read(spark: SparkSession, output_dir: str, group: list[int]) -> DataFrame | None:
+    """Per-bucket stats over ONLY the group's partition directories.
+
+    Reading ``output_dir`` wholesale would re-list the entire output tree
+    (every bucket ever written) on every pass — at many-bucket scale the
+    listing, not the scan, dominates. Loading the explicit ``bucket=<b>``
+    paths keeps the read to exactly the files this pass produced;
+    ``basePath`` preserves the partition column in the schema. Returns
+    None when every bucket in the group was empty (no directories)."""
+    paths = _group_partition_paths(spark, output_dir, group)
+    if not paths:
+        return None
+    return (
+        spark.read.option("basePath", output_dir)
+        .parquet(*paths)
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_turns"), F.sum("n_words").alias("n_words"))
+    )
+
+
 def run_checkpointed(
     spark: SparkSession,
     transcripts: DataFrame,
@@ -100,22 +133,11 @@ def run_checkpointed(
             docs = extract_bucketed(transcripts, n_buckets, group)
             docs.write.mode("overwrite").partitionBy("bucket").parquet(output_dir)
             # stats from the files just written: a second action on `docs`
-            # would re-run the whole extraction lineage for this pass
-            try:
-                written = (
-                    spark.read.parquet(output_dir)
-                    .where(F.col("bucket").isin(group))
-                    .groupBy("bucket")
-                    .agg(F.count("*").alias("n_turns"), F.sum("n_words").alias("n_words"))
-                    .collect()
-                )
-            except AnalysisException as exc:
-                # only the every-bucket-empty case (no files at output_dir)
-                # may be treated as zero rows; a transient read failure must
-                # propagate so the pass is retried, not committed as done
-                if "PATH_NOT_FOUND" not in str(exc) and "Path does not exist" not in str(exc):
-                    raise
-                written = []
+            # would re-run the whole extraction lineage for this pass, and
+            # the read touches only this group's partition paths (a
+            # whole-dir read would re-list every bucket ever written)
+            stats_df = group_stats_read(spark, output_dir, group)
+            written = stats_df.collect() if stats_df is not None else []
             stats = {int(r["bucket"]): (int(r["n_turns"]), int(r["n_words"] or 0)) for r in written}
             finished = dt.datetime.now()
             manifest_rows = spark.createDataFrame(
