@@ -185,7 +185,15 @@ def polygon_iou(polys_1: np.ndarray, polys_2: np.ndarray) -> np.ndarray:
     cand_i, cand_j = np.nonzero(((rb - lt) > 0).all(axis=-1))
     a1 = np.array([polygon_area(p) for p in polys_1])
     a2 = np.array([polygon_area(p) for p in polys_2])
+    # a polygon whose area is below float resolution at its own extent is a
+    # zero-area sliver: its IoU is 0 BY POLICY, decided per polygon (not per
+    # clip direction) so the matrix stays symmetric — the sliver-vs-sliver
+    # ratio would otherwise be ill-conditioned noise
+    deg1 = 2 * a1 <= 1e-12 * np.square(bb1[:, 2:] - bb1[:, :2]).max(axis=-1)
+    deg2 = 2 * a2 <= 1e-12 * np.square(bb2[:, 2:] - bb2[:, :2]).max(axis=-1)
     for i, j in zip(cand_i, cand_j):
+        if deg1[i] or deg2[j]:
+            continue
         # clamp: the exact intersection area can never exceed either input
         # area, but the float clip of near-degenerate slivers can — without
         # the clamp a sliver pair can report inter > union (IoU >> 1)

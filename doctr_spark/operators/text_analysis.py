@@ -199,6 +199,88 @@ def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("passes", passes)
 
 
+# Gopher-style repetition gates (Rae et al. 2021, table A1): documents
+# dominated by one repeated 2-gram, by duplicated 3-grams, or by duplicated
+# lines are boilerplate/spam for LLM training purposes
+REP_MAX_TOP_BIGRAM_FRAC = 0.2
+REP_MAX_DUP_TRIGRAM_FRAC = 0.3
+REP_MAX_DUP_LINE_FRAC = 0.3
+
+
+def _word_grams(toks, n, k: int):
+    """Word k-grams of a token array as strings (empty array below k)."""
+    return F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(k)]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _run_stats(arr):
+    """(best, dup) of a string array via sorted-run walk: ``best`` is the
+    highest multiplicity of any value, ``dup`` the number of elements whose
+    value occurs more than once — computed inside ONE array expression (no
+    explode, no shuffle), the same mode-via-run-length trick as
+    :func:`quality_filter`'s top-word signal."""
+    walked = F.aggregate(
+        F.array_sort(arr),
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+            F.lit(0).alias("dup"),
+        ),
+        lambda acc, t: F.struct(
+            t.alias("prev"),
+            F.when(t == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"], F.when(t == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+            ).alias("best"),
+            (
+                acc["dup"]
+                + F.when(t == acc["prev"], F.when(acc["run"] == 1, 2).otherwise(1)).otherwise(0)
+            ).alias("dup"),
+        ),
+        lambda acc: F.struct(acc["best"].alias("best"), acc["dup"].alias("dup")),
+    )
+    return walked
+
+
+def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document: most-frequent-2-gram
+    fraction, duplicated-3-gram fraction, and duplicated-line fraction,
+    plus the combined pass gate. 100 TB design: every signal is computed
+    by sorted-run walks INSIDE one codegen'd projection — zero shuffles,
+    zero Python, linear in corpus tokens (per-row cost O(k log k) on the
+    token count, bounded by document length)."""
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+
+    def frac(stats_field, total):
+        return F.when(total > 0, F.round(stats_field / total, 6)).otherwise(F.lit(0.0))
+
+    bi = _run_stats(_word_grams(toks, n, 2))
+    tri = _run_stats(_word_grams(toks, n, 3))
+    lines = F.split(F.col("text"), "\n")
+    ln = _run_stats(lines)
+
+    out = d.select(
+        "doc_id",
+        frac(bi["best"], F.greatest(n - 1, F.lit(0))).alias("top_bigram_frac"),
+        frac(tri["dup"], F.greatest(n - 2, F.lit(0))).alias("dup_trigram_frac"),
+        frac(ln["dup"], F.size(lines)).alias("dup_line_frac"),
+    )
+    passes = (
+        (F.col("top_bigram_frac") <= REP_MAX_TOP_BIGRAM_FRAC)
+        & (F.col("dup_trigram_frac") <= REP_MAX_DUP_TRIGRAM_FRAC)
+        & (F.col("dup_line_frac") <= REP_MAX_DUP_LINE_FRAC)
+    )
+    return out.withColumn("passes", passes)
+
+
 def _marker_sql(words: list[str]) -> str:
     lst = ", ".join(f"'{w}'" for w in words)
     return f"len(list_filter(string_split(text, ' '), t -> t IN ({lst})))"
@@ -237,6 +319,48 @@ ORACLES: dict[str, str] = {
             AND symbol_frac <= {QF_MAX_SYMBOL_FRAC}
             AND round(f.top::DOUBLE / n_words, 6) <= {QF_MAX_TOP_WORD_FRAC}) AS passes
     FROM s JOIN freq f USING (doc_id)
+    """,
+
+    "text_repetition": f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS ts, string_split(text, chr(10)) AS ls
+        FROM documents
+    ),
+    g2 AS (
+        SELECT doc_id, unnest(list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i+1])) AS g
+        FROM t WHERE len(ts) >= 2
+    ),
+    a2 AS (
+        SELECT doc_id, max(c) AS best, sum(c) AS total
+        FROM (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY doc_id, g) GROUP BY doc_id
+    ),
+    g3 AS (
+        SELECT doc_id, unnest(list_transform(range(1, len(ts) - 1),
+                              i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS g
+        FROM t WHERE len(ts) >= 3
+    ),
+    a3 AS (
+        SELECT doc_id, sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup, sum(c) AS total
+        FROM (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY doc_id, g) GROUP BY doc_id
+    ),
+    al AS (
+        SELECT doc_id, sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup, sum(c) AS total
+        FROM (SELECT doc_id, l, count(*) AS c
+              FROM (SELECT doc_id, unnest(ls) AS l FROM t) GROUP BY doc_id, l)
+        GROUP BY doc_id
+    ),
+    s AS (
+        SELECT t.doc_id,
+               coalesce(round(a2.best::DOUBLE / a2.total, 6), 0.0) AS top_bigram_frac,
+               coalesce(round(a3.dup::DOUBLE / a3.total, 6), 0.0) AS dup_trigram_frac,
+               coalesce(round(al.dup::DOUBLE / al.total, 6), 0.0) AS dup_line_frac
+        FROM t LEFT JOIN a2 USING (doc_id) LEFT JOIN a3 USING (doc_id) LEFT JOIN al USING (doc_id)
+    )
+    SELECT doc_id, top_bigram_frac, dup_trigram_frac, dup_line_frac,
+           (top_bigram_frac <= {REP_MAX_TOP_BIGRAM_FRAC}
+            AND dup_trigram_frac <= {REP_MAX_DUP_TRIGRAM_FRAC}
+            AND dup_line_frac <= {REP_MAX_DUP_LINE_FRAC}) AS passes
+    FROM s
     """,
 
     "text_stats": """
