@@ -53,6 +53,18 @@ def calibrate(cpus: int) -> float:
     return cpus * 4 * n / dt_ / 1e6
 
 
+def _aggregate_bw(cpus: int) -> float:
+    """Memory-bandwidth calibration (tools/probe_bw.py): the binding same-
+    box ceiling for the memory-bound share of the engine — the ALU burn
+    above captures only clock scaling, but this VM's memory bus saturates
+    near ~90 GB/s, capping ANY bandwidth-bound program's 8->32 speedup at
+    ~1.6x (0.39 efficiency). A multi-node cluster adds controllers per
+    node and does not share one bus."""
+    from tools.probe_bw import aggregate_bw
+
+    return aggregate_bw(cpus)
+
+
 def measure(cpus: int, sf_dir: str, syn_mult: int, doc_mult: int = 1) -> dict:
     from pyspark.sql import functions as F  # noqa: N812
 
@@ -109,6 +121,7 @@ def measure(cpus: int, sf_dir: str, syn_mult: int, doc_mult: int = 1) -> dict:
         "q_docs_sec": round(t_docs, 2),
         "q_synthetic_sec": round(t_syn, 2),
         "hw_mops": round(calibrate(cpus), 1),
+        "hw_gbps": round(_aggregate_bw(cpus), 1),
     }
 
 
