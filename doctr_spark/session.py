@@ -35,6 +35,12 @@ def get_spark(
         # pages is minutes of decode/detect work, so never let AQE coalesce
         # their shuffles down to a handful of tasks on byte-size grounds
         .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
+        # the crop/page shuffles are the engine's dominant memory traffic
+        # and the 32-core regime is bandwidth-saturated (BENCH.md round-5
+        # adjudication: ~90 GB/s bus ceiling): zstd's denser shuffle blocks
+        # measured 10-19% faster extraction at 32 cores than lz4 and a
+        # wash at 8 — fewer bytes through the bus beats cheaper cycles
+        .config("spark.io.compression.codec", "zstd")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_MAX_RECORDS))
         # image-bearing rows are large: keep broadcast small-dim joins on,
