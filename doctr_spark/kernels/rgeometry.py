@@ -430,17 +430,23 @@ def _convex_hull(pts: np.ndarray) -> np.ndarray:
 def min_area_rect(pts: np.ndarray) -> np.ndarray:
     """Minimum-area enclosing rotated rectangle via rotating calipers:
     the optimal rectangle has a side collinear with a hull edge. Returns
-    the 4 corners (unordered)."""
-    hull = _convex_hull(pts.astype(np.float64))
+    the 4 corners (unordered).
+
+    The angle is SELECTED on the hull (cheap) but the corners are
+    RECOMPUTED from every input point: the float hull's collinearity pop
+    can absorb a point clustered on a tiny edge with an offset its cross
+    product cannot resolve, so hull-derived corners could miss it —
+    min/max of all points in the chosen rotated frame guarantees
+    enclosure by construction, and the corners are exactly orthogonal
+    even for degenerate (collinear/duplicate/sliver) input."""
+    pts = np.asarray(pts, dtype=np.float64).reshape(-1, 2)
+    hull = _convex_hull(pts)
     if hull.shape[0] == 1:
         return np.repeat(hull, 4, axis=0)
     if hull.shape[0] > 2:
-        # A hull whose area is rounding noise relative to its extent (e.g. a
-        # subnormal-width sliver from near-collinear input) is really a
-        # segment: the caliper sweep below would emit a hairline "rectangle"
-        # whose short side is noise and not orthogonal to the long side.
-        # Collapse it to its diameter pair so the 2-point branch returns an
-        # exact (degenerate but true) rectangle.
+        # A hull whose area is rounding noise relative to its extent (e.g.
+        # a subnormal-width sliver from near-collinear input) is really a
+        # segment: skip the caliper sweep and use its diameter direction.
         x, y = hull[:, 0], hull[:, 1]
         area2 = abs(float(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1))))
         extent = float(np.max(np.ptp(hull, axis=0)))
@@ -451,21 +457,26 @@ def min_area_rect(pts: np.ndarray) -> np.ndarray:
             )
             hull = hull[[i, j]]
     if hull.shape[0] == 2:
-        return np.array([hull[0], hull[1], hull[1], hull[0]])
-    best_area, best = np.inf, None
-    edges = np.diff(np.vstack([hull, hull[:1]]), axis=0)
-    angles = np.unique(np.mod(np.arctan2(edges[:, 1], edges[:, 0]), np.pi / 2))
-    for ang in angles:
-        c, s = np.cos(ang), np.sin(ang)
-        rot = hull @ np.array([[c, -s], [s, c]])
-        x0, y0 = rot.min(axis=0)
-        x1, y1 = rot.max(axis=0)
-        area = (x1 - x0) * (y1 - y0)
-        if area < best_area:
-            best_area = area
-            corners = np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1]])
-            best = corners @ np.array([[c, s], [-s, c]])
-    return best
+        seg = hull[1] - hull[0]
+        best_ang = float(np.mod(np.arctan2(seg[1], seg[0]), np.pi / 2))
+    else:
+        best_area, best_ang = np.inf, 0.0
+        edges = np.diff(np.vstack([hull, hull[:1]]), axis=0)
+        angles = np.unique(np.mod(np.arctan2(edges[:, 1], edges[:, 0]), np.pi / 2))
+        for ang in angles:
+            c, s = np.cos(ang), np.sin(ang)
+            rot = hull @ np.array([[c, -s], [s, c]])
+            x0, y0 = rot.min(axis=0)
+            x1, y1 = rot.max(axis=0)
+            area = (x1 - x0) * (y1 - y0)
+            if area < best_area:
+                best_area, best_ang = area, float(ang)
+    c, s = np.cos(best_ang), np.sin(best_ang)
+    rot = pts @ np.array([[c, -s], [s, c]])
+    x0, y0 = rot.min(axis=0)
+    x1, y1 = rot.max(axis=0)
+    corners = np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1]])
+    return corners @ np.array([[c, s], [-s, c]])
 
 
 def resolve_enclosing_rbbox(rbboxes: list[np.ndarray]) -> np.ndarray:
