@@ -45,12 +45,14 @@ def _make_detector(
     straighten_pages: bool = False,
     det_arch: str = "db_like",
     carry_layout: bool = False,
+    det_input_size: tuple[int, int] | None = None,
 ):
     import json
 
     import numpy as np
 
     from ..kernels.detection import DET_PRESETS, mask_regions
+    from ..kernels.preprocessor import letterbox, unletterbox_boxes
     from ..kernels.rgeometry import (
         estimate_skew_angle,
         is_resampled,
@@ -62,6 +64,28 @@ def _make_detector(
     from ..kernels.layout import detect_layout_regions
     from ..kernels.orientation import estimate_page_orientation, straighten_page
     from ..kernels.tables import detect_table_structure
+
+    def _detect(img: np.ndarray):
+        """Detection with the optional PreProcessor letterbox: resize the
+        page to the model input size (aspect preserved, symmetric pad),
+        detect there, and map the relative boxes exactly back to the page
+        (`preprocessor.unletterbox_boxes`) — crops are always taken from
+        the ORIGINAL page pixels."""
+        if det_input_size is None:
+            return detect_words(img, bin_thresh=bin_thresh, box_thresh=box_thresh)
+        lb, lb_meta = letterbox(img, det_input_size)
+        _, rel_lb, scores = detect_words(lb, bin_thresh=bin_thresh, box_thresh=box_thresh)
+        rel = unletterbox_boxes(rel_lb, lb_meta, det_input_size)
+        h, w = img.shape[:2]
+        abs_boxes = np.rint(rel * np.array([w, h, w, h], dtype=np.float64)).astype(np.int64)
+        abs_boxes[:, 0] = np.clip(abs_boxes[:, 0], 0, w - 1)
+        abs_boxes[:, 1] = np.clip(abs_boxes[:, 1], 0, h - 1)
+        abs_boxes[:, 2] = np.clip(abs_boxes[:, 2], abs_boxes[:, 0] + 1, w)
+        abs_boxes[:, 3] = np.clip(abs_boxes[:, 3], abs_boxes[:, 1] + 1, h)
+        # recompute rel from the final abs pixels so the downstream builder
+        # sees the same geometry contract as the direct-detection path
+        rel = abs_boxes.astype(np.float64) / np.array([w, h, w, h], dtype=np.float64)
+        return abs_boxes, rel, scores
 
     def _detect_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -92,7 +116,7 @@ def _make_detector(
                     # (and no masking will alter the page), detect once and
                     # share the pass with the k=0 candidate
                     if (bin_thresh, box_thresh) == DET_PRESETS["db_like"] and not mask_region_labels:
-                        pre_detect = detect_words(img, bin_thresh=bin_thresh, box_thresh=box_thresh)
+                        pre_detect = _detect(img)
                         orient, orient_conf = estimate_page_orientation(
                             img, upright_boxes=pre_detect[0]
                         )
@@ -124,9 +148,7 @@ def _make_detector(
                     ).reshape(-1, 4)  # fmt: skip
                     img = mask_regions(img, drop)
                 abs_boxes, rel_boxes, scores = (
-                    pre_detect
-                    if pre_detect is not None
-                    else detect_words(img, bin_thresh=bin_thresh, box_thresh=box_thresh)
+                    pre_detect if pre_detect is not None else _detect(img)
                 )
                 tables = detect_table_structure(img)
                 if tables:
@@ -153,6 +175,7 @@ def detect_and_crop(
     straighten_pages: bool = False,
     det_arch: str = "db_like",
     carry_layout: bool = False,
+    det_input_size: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Detection + crop explode; ``mask_region_labels`` blanks matching
     layout regions before detection (the ignore_regions option);
@@ -164,8 +187,12 @@ def detect_and_crop(
     predictor and ships its (label, box) regions to the builder in a
     word_idx = -3 sentinel row — the Spark analogue of the reference
     feeding LayoutPredictor output into reading order
-    (`doctr/models/predictor/base.py` + `reading_order/base.py:534-578`)."""
+    (`doctr/models/predictor/base.py` + `reading_order/base.py:534-578`);
+    ``det_input_size`` routes every page through the PreProcessor
+    letterbox (aspect-preserving resize + symmetric pad,
+    `kernels.preprocessor`) before detection, with the detected geometry
+    mapped exactly back to page coordinates."""
     return pages.mapInPandas(
-        _make_detector(mask_region_labels, straighten_pages, det_arch, carry_layout),
+        _make_detector(mask_region_labels, straighten_pages, det_arch, carry_layout, det_input_size),
         schema=CROPS_SCHEMA,
     )

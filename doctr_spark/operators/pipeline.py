@@ -47,6 +47,7 @@ def extract_documents(
     det_arch: str = "db_like",
     text_direction: str | None = None,
     include_furniture: bool = True,
+    det_input_size: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Run the detection->recognition->reconstruction pipeline.
 
@@ -74,6 +75,9 @@ def extract_documents(
         # reading order is layout-aware: the builder needs the layout
         # predictor's (label, box) regions to rank roles + attach captions
         carry_layout=keep_reading_order,
+        # optional PreProcessor letterbox (fixed model input size with
+        # aspect-preserving resize + symmetric pad) before detection
+        det_input_size=det_input_size,
     )
     for hook in loc_hooks or ():
         crops = hook(crops)
