@@ -1,30 +1,123 @@
 """Page-level language identification.
 
-Reference `get_language` runs langdetect over the page's concatenated text
-(`doctr/models/_utils.py:202-218`) and stores ``{value, confidence}`` on
-the Page. The deterministic stand-in scores marker-token hits per language
-(the same n-gram-heuristic family as operators/text_analysis.lang_id);
-confidence is the winning language's share of marker hits.
+Reference ``get_language`` runs langdetect over the page's concatenated
+text (`doctr/models/_utils.py:202-218`) and stores ``{value, confidence}``
+on the Page. langdetect is not in this container, so this is a from-scratch
+implementation of the classic Cavnar-Trenkle rank-order n-gram classifier
+("N-Gram-Based Text Categorization", 1994 — the same family langdetect
+descends from): each language has a profile of its most frequent character
+1-3-grams ranked by frequency; a document is classified by the smallest
+out-of-place distance between its own ranked profile and each language's.
+
+Profiles are built at import time from small embedded seed paragraphs of
+common running text per language — deterministic, no external data, no
+model files. Confidence is the relative out-of-place advantage of the
+winner (0 = indistinguishable from the profile-less baseline, 1 = perfect
+rank agreement); a document whose best score stays under ``_MIN_SCORE``
+(e.g. digits or consonant noise) is ``unknown``, like the reference's
+LangDetectException fallback.
 """
 
 from __future__ import annotations
 
-LANG_MARKERS: dict[str, tuple[str, ...]] = {
-    "en": ("the", "and", "with", "for", "of", "a"),
-    "es": ("el", "la", "de", "los", "que", "y"),
-    "fr": ("le", "la", "les", "et", "des", "un"),
-}
+import re
+from collections import Counter
+
+_PROFILE_SIZE = 300
+_MIN_SCORE = 0.2
 UNKNOWN = "unknown"
+
+# Seed running text per language: ordinary sentences dense in the
+# function words and orthography that distinguish each language.
+_SEEDS: dict[str, str] = {
+    "en": (
+        "the quick brown fox jumps over the lazy dog and the cat sleeps in "
+        "the house with a friend for the day this is the story of what we "
+        "have and what they said when the children were playing in the "
+        "garden with their mother and the old man was reading a book about "
+        "the history of the world that he found on the shelf"
+    ),
+    "es": (
+        "el perro y el gato duermen en la casa de los vecinos con un amigo "
+        "durante el dia esta es la historia de lo que tenemos y de lo que "
+        "dijeron cuando los ninos jugaban en el jardin con su madre y el "
+        "viejo hombre leia un libro sobre la historia del mundo que "
+        "encontro en la estanteria de la biblioteca para aprender"
+    ),
+    "fr": (
+        "le chien et le chat dorment dans la maison des voisins avec un ami "
+        "pendant la journee voici l'histoire de ce que nous avons et de ce "
+        "qu'ils ont dit quand les enfants jouaient dans le jardin avec leur "
+        "mere et le vieil homme lisait un livre sur l'histoire du monde "
+        "qu'il avait trouve sur l'etagere de la bibliotheque pour apprendre"
+    ),
+    "de": (
+        "der hund und die katze schlafen im haus der nachbarn mit einem "
+        "freund den ganzen tag das ist die geschichte von dem was wir haben "
+        "und was sie sagten als die kinder im garten mit ihrer mutter "
+        "spielten und der alte mann ein buch uber die geschichte der welt "
+        "las das er im regal der bibliothek gefunden hatte um zu lernen"
+    ),
+    "it": (
+        "il cane e il gatto dormono nella casa dei vicini con un amico "
+        "durante il giorno questa e la storia di quello che abbiamo e di "
+        "quello che hanno detto quando i bambini giocavano nel giardino con "
+        "la loro madre e il vecchio uomo leggeva un libro sulla storia del "
+        "mondo che aveva trovato sullo scaffale della biblioteca"
+    ),
+    "pt": (
+        "o cachorro e o gato dormem na casa dos vizinhos com um amigo "
+        "durante o dia esta e a historia do que temos e do que disseram "
+        "quando as criancas brincavam no jardim com a sua mae e o velho "
+        "homem lia um livro sobre a historia do mundo que encontrou na "
+        "prateleira da biblioteca para aprender com as palavras"
+    ),
+}
+
+_CLEAN_RE = re.compile(r"[^a-zÀ-ɏ']+")
+
+
+def _ngrams(text: str) -> Counter:
+    """Character 1-3-gram counts over space-padded words (Cavnar-Trenkle
+    tokenization: padding marks word boundaries so grams capture affixes)."""
+    counts: Counter = Counter()
+    for tok in _CLEAN_RE.sub(" ", text.lower()).split():
+        padded = f" {tok} "
+        for n in (1, 2, 3):
+            for i in range(len(padded) - n + 1):
+                g = padded[i : i + n]
+                if g != " ":
+                    counts[g] += 1
+    return counts
+
+
+def _ranked_profile(text: str, size: int = _PROFILE_SIZE) -> dict[str, int]:
+    # most_common ties broken by gram for determinism
+    top = sorted(_ngrams(text).items(), key=lambda kv: (-kv[1], kv[0]))[:size]
+    return {g: rank for rank, (g, _) in enumerate(top)}
+
+
+_PROFILES: dict[str, dict[str, int]] = {lang: _ranked_profile(s) for lang, s in _SEEDS.items()}
+LANGUAGES = tuple(sorted(_PROFILES))
 
 
 def get_language(text: str) -> tuple[str, float]:
-    """Return (language, confidence) from whitespace-tokenized text."""
-    tokens = text.lower().split()
-    if not tokens:
+    """Return (language, confidence): smallest out-of-place distance over
+    the embedded profiles; score = 1 - distance/max_distance, ``unknown``
+    when even the best score is indistinguishable from noise."""
+    doc = _ranked_profile(text)
+    if not doc:
         return UNKNOWN, 0.0
-    hits = {lang: sum(t in markers for t in tokens) for lang, markers in LANG_MARKERS.items()}
-    total = sum(hits.values())
-    if total == 0:
+    max_d = _PROFILE_SIZE * len(doc)
+    best_lang, best_score = UNKNOWN, 0.0
+    for lang in LANGUAGES:
+        prof = _PROFILES[lang]
+        d = sum(
+            abs(rank - prof[g]) if g in prof else _PROFILE_SIZE for g, rank in doc.items()
+        )
+        score = 1.0 - d / max_d
+        if score > best_score:
+            best_lang, best_score = lang, score
+    if best_score < _MIN_SCORE:
         return UNKNOWN, 0.0
-    best = max(sorted(hits), key=lambda k: hits[k])
-    return best, hits[best] / total
+    return best_lang, round(best_score, 6)

@@ -45,12 +45,22 @@ def test_whitelist_nearest_mode_folds_case():
 
 
 def test_get_language():
-    lang, conf = get_language("the cat and the dog of a house")
-    assert lang == "en" and conf == 1.0
-    lang, conf = get_language("el perro y la casa de los gatos")
-    assert lang == "es"
+    """Cavnar-Trenkle n-gram classifier over the six embedded profiles."""
+    cases = {
+        "the cat and the dog of a house": "en",
+        "el perro y la casa de los gatos": "es",
+        "le chien dort dans la maison avec les enfants": "fr",
+        "der hund schlaft im haus und die kinder spielen": "de",
+        "il gatto dorme nella casa dei bambini": "it",
+        "o cachorro dorme na casa das criancas": "pt",
+    }
+    for text, expected in cases.items():
+        lang, conf = get_language(text)
+        assert lang == expected, (text, lang)
+        assert conf > 0.5
     assert get_language("") == ("unknown", 0.0)
     assert get_language("zzz qqq")[0] == "unknown"
+    assert get_language("12345 67890")[0] == "unknown"
 
 
 def test_build_page_language_detection():
@@ -59,7 +69,7 @@ def test_build_page_language_detection():
         boxes, np.array([0.8, 0.8]), ["the", "and"], [0.9, 0.9], (256, 512), detect_language=True
     )
     assert page["language"]["value"] == "en"
-    assert page["language"]["confidence"] == 1.0
+    assert page["language"]["confidence"] > 0.5
 
 
 def test_translate_nfd_fold():
