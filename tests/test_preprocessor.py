@@ -120,3 +120,21 @@ def test_extraction_with_letterbox_pad_only_is_bit_exact(spark):
     ).collect()
     assert len(j) >= 8
     assert all(r.ok for r in j)
+
+
+def test_extraction_with_downscale_letterbox_stays_exact(spark):
+    """A genuine 0.75x downscale letterbox exercises the full path — real
+    bilinear resize, padded detection, exact inverse scaling — and the
+    pipeline still extracts every page exactly: crops come from original
+    pixels, and the recognizer's ink re-trim absorbs the sub-pixel box
+    error the resized detection introduces."""
+    from doctr_spark.fixtures.transcripts import generate_transcripts
+    from doctr_spark.operators.pipeline import extract_documents
+
+    tdf, gdf = generate_transcripts(spark, 12, with_gt=True)
+    docs = extract_documents(tdf, crop_partitions=8, det_input_size=(480, 384))
+    j = docs.join(gdf, ["conv_id", "turn_idx"]).select(
+        (F.col("extracted_text") == F.col("gt_text")).alias("ok")
+    ).collect()
+    assert len(j) >= 12
+    assert all(r.ok for r in j)
