@@ -274,6 +274,42 @@ def export_roundtrip_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SYNTH_RT_ORACLE = """
+SELECT source AS conv_id,
+       (ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) - 1)::INT AS turn_idx,
+       trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                           ' +', ' ', 'g')) AS flat_text,
+       TRUE AS roundtrip_ok
+FROM documents
+"""
+
+
+def export_synthesize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full visual round trip (reference ``synthesize_page``,
+    `doctr/utils/reconstitution.py:128-279`): extract the flagship corpus,
+    re-render every exported page back to an image at its exported word
+    geometry, run the ENTIRE pipeline again on the synthesized pages, and
+    assert the re-extraction equals the original per turn — synthesis is a
+    true inverse of extraction, corpus-wide."""
+    from doctr_spark.operators.kie import synthesize_transcripts
+
+    t = transcripts_from_documents(spark, sf_dir)
+    docs = extract_documents(t).persist()
+    docs.count()  # eager: both the synthesize branch and the join read it
+    re_docs = extract_documents(synthesize_transcripts(docs)).select(
+        "conv_id", "turn_idx", F.col("extracted_text").alias("re_text")
+    )
+    j = docs.select("conv_id", "turn_idx", "extracted_text").join(
+        re_docs, ["conv_id", "turn_idx"], "left"
+    )
+    return j.select(
+        "conv_id",
+        "turn_idx",
+        F.regexp_replace("re_text", "\n+", " ").alias("flat_text"),
+        (F.col("re_text") == F.col("extracted_text")).alias("roundtrip_ok"),
+    )
+
+
 def _metric_box_iou(spark: SparkSession, sf_dir: str) -> DataFrame:
     from doctr_spark.operators.metrics import box_iou_events
 
@@ -727,6 +763,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "export_asciidoc": export_asciidoc_documents,
         "export_html": export_html_documents,
         "export_roundtrip": export_roundtrip_documents,
+        "export_synthesize_roundtrip": export_synthesize_roundtrip,
         "dataset_loaders": dataset_loaders,
         # dedup suite
         "dedup_exact": dedup.exact_dedup,
@@ -780,6 +817,7 @@ def oracle_sql() -> dict[str, str]:
         "export_asciidoc": _ADOC_ORACLE,
         "export_html": _HTML_ORACLE,
         "export_roundtrip": _ROUNDTRIP_ORACLE,
+        "export_synthesize_roundtrip": _SYNTH_RT_ORACLE,
         "ocr_extract_synthetic": _SYNTH_ORACLE,
         "ocr_extract_skewed": _SKEW_ORACLE,
         "ocr_extract_accents": _ACCENT_ORACLE,

@@ -80,6 +80,43 @@ _MID_FRAC = 0.49
 _WEAK_INK = 64  # absolute variant for full-ink (INK=204) contexts
 
 
+def synthesize_page(page: dict, vocab: str = DEFAULT_VOCAB) -> np.ndarray:
+    """Render a page EXPORT dict back to a canvas — the inverse operator
+    (reference ``synthesize_page``, `doctr/utils/reconstitution.py:128-279`,
+    draws every word's value at its geometry on a blank page; here in the
+    deterministic glyph font, which makes synthesis a true inverse of
+    extraction: re-extracting the synthesized page reproduces the words at
+    their geometry). Table cell values are re-drawn at their cell anchors;
+    non-text artefacts (photos, barcodes) are not part of the export and
+    are not reconstituted, exactly like the reference."""
+    h, w = (int(v) for v in page["dimensions"])
+    canvas = np.zeros((h, w), dtype=np.uint8)
+
+    def _place(value: str, x0: int, y0: int) -> None:
+        x0 = max(0, min(x0, w - word_width(value)))
+        y0 = max(0, min(y0, h - GLYPH_H))
+        draw_word(canvas, x0, y0, value, vocab)
+
+    for block in page.get("blocks", []):
+        for line in block["lines"]:
+            for word in line["words"]:
+                g = word["geometry"]
+                _place(word["value"], int(round(g[0] * w)), int(round(g[1] * h)))
+    from ..config import WORD_GAP
+
+    for table in page.get("tables", []):
+        for cell in table.get("cells", []):
+            g = cell.get("geometry")
+            if g is None or not cell.get("value"):
+                continue
+            x = int(round(g[0] * w))
+            y = int(round(g[1] * h))
+            for tok in str(cell["value"]).split():
+                _place(tok, x, y)
+                x += word_width(tok) + WORD_GAP
+    return canvas
+
+
 def read_codes(crop: np.ndarray) -> np.ndarray:
     """Decode the character codes visible in a (GLYPH_H, w) crop.
 

@@ -167,6 +167,41 @@ def documents_from_json(docs: DataFrame) -> DataFrame:
     )
 
 
+def synthesize_transcripts(docs: DataFrame) -> DataFrame:
+    """Render each turn's exported pages back into payload-bearing
+    transcript rows — the inverse sink (reference ``synthesize_page``,
+    `doctr/utils/reconstitution.py:128-279`): every page dict is re-imported
+    through the validating element rebuilder and re-drawn at its exported
+    geometry, so feeding the result back through ``extract_documents``
+    must reproduce the original extraction. Shuffle-free Arrow-batched map,
+    like :func:`documents_from_json`."""
+    import pandas as pd
+
+    from ..fixtures.payloads import make_img_payload
+    from ..kernels.elements import page_from_dict
+    from ..kernels.glyphs import synthesize_page
+
+    def fn(batches):
+        for pdf in batches:
+            out = pdf[["conv_id", "turn_idx"]].copy()
+            texts = []
+            for pages in pdf["pages_json"]:
+                payloads = [
+                    make_img_payload(synthesize_page(page_from_dict(json.loads(pj))))
+                    for pj in pages  # assemble already ordered by page_idx
+                ]
+                texts.append("synthesized " + " ".join(payloads))
+            out["role"] = "user"
+            out["text"] = texts
+            out["tool"] = None
+            out["ts"] = pd.NaT
+            yield out
+
+    return docs.select("conv_id", "turn_idx", "pages_json").mapInPandas(
+        fn, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+
+
 def kie_class_values(kie_pages: DataFrame) -> DataFrame:
     """Per-turn sorted token VALUES by KIE class — the content-level check
     behind :func:`kie_class_counts` (same class partition, but exposing the

@@ -120,3 +120,31 @@ def test_kie_page_roundtrip_renders_identically():
         kie_page_from_dict(bad)
     with pytest.raises(KeyError, match="KIEPage.from_dict"):
         kie_page_from_dict({"page_idx": 0})
+
+
+def test_synthesize_page_is_inverse_of_extraction():
+    """synthesize_page (reference reconstitution.py:128-279) re-draws an
+    exported page at its word geometry; detecting + recognizing the
+    synthesized canvas reproduces the original words exactly."""
+    from doctr_spark.kernels.builder import build_page
+    from doctr_spark.kernels.detection import detect_words, extract_crops
+    from doctr_spark.kernels.glyphs import draw_word, synthesize_page
+    from doctr_spark.kernels.recognition import recognize_crops_batched
+
+    canvas = np.zeros((120, 300), dtype=np.uint8)
+    words = ["hello", "spark", "graft", "ocr"]
+    positions = [(10, 10), (120, 10), (10, 60), (150, 60)]
+    for (x, y), wd in zip(positions, words):
+        draw_word(canvas, x, y, wd)
+    abs_boxes, rel_boxes, scores = detect_words(canvas)
+    vals = recognize_crops_batched(extract_crops(canvas, abs_boxes))
+    page = build_page(
+        rel_boxes, scores, [v for v, _ in vals], [c for _, c in vals], canvas.shape
+    )
+    page.pop("text")
+    resynth = synthesize_page(page)
+    assert np.array_equal(resynth, canvas)  # bit-exact re-render
+    # and a second extraction round on the synthesized canvas agrees
+    abs2, _, _ = detect_words(resynth)
+    vals2 = recognize_crops_batched(extract_crops(resynth, abs2))
+    assert sorted(v for v, _ in vals2) == sorted(words)
