@@ -46,6 +46,8 @@ def _make_detector(
     det_arch: str = "db_like",
     carry_layout: bool = False,
     det_input_size: tuple[int, int] | None = None,
+    det_preserve_aspect_ratio: bool = True,
+    det_symmetric_pad: bool = True,
 ):
     import json
 
@@ -73,7 +75,9 @@ def _make_detector(
         the ORIGINAL page pixels."""
         if det_input_size is None:
             return detect_words(img, bin_thresh=bin_thresh, box_thresh=box_thresh)
-        lb, lb_meta = letterbox(img, det_input_size)
+        lb, lb_meta = letterbox(
+            img, det_input_size, det_preserve_aspect_ratio, det_symmetric_pad
+        )
         _, rel_lb, scores = detect_words(lb, bin_thresh=bin_thresh, box_thresh=box_thresh)
         rel = unletterbox_boxes(rel_lb, lb_meta, det_input_size)
         h, w = img.shape[:2]
@@ -176,6 +180,8 @@ def detect_and_crop(
     det_arch: str = "db_like",
     carry_layout: bool = False,
     det_input_size: tuple[int, int] | None = None,
+    det_preserve_aspect_ratio: bool = True,
+    det_symmetric_pad: bool = True,
 ) -> DataFrame:
     """Detection + crop explode; ``mask_region_labels`` blanks matching
     layout regions before detection (the ignore_regions option);
@@ -193,6 +199,9 @@ def detect_and_crop(
     `kernels.preprocessor`) before detection, with the detected geometry
     mapped exactly back to page coordinates."""
     return pages.mapInPandas(
-        _make_detector(mask_region_labels, straighten_pages, det_arch, carry_layout, det_input_size),
+        _make_detector(
+            mask_region_labels, straighten_pages, det_arch, carry_layout,
+            det_input_size, det_preserve_aspect_ratio, det_symmetric_pad,
+        ),
         schema=CROPS_SCHEMA,
     )

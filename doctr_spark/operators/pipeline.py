@@ -48,6 +48,8 @@ def extract_documents(
     text_direction: str | None = None,
     include_furniture: bool = True,
     det_input_size: tuple[int, int] | None = None,
+    det_preserve_aspect_ratio: bool = True,
+    det_symmetric_pad: bool = True,
 ) -> DataFrame:
     """Run the detection->recognition->reconstruction pipeline.
 
@@ -78,6 +80,8 @@ def extract_documents(
         # optional PreProcessor letterbox (fixed model input size with
         # aspect-preserving resize + symmetric pad) before detection
         det_input_size=det_input_size,
+        det_preserve_aspect_ratio=det_preserve_aspect_ratio,
+        det_symmetric_pad=det_symmetric_pad,
     )
     for hook in loc_hooks or ():
         crops = hook(crops)

@@ -42,6 +42,13 @@ class OCRPredictor:
     mask_region_labels: tuple[str, ...] | None = None
     crop_partitions: int | None = None
     include_all_turns: bool = False
+    include_furniture: bool = True
+    reco_vocab: str = "french"
+    # PreProcessor parity (reference zoo.py preserve_aspect_ratio /
+    # symmetric_pad kwargs + the det arch's fixed input shape)
+    det_input_size: tuple[int, int] | None = None
+    preserve_aspect_ratio: bool = True
+    symmetric_pad: bool = True
     hooks: list[Callable[[DataFrame], DataFrame]] = field(default_factory=list)
 
     def __post_init__(self) -> None:
@@ -71,8 +78,13 @@ class OCRPredictor:
             straighten_pages=self.straighten_pages,
             loc_hooks=self.hooks,
             reco_arch=self.reco_arch,
+            reco_vocab=self.reco_vocab,
             det_arch=self.det_arch,
             text_direction=self.text_direction,
+            include_furniture=self.include_furniture,
+            det_input_size=self.det_input_size,
+            det_preserve_aspect_ratio=self.preserve_aspect_ratio,
+            det_symmetric_pad=self.symmetric_pad,
         )
 
 
