@@ -22,6 +22,19 @@ from doctr_spark.operators.decode import decode_pages
 from doctr_spark.operators.multimodal import media_metadata
 from doctr_spark.operators.pipeline import extract_documents
 
+# Expectation staging for queries whose input is the in-session synthetic
+# fixture rather than a driver parquet: the generator's ground truth (a pure
+# function of the layout engine, computed BEFORE payload packing) is written
+# to a scratch parquet at query-build time so the DuckDB oracle can read it.
+ORACLE_SCRATCH = "/root/repo/.oracle"
+
+
+def _stage_expectation(df: DataFrame, name: str) -> str:
+    path = f"{ORACLE_SCRATCH}/{name}"
+    df.write.mode("overwrite").parquet(path)
+    return path
+
+
 # ---------------------------------------------------------------------------
 # OCR pipeline queries
 # ---------------------------------------------------------------------------
@@ -310,6 +323,87 @@ def export_synthesize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TABLE_CELL_ORACLE = f"""
+SELECT page_key, n_gt::BIGINT AS n_gt, n_pred::BIGINT AS n_pred,
+       n_matched::BIGINT AS n_matched, recall::DOUBLE AS recall,
+       precision::DOUBLE AS precision, f1::DOUBLE AS f1,
+       structure_acc::DOUBLE AS structure_acc
+FROM read_parquet('{ORACLE_SCRATCH}/tcell_gt/*.parquet')
+"""
+
+
+def metric_table_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``TableCellMetric`` end to end (reference `doctr/utils/metrics.py:
+    315-397`): ruled-grid pages flow through decode + the detect stage's
+    table-structure sideband; predicted cells Hungarian-match the
+    generator's exact interior-box ground truth. Odd pages plant one
+    phantom GT cell with no rulings, so the staged expectation is ANALYTIC
+    — recall = cells/(cells+phantom), precision = structure accuracy = 1."""
+    from doctr_spark.fixtures.tables import generate_table_metric_transcripts
+    from doctr_spark.operators.detect import detect_and_crop
+    from doctr_spark.operators.metrics import table_cells_per_page
+
+    tdf, gdf = generate_table_metric_transcripts(spark, 30, with_gt=True)
+    n_gt = (F.col("n_cells") + F.col("n_phantom")).cast("long")
+    exp = gdf.select(
+        F.concat_ws("|", "conv_id", F.col("turn_idx").cast("string")).alias("page_key"),
+        n_gt.alias("n_gt"),
+        F.col("n_cells").cast("long").alias("n_pred"),
+        F.col("n_cells").cast("long").alias("n_matched"),
+        F.round(F.col("n_cells") / n_gt, 6).alias("recall"),
+        F.lit(1.0).alias("precision"),
+        F.round(2 * F.col("n_cells") / (n_gt + F.col("n_cells")), 6).alias("f1"),
+        F.lit(1.0).alias("structure_acc"),
+    )
+    _stage_expectation(exp, "tcell_gt")
+
+    tables_schema = (
+        "array<struct<cells: array<struct<geometry: array<double>, row_start: int, "
+        "row_end: int, col_start: int, col_end: int>>, num_rows: int, num_cols: int>>"
+    )
+    crops = detect_and_crop(decode_pages(tdf))
+    preds = (
+        crops.where(F.col("word_idx") == -2)
+        .select("conv_id", "turn_idx", F.from_json("aux", tables_schema).alias("t"))
+        .select(
+            "conv_id",
+            "turn_idx",
+            F.flatten(
+                F.transform("t", lambda tb: F.transform(tb["cells"], lambda c: c["geometry"]))
+            ).alias("pred_cells"),
+            F.flatten(
+                F.transform(
+                    "t",
+                    lambda tb: F.transform(
+                        tb["cells"],
+                        lambda c: F.array(
+                            c["col_start"], c["col_end"], c["row_start"], c["row_end"]
+                        ),
+                    ),
+                )
+            ).alias("pred_logic"),
+        )
+    )
+    pairs = gdf.join(preds, ["conv_id", "turn_idx"], "left").select(
+        F.concat_ws("|", "conv_id", F.col("turn_idx").cast("string")).alias("page_key"),
+        "gt_cells",
+        "gt_logic",
+        F.coalesce("pred_cells", F.array().cast("array<array<double>>")).alias("pred_cells"),
+        F.coalesce("pred_logic", F.array().cast("array<array<int>>")).alias("pred_logic"),
+    )
+    per = table_cells_per_page(pairs)
+    return per.select(
+        "page_key",
+        "n_gt",
+        "n_pred",
+        "n_matched",
+        F.round(F.col("n_matched") / F.col("n_gt"), 6).alias("recall"),
+        F.round(F.col("n_matched") / F.col("n_pred"), 6).alias("precision"),
+        F.round(2 * F.col("n_matched") / (F.col("n_gt") + F.col("n_pred")), 6).alias("f1"),
+        F.round(F.col("n_struct") / F.col("n_matched"), 6).alias("structure_acc"),
+    )
+
+
 def _metric_box_iou(spark: SparkSession, sf_dir: str) -> DataFrame:
     from doctr_spark.operators.metrics import box_iou_events
 
@@ -325,19 +419,6 @@ def _metric_polygon_iou(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _sf_from_dir(sf_dir: str) -> float:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     return float(m.group(1)) if m else 0.01
-
-
-# Expectation staging for queries whose input is the in-session synthetic
-# fixture rather than a driver parquet: the generator's ground truth (a pure
-# function of the layout engine, computed BEFORE payload packing) is written
-# to a scratch parquet at query-build time so the DuckDB oracle can read it.
-ORACLE_SCRATCH = "/root/repo/.oracle"
-
-
-def _stage_expectation(df: DataFrame, name: str) -> str:
-    path = f"{ORACLE_SCRATCH}/{name}"
-    df.write.mode("overwrite").parquet(path)
-    return path
 
 
 _SYNTH_ORACLE = f"""
@@ -796,6 +877,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metric_box_iou": _metric_box_iou,
         "metric_polygon_iou": _metric_polygon_iou,
         "metric_localization": metric_localization,
+        "metric_table_cells": metric_table_cells,
         # relational / window
         "rel_pricing_summary": relational.pricing_summary,
         "rel_top_customers": relational.top_customers,
@@ -835,6 +917,7 @@ def oracle_sql() -> dict[str, str]:
     oracles["metric_box_iou"] = BOX_IOU_ORACLE
     oracles["metric_polygon_iou"] = POLY_IOU_ORACLE
     oracles["metric_localization"] = _LOC_ORACLE
+    oracles["metric_table_cells"] = _TABLE_CELL_ORACLE
     oracles.update(dedup.ORACLES)
     oracles.update(similarity.ORACLES)
     oracles.update(text_analysis.ORACLES)

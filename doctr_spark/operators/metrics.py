@@ -143,6 +143,46 @@ def localization_confusion(
     )
 
 
+TABLE_CELL_SCHEMA = "page_key string, n_gt long, n_pred long, n_matched long, n_struct long"
+
+
+def table_cells_per_page(
+    pairs: DataFrame, page_key: str = "page_key", iou_thresh: float = 0.5
+) -> DataFrame:
+    """Reference ``TableCellMetric`` per page (`doctr/utils/metrics.py:
+    315-397`): Hungarian IoU assignment between ground-truth and predicted
+    table cells; a pair counts as matched at IoU >= ``iou_thresh``, and as
+    a STRUCTURE match when its logical coordinates
+    [col_start, col_end, row_start, row_end] are exactly equal. ``pairs``
+    holds one row per page with parallel array columns ``gt_cells`` /
+    ``gt_logic`` and ``pred_cells`` / ``pred_logic`` (4-value boxes and
+    4-value logic tuples). Same bounded-group applyInPandas shape as
+    :func:`localization_per_page` — cells per page are dozens, so this
+    cannot skew at corpus scale."""
+    from ..kernels.assignment import linear_sum_assignment
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for key, gc, gl, pc, pl in zip(
+            pdf[page_key], pdf["gt_cells"], pdf["gt_logic"], pdf["pred_cells"], pdf["pred_logic"]
+        ):
+            g = np.array([list(b) for b in gc], dtype=float) if len(gc) else np.zeros((0, 4))
+            p = np.array([list(b) for b in pc], dtype=float) if len(pc) else np.zeros((0, 4))
+            matched = struct = 0
+            if len(g) and len(p):
+                iou = box_iou(g, p)
+                gi, pi = linear_sum_assignment(-iou)
+                for a, b in zip(gi, pi):
+                    if iou[a, b] >= iou_thresh:
+                        matched += 1
+                        if list(gl[a]) == list(pl[b]):
+                            struct += 1
+            out.append((key, len(g), len(p), matched, struct))
+        return pd.DataFrame(out, columns=["page_key", "n_gt", "n_pred", "n_matched", "n_struct"])
+
+    return pairs.groupBy(page_key).applyInPandas(fn, TABLE_CELL_SCHEMA)
+
+
 POLY_IOU_SCHEMA = "event_id long, iou double"
 
 
