@@ -723,6 +723,92 @@ def ocr_artefacts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return artefact_rows(decode_pages(tdf))
 
 
+_DET_METRIC_ORACLE = f"""
+SELECT page_key, n_gt::BIGINT AS n_gt, n_pred::BIGINT AS n_pred,
+       n_matched::BIGINT AS n_matched, recall::DOUBLE AS recall,
+       precision::DOUBLE AS precision, mean_iou::DOUBLE AS mean_iou
+FROM read_parquet('{ORACLE_SCRATCH}/detmetric_gt/*.parquet')
+"""
+
+
+def metric_artefact_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``DetectionMetric`` end to end (reference `doctr/utils/metrics.py:
+    527-637`): class-aware Hungarian matching between the artefact side
+    predictor's detections and the generator's ground truth. Odd pages
+    deliberately swap ONE metric-GT label to a divergent class, so the
+    staged expectation is analytic — recall = precision = (n-1)/n there,
+    and mean IoU stays 1 (the detector's boxes are the drawn ink boxes)."""
+    from doctr_spark.fixtures.artefacts import generate_artefact_transcripts
+    from doctr_spark.operators.metrics import detection_metric_per_page
+    from doctr_spark.operators.multimodal import artefact_rows
+
+    tdf, gdf = generate_artefact_transcripts(spark, 40, with_gt=True)
+    odd = F.col("conv_id").substr(-1, 1).cast("int") % 2 == 1
+
+    def _group(df, box_cols, lbl):
+        return df.groupBy("conv_id", "turn_idx", "page_idx").agg(
+            F.collect_list(F.array(*[F.col(c).cast("double") for c in box_cols])).alias("boxes"),
+            F.collect_list(lbl).alias("labels"),
+        )
+
+    # metric GT: swap the first artefact's label on odd conversations (a
+    # deterministic annotation divergence the class check must catch)
+    from pyspark.sql.window import Window
+
+    gt_rows = gdf.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("conv_id", "turn_idx", "page_idx").orderBy("xmin", "ymin")
+        ),
+    ).withColumn(
+        "metric_label",
+        F.when(odd & (F.col("rn") == 1), F.concat(F.lit("not_"), F.col("label"))).otherwise(
+            F.col("label")
+        ),
+    )
+    gt = _group(gt_rows, ["xmin", "ymin", "xmax", "ymax"], F.col("metric_label")).select(
+        "conv_id", "turn_idx", "page_idx",
+        F.col("boxes").alias("gt_boxes"), F.col("labels").alias("gt_labels"),
+    )
+
+    n = F.size("gt_labels")
+    swapped = F.when(odd, F.least(F.lit(1), n)).otherwise(F.lit(0))
+    exp = gt.select(
+        F.concat_ws("|", "conv_id", "turn_idx", "page_idx").alias("page_key"),
+        n.cast("long").alias("n_gt"),
+        n.cast("long").alias("n_pred"),
+        (n - swapped).cast("long").alias("n_matched"),
+        F.round((n - swapped) / n, 6).alias("recall"),
+        F.round((n - swapped) / n, 6).alias("precision"),
+        F.lit(1.0).alias("mean_iou"),
+    )
+    _stage_expectation(exp, "detmetric_gt")
+
+    preds = _group(
+        artefact_rows(decode_pages(tdf)), ["xmin", "ymin", "xmax", "ymax"], F.col("label")
+    ).select(
+        "conv_id", "turn_idx", "page_idx",
+        F.col("boxes").alias("pred_boxes"), F.col("labels").alias("pred_labels"),
+    )
+    pairs = gt.join(preds, ["conv_id", "turn_idx", "page_idx"], "left").select(
+        F.concat_ws("|", "conv_id", "turn_idx", "page_idx").alias("page_key"),
+        "gt_boxes",
+        "gt_labels",
+        F.coalesce("pred_boxes", F.array().cast("array<array<double>>")).alias("pred_boxes"),
+        F.coalesce("pred_labels", F.array().cast("array<string>")).alias("pred_labels"),
+    )
+    per = detection_metric_per_page(pairs)
+    return per.select(
+        "page_key",
+        "n_gt",
+        "n_pred",
+        "n_matched",
+        F.round(F.col("n_matched") / F.col("n_gt"), 6).alias("recall"),
+        F.round(F.col("n_matched") / F.col("n_pred"), 6).alias("precision"),
+        F.round(F.col("sum_best_iou") / F.col("n_pred"), 6).alias("mean_iou"),
+    )
+
+
 _REGION_ORACLE = f"""
 SELECT conv_id, turn_idx::INT AS turn_idx, page_idx::INT AS page_idx, label,
        xmin::INT AS xmin, ymin::INT AS ymin, xmax::INT AS xmax, ymax::INT AS ymax
@@ -878,6 +964,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metric_polygon_iou": _metric_polygon_iou,
         "metric_localization": metric_localization,
         "metric_table_cells": metric_table_cells,
+        "metric_artefact_detection": metric_artefact_detection,
         # relational / window
         "rel_pricing_summary": relational.pricing_summary,
         "rel_top_customers": relational.top_customers,
@@ -918,6 +1005,7 @@ def oracle_sql() -> dict[str, str]:
     oracles["metric_polygon_iou"] = POLY_IOU_ORACLE
     oracles["metric_localization"] = _LOC_ORACLE
     oracles["metric_table_cells"] = _TABLE_CELL_ORACLE
+    oracles["metric_artefact_detection"] = _DET_METRIC_ORACLE
     oracles.update(dedup.ORACLES)
     oracles.update(similarity.ORACLES)
     oracles.update(text_analysis.ORACLES)

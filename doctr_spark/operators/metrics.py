@@ -183,6 +183,46 @@ def table_cells_per_page(
     return pairs.groupBy(page_key).applyInPandas(fn, TABLE_CELL_SCHEMA)
 
 
+DET_METRIC_SCHEMA = (
+    "page_key string, n_gt long, n_pred long, n_matched long, sum_best_iou double"
+)
+
+
+def detection_metric_per_page(
+    pairs: DataFrame, page_key: str = "page_key", iou_thresh: float = 0.5
+) -> DataFrame:
+    """Reference ``DetectionMetric`` per page (`doctr/utils/metrics.py:
+    527-637`): Hungarian IoU assignment between ground-truth and predicted
+    boxes where a match additionally requires CLASS equality, plus the
+    per-prediction best-IoU sum (the reference's ``tot_iou`` is
+    ``iou_mat.max(axis=0).sum()``, not the assignment IoU). ``pairs`` holds
+    one row per page with parallel arrays ``gt_boxes``/``gt_labels`` and
+    ``pred_boxes``/``pred_labels``."""
+    from ..kernels.assignment import linear_sum_assignment
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for key, gb, gl, pb, pl in zip(
+            pdf[page_key], pdf["gt_boxes"], pdf["gt_labels"], pdf["pred_boxes"], pdf["pred_labels"]
+        ):
+            g = np.array([list(b) for b in gb], dtype=float) if len(gb) else np.zeros((0, 4))
+            p = np.array([list(b) for b in pb], dtype=float) if len(pb) else np.zeros((0, 4))
+            matched, best_sum = 0, 0.0
+            if len(g) and len(p):
+                iou = box_iou(g, p)
+                best_sum = float(iou.max(axis=0).sum())
+                gi, pi = linear_sum_assignment(-iou)
+                for a, b in zip(gi, pi):
+                    if iou[a, b] >= iou_thresh and gl[a] == pl[b]:
+                        matched += 1
+            out.append((key, len(g), len(p), matched, best_sum))
+        return pd.DataFrame(
+            out, columns=["page_key", "n_gt", "n_pred", "n_matched", "sum_best_iou"]
+        )
+
+    return pairs.groupBy(page_key).applyInPandas(fn, DET_METRIC_SCHEMA)
+
+
 POLY_IOU_SCHEMA = "event_id long, iou double"
 
 
