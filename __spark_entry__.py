@@ -809,6 +809,120 @@ def metric_artefact_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Independent SQL implementation of the COCO 101-point AP: the fixture is
+# DESIGNED so every pairwise IoU is exactly 0 or 1 (grid-disjoint boxes;
+# true detections coincide with their GT box, false positives sit in a
+# reserved band), which lets DuckDB skip geometry and compute the same
+# greedy-match outcome, PR curve, interpolation and level fold as the
+# engine's generic IoU-based operator. Scores are globally unique, so the
+# score-descending sort is deterministic on both sides.
+_MAP_ORACLE = """
+WITH base AS (
+  SELECT event_id, event_id % 20 AS img, event_id % 3 AS cls,
+         (event_id % 5 = 0) AS fp, 1.0 - event_id/10000000.0 AS score
+  FROM events WHERE event_id < 2000
+),
+grp AS (SELECT DISTINCT img, cls FROM base WHERE NOT fp),
+totals AS (
+  SELECT cls, count(*)::DOUBLE AS total_gt FROM (
+    SELECT img, cls FROM base WHERE NOT fp
+    UNION ALL SELECT img, cls FROM grp
+  ) GROUP BY cls
+),
+ordered AS (
+  SELECT cls, score, CASE WHEN fp THEN 0 ELSE 1 END AS tp,
+         sum(CASE WHEN fp THEN 0 ELSE 1 END) OVER w AS tp_cum,
+         row_number() OVER w AS k
+  FROM base
+  WINDOW w AS (PARTITION BY cls ORDER BY score DESC ROWS UNBOUNDED PRECEDING)
+),
+pr AS (
+  SELECT o.cls, o.score, o.tp_cum / t.total_gt AS recall,
+         o.tp_cum::DOUBLE / o.k AS precision
+  FROM ordered o JOIN totals t USING (cls)
+),
+interp AS (
+  SELECT cls, recall,
+         max(precision) OVER (PARTITION BY cls ORDER BY score DESC
+                              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS p_interp,
+         coalesce(lag(recall) OVER (PARTITION BY cls ORDER BY score DESC), -0.01) AS prev_recall
+  FROM pr
+),
+ap AS (
+  SELECT cls,
+         sum(p_interp * greatest(0, floor(recall*100 + 1e-9)
+                                    - floor(prev_recall*100 + 1e-9))) / 101.0 AS ap
+  FROM interp GROUP BY cls
+),
+m AS (SELECT avg(ap) AS mean_ap FROM ap)
+SELECT round(t.thresh, 2) AS iou_thresh, round(m.mean_ap, 6) AS mean_ap
+FROM (SELECT unnest([0.50,0.55,0.60,0.65,0.70,0.75,0.80,0.85,0.90,0.95]) AS thresh) t, m
+"""
+
+
+def metric_object_detection_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ObjectDetectionMetric`` (COCO mAP@[.5:.95], reference
+    `doctr/utils/metrics.py:638-884`) end to end over deterministic boxes
+    derived from the events table: true detections coincide with their
+    grid GT box, every fifth event is a false positive in a reserved
+    band, and each (image, class) group carries one undetected GT. The
+    engine runs the generic geometry path (per-image greedy IoU matching
+    + window-function PR/AP, `operators.metrics.object_detection_map`);
+    the oracle recomputes the identical curve in pure SQL using the
+    designed 0/1 IoU structure."""
+    from pyspark.sql.window import Window
+
+    from doctr_spark.operators.metrics import object_detection_map
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").where(F.col("event_id") < 2000)
+    base = ev.select(
+        "event_id",
+        (F.col("event_id") % 20).alias("img"),
+        (F.col("event_id") % 3).alias("cls"),
+        (F.col("event_id") % 5 == 0).alias("fp"),
+        (1.0 - F.col("event_id") / 1e7).alias("score"),
+    )
+    w = Window.partitionBy("img", "cls").orderBy("event_id")
+    tp_rows = base.where(~F.col("fp")).withColumn("j", F.row_number().over(w) - 1)
+    tp_box = F.array(
+        (F.col("j") % 10) * 0.09,
+        F.col("cls") * 0.25 + F.floor(F.col("j") / 10) * 0.02,
+        (F.col("j") % 10) * 0.09 + 0.05,
+        F.col("cls") * 0.25 + F.floor(F.col("j") / 10) * 0.02 + 0.015,
+    )
+    fp_box = F.array(
+        (F.col("event_id") % 90) / 100.0,
+        F.lit(0.9),
+        (F.col("event_id") % 90) / 100.0 + 0.05,
+        F.lit(0.915),
+    )
+    preds = tp_rows.select("img", "cls", "score", tp_box.alias("box")).unionByName(
+        base.where(F.col("fp")).select("img", "cls", "score", fp_box.alias("box"))
+    )
+    missed_box = F.array(
+        F.lit(0.0), F.col("cls") * 0.25 + 0.12, F.lit(0.05), F.col("cls") * 0.25 + 0.135
+    )
+    gts = tp_rows.select("img", "cls", tp_box.alias("box")).unionByName(
+        tp_rows.select("img", "cls").distinct().select("img", "cls", missed_box.alias("box"))
+    )
+    g = gts.groupBy("img").agg(
+        F.collect_list("box").alias("gt_boxes"), F.collect_list("cls").alias("gt_labels")
+    )
+    p = preds.groupBy("img").agg(
+        F.collect_list("box").alias("pred_boxes"),
+        F.collect_list("cls").alias("pred_labels"),
+        F.collect_list("score").alias("pred_scores"),
+    )
+    pairs = g.join(p, "img", "full").select(
+        F.coalesce("gt_boxes", F.array().cast("array<array<double>>")).alias("gt_boxes"),
+        F.coalesce("gt_labels", F.array().cast("array<bigint>")).alias("gt_labels"),
+        F.coalesce("pred_boxes", F.array().cast("array<array<double>>")).alias("pred_boxes"),
+        F.coalesce("pred_labels", F.array().cast("array<bigint>")).alias("pred_labels"),
+        F.coalesce("pred_scores", F.array().cast("array<double>")).alias("pred_scores"),
+    )
+    return object_detection_map(pairs)
+
+
 _REGION_ORACLE = f"""
 SELECT conv_id, turn_idx::INT AS turn_idx, page_idx::INT AS page_idx, label,
        xmin::INT AS xmin, ymin::INT AS ymin, xmax::INT AS xmax, ymax::INT AS ymax
@@ -965,6 +1079,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metric_localization": metric_localization,
         "metric_table_cells": metric_table_cells,
         "metric_artefact_detection": metric_artefact_detection,
+        "metric_object_detection_map": metric_object_detection_map,
         # relational / window
         "rel_pricing_summary": relational.pricing_summary,
         "rel_top_customers": relational.top_customers,
@@ -1006,6 +1121,7 @@ def oracle_sql() -> dict[str, str]:
     oracles["metric_localization"] = _LOC_ORACLE
     oracles["metric_table_cells"] = _TABLE_CELL_ORACLE
     oracles["metric_artefact_detection"] = _DET_METRIC_ORACLE
+    oracles["metric_object_detection_map"] = _MAP_ORACLE
     oracles.update(dedup.ORACLES)
     oracles.update(similarity.ORACLES)
     oracles.update(text_analysis.ORACLES)

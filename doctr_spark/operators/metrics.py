@@ -223,6 +223,123 @@ def detection_metric_per_page(
     return pairs.groupBy(page_key).applyInPandas(fn, DET_METRIC_SCHEMA)
 
 
+_MAP_DET_SCHEMA = "cls long, thresh double, score double, tp int"
+
+
+def object_detection_map(
+    pairs: DataFrame, iou_thresholds: list[float] | None = None
+) -> DataFrame:
+    """Reference ``ObjectDetectionMetric`` (COCO-style mAP@[.5:.95],
+    `doctr/utils/metrics.py:638-884`) re-expressed Spark-first.
+
+    The reference sorts ALL detections of a class globally by confidence
+    and greedily matches each against its image's unmatched ground truth.
+    The matching state is PER IMAGE, so the greedy pass distributes: stage
+    1 runs per image inside an Arrow batch (each image's detections sorted
+    by descending score, argmax-IoU against that image's GT with matched
+    flags, per threshold — bit-compatible with the reference's global
+    iteration order because images share no state), emitting one
+    ``(class, threshold, score, tp)`` row per detection. Stage 2 is the
+    global part — exactly what Spark distributes well: a window cumsum
+    over the score-descending sort per (class, threshold) builds the PR
+    curve, a reverse running max interpolates precision, and the COCO
+    101-point AP folds via each point's covered recall levels
+    (``floor(r*100) - floor(prev_r*100)``). Classes present in the ground
+    truth but never detected contribute AP = 0, like the reference.
+
+    ``pairs`` holds one row per image: ``gt_boxes``/``gt_labels`` and
+    ``pred_boxes``/``pred_labels``/``pred_scores``. Returns one row per
+    IoU threshold with the class-mean AP; mAP@[.5:.95] is their mean.
+    """
+    import numpy as np
+    from pyspark.sql.window import Window
+
+    thresholds = (
+        [round(float(t), 2) for t in np.arange(0.5, 1.0, 0.05)]
+        if iou_thresholds is None
+        else [float(t) for t in iou_thresholds]
+    )
+
+    def fn(batches):
+        for pdf in batches:
+            rows = []
+            for gb, gl, pb, pl, ps in zip(
+                pdf["gt_boxes"], pdf["gt_labels"], pdf["pred_boxes"],
+                pdf["pred_labels"], pdf["pred_scores"],
+            ):
+                g = np.array([list(b) for b in gb], dtype=float) if len(gb) else np.zeros((0, 4))
+                gl_a = np.asarray(list(gl), dtype=np.int64)
+                p = np.array([list(b) for b in pb], dtype=float) if len(pb) else np.zeros((0, 4))
+                pl_a = np.asarray(list(pl), dtype=np.int64)
+                ps_a = np.asarray(list(ps), dtype=float)
+                for c in np.unique(pl_a):
+                    gmask = gl_a == c
+                    gc = g[gmask]
+                    order = np.argsort(-ps_a[pl_a == c], kind="stable")
+                    pc = p[pl_a == c][order]
+                    sc = ps_a[pl_a == c][order]
+                    iou = box_iou(gc, pc) if len(gc) and len(pc) else np.zeros((len(gc), len(pc)))
+                    for t in thresholds:
+                        matched = np.zeros(len(gc), dtype=bool)
+                        for di in range(len(pc)):
+                            tp = 0
+                            if len(gc):
+                                best = int(np.argmax(iou[:, di]))
+                                if iou[best, di] >= t and not matched[best]:
+                                    matched[best] = True
+                                    tp = 1
+                            rows.append((int(c), float(t), float(sc[di]), tp))
+            yield pd.DataFrame(rows, columns=["cls", "thresh", "score", "tp"])
+
+    det = pairs.select(
+        "gt_boxes", "gt_labels", "pred_boxes", "pred_labels", "pred_scores"
+    ).mapInPandas(fn, _MAP_DET_SCHEMA)
+
+    totals = (
+        pairs.select(F.explode("gt_labels").alias("cls"))
+        .groupBy("cls")
+        .agg(F.count("*").cast("double").alias("total_gt"))
+    )
+
+    w = (
+        Window.partitionBy("cls", "thresh")
+        .orderBy(F.desc("score"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_rev = (
+        Window.partitionBy("cls", "thresh")
+        .orderBy(F.desc("score"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    w_lag = Window.partitionBy("cls", "thresh").orderBy(F.desc("score"))
+    pr = (
+        det.join(totals, "cls")
+        .withColumn("tp_cum", F.sum("tp").over(w))
+        .withColumn("k", F.row_number().over(w_lag))
+        .withColumn("recall", F.col("tp_cum") / F.col("total_gt"))
+        .withColumn("precision", F.col("tp_cum") / F.col("k"))
+        .withColumn("p_interp", F.max("precision").over(w_rev))
+        .withColumn("prev_recall", F.coalesce(F.lag("recall").over(w_lag), F.lit(-0.01)))
+    )
+    covered = F.greatest(
+        F.lit(0.0),
+        F.floor(F.col("recall") * 100 + 1e-9) - F.floor(F.col("prev_recall") * 100 + 1e-9),
+    )
+    ap = pr.groupBy("cls", "thresh").agg(
+        (F.sum(F.col("p_interp") * covered) / 101.0).alias("ap")
+    )
+    # every GT class contributes at every threshold (AP=0 when undetected)
+    grid = totals.crossJoin(
+        pairs.sparkSession.createDataFrame([(t,) for t in thresholds], "thresh double")
+    )
+    return (
+        grid.join(ap, ["cls", "thresh"], "left")
+        .groupBy("thresh")
+        .agg(F.round(F.avg(F.coalesce("ap", F.lit(0.0))), 6).alias("mean_ap"))
+        .select(F.round("thresh", 2).alias("iou_thresh"), "mean_ap")
+    )
+
+
 POLY_IOU_SCHEMA = "event_id long, iou double"
 
 
