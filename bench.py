@@ -56,13 +56,20 @@ def run_bench(sf_dir: str, cpus: str, shuffle_partitions: int | None = None) -> 
         "q1_ocr_documents",
         lambda: extract_documents(transcripts_from_documents(spark, sf_dir)).count(),
     )
-    # q2: extraction over native synthetic transcripts (skew + multi-page)
-    tdf = generate_transcripts(spark, n_convs)
+    # q2: extraction over native synthetic transcripts (skew + multi-page).
+    # The fixture is PERSISTED before timing: without it the timed run
+    # re-executes payload generation inside its own lineage (the earlier
+    # count() is only a warmup), so q2 was charging fixture rendering to
+    # the engine — q1's parquet scan is the production-shaped input, and
+    # q2 now measures the same thing over the in-memory table (round-5
+    # harness fix, disclosed in BENCH.md).
+    tdf = generate_transcripts(spark, n_convs).persist()
     n_turns_total = tdf.count()
     n_syn_turns = timed(
         "q2_ocr_synthetic",
         lambda: extract_documents(tdf).count(),
     )
+    tdf.unpersist()
     # q3: minhash-LSH near-dup pairs (returns a persisted pair list —
     # release it so q4/q5 run against clean executor storage)
     timed("q3_dedup_minhash_lsh", lambda: dedup.minhash_lsh_pairs(spark, sf_dir).count())

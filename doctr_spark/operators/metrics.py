@@ -227,7 +227,9 @@ _MAP_DET_SCHEMA = "cls long, thresh double, score double, tp int"
 
 
 def object_detection_map(
-    pairs: DataFrame, iou_thresholds: list[float] | None = None
+    pairs: DataFrame,
+    iou_thresholds: list[float] | None = None,
+    use_polygons: bool = False,
 ) -> DataFrame:
     """Reference ``ObjectDetectionMetric`` (COCO-style mAP@[.5:.95],
     `doctr/utils/metrics.py:638-884`) re-expressed Spark-first.
@@ -272,13 +274,18 @@ def object_detection_map(
                 p = np.array([list(b) for b in pb], dtype=float) if len(pb) else np.zeros((0, 4))
                 pl_a = np.asarray(list(pl), dtype=np.int64)
                 ps_a = np.asarray(list(ps), dtype=float)
+                if use_polygons:
+                    from ..kernels.geometry import polygon_iou as _piou
                 for c in np.unique(pl_a):
                     gmask = gl_a == c
                     gc = g[gmask]
                     order = np.argsort(-ps_a[pl_a == c], kind="stable")
                     pc = p[pl_a == c][order]
                     sc = ps_a[pl_a == c][order]
-                    iou = box_iou(gc, pc) if len(gc) and len(pc) else np.zeros((len(gc), len(pc)))
+                    if len(gc) and len(pc):
+                        iou = _piou(gc, pc) if use_polygons else box_iou(gc, pc)
+                    else:
+                        iou = np.zeros((len(gc), len(pc)))
                     for t in thresholds:
                         matched = np.zeros(len(gc), dtype=bool)
                         for di in range(len(pc)):

@@ -169,3 +169,32 @@ def test_localization_use_polygons(spark):
     }
     assert got["p1"].n_matched == 1 and abs(got["p1"].sum_iou - 1.0) < 1e-9
     assert got["p0"].n_matched == 0
+
+
+def test_object_detection_map_matches_reference_semantics(spark):
+    """The distributed mAP must reproduce the reference algorithm on a
+    hand-computable case: one class, 2 images, 3 GT, detections = 2 TPs
+    (scores .9/.8) + 1 FP between them (score .85).
+    Global order: TP(.9) -> FP(.85) -> TP(.8):
+    precision 1, 1/2, 2/3 at recall 1/3, 1/3, 2/3; interp = [1, 2/3, 2/3].
+    AP = (34*1 + 33*(2/3)) / 101 (levels 0-.33 -> 1; .34-.66 -> 2/3)."""
+    from doctr_spark.operators.metrics import object_detection_map
+
+    b = [0.1, 0.1, 0.3, 0.3]
+    far = [0.7, 0.7, 0.9, 0.9]
+    rows = [
+        # image 1: one GT, one exact TP (0.9) and one FP (0.85)
+        ([b, far], [0, 0], [b, [0.45, 0.45, 0.6, 0.6]], [0, 0], [0.9, 0.85]),
+        # image 2: one GT, one exact TP (0.8)
+        ([b], [0], [b], [0], [0.8]),
+    ]
+    pairs = spark.createDataFrame(
+        rows,
+        "gt_boxes array<array<double>>, gt_labels array<bigint>, "
+        "pred_boxes array<array<double>>, pred_labels array<bigint>, pred_scores array<double>",
+    )
+    out = {r.iou_thresh: r.mean_ap for r in object_detection_map(pairs).collect()}
+    assert len(out) == 10
+    expected = round((34 * 1.0 + 33 * (2 / 3)) / 101, 6)
+    for t, ap in out.items():
+        assert ap == expected, (t, ap)
