@@ -1069,6 +1069,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_match_rates": text_analysis.match_rates,
         "text_quality_filter": text_analysis.quality_filter,
         "text_repetition": text_analysis.repetition_signals,
+        "text_pack_sequences": text_analysis.pack_sequences,
         "text_pii_scrub": text_analysis.pii_scrub,
         "text_mix_sample": text_analysis.mix_sample,
         "text_source_stats": text_analysis.source_stats,

@@ -590,3 +590,74 @@ SELECT doc_id,
        round(log2(sum(n)) - sum(n * log2(n)) / sum(n), 6) AS entropy_bits
 FROM counts GROUP BY doc_id
 """
+
+
+PACK_CONTEXT = 512
+
+
+def pack_sequences(spark: SparkSession, sf_dir: str, context: int = PACK_CONTEXT) -> DataFrame:
+    """GPT-style sequence packing: concatenate the corpus token stream in
+    deterministic doc_id order and split it at fixed ``context``
+    boundaries; each document reports which training sequences it spans
+    and its offset inside the first one.
+
+    100 TB design — the global running offset is a DISTRIBUTED prefix
+    sum, not a single-partition window: range-repartition on the order
+    key, per-partition token totals (one tiny driver-side list, one row
+    per partition), broadcast the partition base offsets back, and take
+    the within-partition cumulative sum under
+    ``Window.partitionBy(partition)``. A bare ``Window.orderBy`` with no
+    partition key would funnel the entire corpus through one task; this
+    shape keeps every stage parallel, and the result is independent of
+    where the (sampled) range boundaries fall."""
+    from pyspark.sql.window import Window
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    )
+    parts = d.repartitionByRange(max(spark.sparkContext.defaultParallelism, 8), "doc_id")
+    parts = parts.withColumn("part", F.spark_partition_id())
+    totals = parts.groupBy("part").agg(F.sum("n_tokens").alias("part_total")).collect()
+    base = {int(r["part"]): 0 for r in totals}
+    acc = 0
+    for r in sorted(totals, key=lambda r: r["part"]):
+        base[int(r["part"])] = acc
+        acc += int(r["part_total"])
+    base_df = spark.createDataFrame(
+        [(p, b) for p, b in base.items()], "part int, part_base long"
+    )
+    w = Window.partitionBy("part").orderBy("doc_id")
+    packed = (
+        parts.join(F.broadcast(base_df), "part")
+        .withColumn("cum", F.sum("n_tokens").over(w))
+        .withColumn("start_offset", F.col("part_base") + F.col("cum") - F.col("n_tokens"))
+    )
+    return packed.select(
+        "doc_id",
+        "n_tokens",
+        "start_offset",
+        F.floor(F.col("start_offset") / context).cast("long").alias("seq_first"),
+        F.floor((F.col("start_offset") + F.col("n_tokens") - 1) / context)
+        .cast("long")
+        .alias("seq_last"),
+        (F.col("start_offset") % context).cast("long").alias("offset_in_seq"),
+    )
+
+
+ORACLES["text_pack_sequences"] = f"""
+WITH d AS (
+    SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens
+    FROM documents
+),
+c AS (
+    SELECT doc_id, n_tokens,
+           (sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+            - n_tokens)::BIGINT AS start_offset
+    FROM d
+)
+SELECT doc_id, n_tokens, start_offset,
+       (start_offset // {PACK_CONTEXT})::BIGINT AS seq_first,
+       ((start_offset + n_tokens - 1) // {PACK_CONTEXT})::BIGINT AS seq_last,
+       (start_offset % {PACK_CONTEXT})::BIGINT AS offset_in_seq
+FROM c
+"""
