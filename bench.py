@@ -48,8 +48,16 @@ def run_bench(sf_dir: str, cpus: str, shuffle_partitions: int | None = None) -> 
     # warmup pass (excluded from timings): JVM codegen compilation, Arrow
     # serializers, and Python workers all initialize on the first query —
     # one-time costs a long-running 10^12-turn job amortizes to zero, so
-    # the steady-state rate is the meaningful number
+    # the steady-state rate is the meaningful number. Warm BOTH pipeline
+    # entries: the synthetic-fixture path AND the documents-derived path
+    # (whose payload-derivation subtree compiles separately — the same
+    # sf/100 warm pass tools/scaling_report.py uses; with only the small
+    # synthetic warmup, q1 was charged the flagship path's first-run
+    # codegen, ~4 s at 32 cores)
     extract_documents(generate_transcripts(spark, 20)).count()
+    warm_dir = sf_dir.replace("0.1", "0.01") if "0.1" in sf_dir else sf_dir
+    if warm_dir != sf_dir and os.path.isdir(warm_dir):
+        extract_documents(transcripts_from_documents(spark, warm_dir)).count()
 
     # q1: flagship extraction over documents-derived transcripts
     n_doc_turns = timed(
@@ -69,7 +77,7 @@ def run_bench(sf_dir: str, cpus: str, shuffle_partitions: int | None = None) -> 
         "q2_ocr_synthetic",
         lambda: extract_documents(tdf).count(),
     )
-    tdf.unpersist()
+    tdf.unpersist(blocking=True)  # release storage BEFORE q3's eager persist
     # q3: minhash-LSH near-dup pairs (returns a persisted pair list —
     # release it so q4/q5 run against clean executor storage)
     timed("q3_dedup_minhash_lsh", lambda: dedup.minhash_lsh_pairs(spark, sf_dir).count())
