@@ -236,6 +236,35 @@ def export_asciidoc_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _export_stripped(spark, sf_dir, "asciidoc", r"\n\n<<<\n\n", "adoc_text")
 
 
+_PDF_ORACLE = f"""
+SELECT conv_id, turn_idx::INT AS turn_idx, gt_text AS extracted_text,
+       n_pages::BIGINT AS n_pages, n_words::BIGINT AS n_words
+FROM read_parquet('{ORACLE_SCRATCH}/pdf_gt/*.parquet')
+"""
+
+
+def ocr_extract_pdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL ``%PDF-`` input end to end: payloads are genuine PDF byte
+    streams (page tree, MediaBox, BT/Tm/Td/Tj content streams, alternating
+    raw and /FlateDecode) written and parsed by the from-scratch codec
+    (`kernels/pdf.py`, public PDF 1.4 spec — the same approach as the MAT
+    v5 codec), rasterized in the glyph font and pushed through the full
+    pipeline. Oracle = the generator's word layout. PDFs beyond the codec
+    subset (encryption, exotic filters) still fail loudly (reference
+    swap-in point: pypdfium2, `doctr/io/pdf.py:16-43`)."""
+    from doctr_spark.fixtures.pdfdocs import generate_pdf_transcripts
+
+    tdf, gdf = generate_pdf_transcripts(spark, 40, with_gt=True)
+    _stage_expectation(gdf, "pdf_gt")
+    return extract_documents(tdf).select(
+        "conv_id",
+        "turn_idx",
+        "extracted_text",
+        F.col("n_pages").cast("long").alias("n_pages"),
+        F.col("n_words").cast("long").alias("n_words"),
+    )
+
+
 _HTML_ORACLE = _MD_ORACLE.replace("AS md_text", "AS html_text")
 
 
@@ -1028,6 +1057,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ocr_extract_documents": ocr_extract_documents,
         "ocr_word_stats": ocr_word_stats,
         "ocr_extract_synthetic": ocr_extract_synthetic,
+        "ocr_extract_pdf": ocr_extract_pdf,
         "ocr_extract_skewed": ocr_extract_skewed,
         "ocr_extract_accents": ocr_extract_accents,
         "ocr_extract_resampled": ocr_extract_resampled,
@@ -1104,6 +1134,7 @@ def oracle_sql() -> dict[str, str]:
         "export_roundtrip": _ROUNDTRIP_ORACLE,
         "export_synthesize_roundtrip": _SYNTH_RT_ORACLE,
         "ocr_extract_synthetic": _SYNTH_ORACLE,
+        "ocr_extract_pdf": _PDF_ORACLE,
         "ocr_extract_skewed": _SKEW_ORACLE,
         "ocr_extract_accents": _ACCENT_ORACLE,
         "ocr_extract_resampled": _RESAMPLE_ORACLE,

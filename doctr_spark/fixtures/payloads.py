@@ -98,15 +98,18 @@ def decode_payload(text: str) -> list[np.ndarray]:
         else:  # pdf
             blob = base64.b64decode(body)
             if blob[:5] == b"%PDF-":
-                # disclosed environment gate, same contract as the media
-                # codecs (operators/multimodal.py): a REAL PDF stream needs
-                # the pypdfium2 raster backend (reference
-                # doctr/io/pdf.py:16-43), absent in this container. Swap-in
-                # point: replace this branch with pypdfium2 page rendering;
-                # everything downstream consumes plain (H, W) uint8 pages.
-                raise NotImplementedError(
-                    "real PDF raster requires pypdfium2 (doctr/io/pdf.py:16-43); "
-                    "only the packed multi-page payload format is decodable here"
-                )
-            pages.extend(decode_multipage(blob))
+                # REAL %PDF input: the from-scratch PDF text codec
+                # (`kernels.pdf`, written against the public PDF 1.4 spec
+                # like the MAT v5 codec) parses the page tree + content
+                # streams (raw or FlateDecode) and rasterizes every text
+                # operator in the glyph font. PDFs beyond the subset
+                # (encryption, exotic filters) still fail LOUDLY inside
+                # the codec — the disclosed gate narrowed, not removed;
+                # the pypdfium2 swap-in point (doctr/io/pdf.py:16-43)
+                # stays this branch.
+                from ..kernels.pdf import rasterize_pdf
+
+                pages.extend(rasterize_pdf(blob))
+            else:
+                pages.extend(decode_multipage(blob))
     return pages

@@ -1,0 +1,123 @@
+"""Real-PDF fixture: conversations whose payloads are genuine ``%PDF-``
+byte streams written by the from-scratch codec (`kernels.pdf.write_pdf`),
+alternating raw and FlateDecode content streams. The ground truth is the
+generator's own word layout — extraction must parse the PDF, rasterize
+the text operators, and read every word back exactly."""
+
+from __future__ import annotations
+
+import base64
+import datetime as dt
+
+import numpy as np
+import pandas as pd
+
+from ..config import GLYPH_H, LINE_LEADING, MARGIN, PAGE_H, PAGE_W, WORD_GAP
+from ..kernels.glyphs import word_width
+from ..kernels.pdf import write_pdf
+from .transcripts import GT_SCHEMA, TRANSCRIPTS_SCHEMA
+
+_EPOCH = dt.datetime(2025, 4, 1)
+_CHARS = "abcdefghijklmnopqrstuvwxyz0123456789"
+_ROW_PITCH = GLYPH_H + LINE_LEADING
+
+
+def _word(rng: np.random.Generator) -> str:
+    n = int(rng.integers(2, 9))
+    return "".join(_CHARS[i] for i in rng.integers(0, len(_CHARS), n))
+
+
+def gen_pdf_page(rng: np.random.Generator) -> tuple[list[tuple[int, int, str]], str, int]:
+    """One page of packed word rows; returns (placements, gt_text, n_words)."""
+    placements: list[tuple[int, int, str]] = []
+    lines: list[list[str]] = []
+    y = MARGIN
+    for _ in range(int(rng.integers(3, 7))):
+        words: list[str] = []
+        x = MARGIN
+        while True:
+            w = _word(rng)
+            if x + word_width(w) > PAGE_W - MARGIN or len(words) >= 7:
+                break
+            placements.append((x, y, w))
+            words.append(w)
+            x += word_width(w) + WORD_GAP
+        if len(words) >= 2:
+            lines.append(words)
+        else:
+            placements = placements[: len(placements) - len(words)]
+            continue
+        y += _ROW_PITCH
+        if y + GLYPH_H > PAGE_H - MARGIN:
+            break
+    gt = "\n".join(" ".join(ws) for ws in lines)
+    return placements, gt, sum(len(ws) for ws in lines)
+
+
+def gen_pdf_conversation(conv_no: int, seed: int = 42) -> tuple[list[dict], list[dict]]:
+    rng = np.random.default_rng([seed, conv_no, 37])
+    conv_id = f"pdf{conv_no:07d}"
+    n_turns = int(rng.integers(1, 4))
+    start = _EPOCH + dt.timedelta(hours=conv_no)
+    rows, gts = [], []
+    for t in range(n_turns):
+        n_pages = int(rng.integers(1, 3))
+        page_words, gt_pages, n_words = [], [], 0
+        for _ in range(n_pages):
+            placements, gt, n = gen_pdf_page(rng)
+            page_words.append(placements)
+            gt_pages.append(gt)
+            n_words += n
+        # alternate raw / FlateDecode streams so both parser paths run
+        blob = write_pdf(page_words, (PAGE_H, PAGE_W), compress=bool((conv_no + t) % 2))
+        rows.append(
+            {
+                "conv_id": conv_id,
+                "turn_idx": t,
+                "role": ("user", "assistant", "tool")[t % 3],
+                "text": "pdf attachment <doc:pdf>"
+                + base64.b64encode(blob).decode("ascii")
+                + "</doc:pdf>",
+                "tool": None,
+                "ts": start + dt.timedelta(minutes=t),
+            }
+        )
+        gts.append(
+            {
+                "conv_id": conv_id,
+                "turn_idx": t,
+                "gt_text": "\n\n\n\n".join(gt_pages),
+                "n_pages": n_pages,
+                "n_words": n_words,
+            }
+        )
+    return rows, gts
+
+
+def generate_pdf_transcripts(spark, n_convs: int, seed: int = 42, with_gt: bool = False):
+    """Distributed generation (same contract as
+    `transcripts.generate_transcripts`)."""
+    parallelism = max(spark.sparkContext.defaultParallelism, 8)
+    base = spark.range(0, n_convs, 1, min(parallelism, max(1, n_convs))).withColumnRenamed(
+        "id", "conv_no"
+    )
+
+    def _gen(idx: int, cols: list[str]):
+        def fn(batches):
+            for pdf in batches:
+                rows = []
+                for conv_no in pdf["conv_no"].tolist():
+                    rows.extend(gen_pdf_conversation(int(conv_no), seed)[idx])
+                yield pd.DataFrame(rows, columns=cols)
+
+        return fn
+
+    tdf = base.mapInPandas(
+        _gen(0, ["conv_id", "turn_idx", "role", "text", "tool", "ts"]), schema=TRANSCRIPTS_SCHEMA
+    )
+    if not with_gt:
+        return tdf
+    gdf = base.mapInPandas(
+        _gen(1, ["conv_id", "turn_idx", "gt_text", "n_pages", "n_words"]), schema=GT_SCHEMA
+    )
+    return tdf, gdf

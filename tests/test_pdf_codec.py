@@ -1,0 +1,109 @@
+"""From-scratch PDF text codec (kernels/pdf.py): roundtrip, escapes,
+filters, loud gates, and the real-%PDF extraction path end to end."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from doctr_spark.kernels.pdf import parse_pdf, rasterize_pdf, write_pdf
+
+_word = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126), min_size=1, max_size=10
+)
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.tuples(
+                st.integers(0, 200), st.integers(0, 100), _word
+            ),
+            min_size=0,
+            max_size=6,
+        ),
+        min_size=1,
+        max_size=3,
+    ),
+    st.booleans(),
+)
+@settings(max_examples=80, deadline=None)
+def test_pdf_roundtrip_property(pages, compress):
+    """write -> parse restores every page's placements exactly, including
+    the ()\\ escapes, for raw and FlateDecode streams."""
+    data = write_pdf(pages, (160, 320), compress=compress)
+    assert data[:5] == b"%PDF-" and data.rstrip().endswith(b"%%EOF")
+    parsed = parse_pdf(data)
+    assert len(parsed) == len(pages)
+    for page, exp in zip(parsed, pages):
+        assert page["size"] == (160, 320)
+        got = [(int(x), int(y), t) for x, y, t in page["words"]]
+        assert got == [(x, y, t) for x, y, t in exp]
+
+
+def test_pdf_td_relative_positioning():
+    """Td displaces relative to the current text position (spec 9.4.2)."""
+    content = b"BT 1 0 0 1 10 50 Tm (a) Tj 20 -10 Td (b) Tj 5 0 Td (c) Tj ET"
+    # splice our hand-written stream into the empty page's content object
+    raw = write_pdf([[]], (100, 100))
+    empty = b"BT /F1 12 Tf\nET"
+    doc = raw.replace(
+        b"<< /Length %d >>\nstream\n%s\nendstream" % (len(empty), empty),
+        b"<< /Length %d >>\nstream\n%s\nendstream" % (len(content), content),
+    )
+    assert doc != raw, "fixture splice failed"
+    (page,) = parse_pdf(doc)
+    assert [(x, y, t) for x, y, t in ((int(a), int(b), c) for a, b, c in page["words"])] == [
+        (10, 100 - 50 - 16, "a"),
+        (30, 100 - 40 - 16, "b"),
+        (35, 100 - 40 - 16, "c"),
+    ]
+
+
+
+def test_pdf_loud_gates():
+    data = write_pdf([[(1, 1, "w")]], (50, 80))
+    with pytest.raises(NotImplementedError, match="Encrypt|encrypted"):
+        parse_pdf(data.replace(b"/Root", b"/Encrypt 9 0 R /Root"))
+    bad_filter = data.replace(b"/FlateDecode", b"/LZWDecode")
+    if b"/LZWDecode" in bad_filter:
+        with pytest.raises(NotImplementedError, match="LZWDecode"):
+            parse_pdf(bad_filter)
+    with pytest.raises(ValueError):
+        parse_pdf(b"not a pdf")
+
+
+def test_pdf_rasterize_words_redetectable():
+    from doctr_spark.kernels.detection import detect_words, extract_crops
+    from doctr_spark.kernels.recognition import recognize_crops_batched
+
+    data = write_pdf(
+        [[(12, 10, "alpha"), (120, 10, "beta"), (12, 48, "gamma7")]], (100, 260),
+        compress=True,
+    )
+    (canvas,) = rasterize_pdf(data)
+    boxes, _, _ = detect_words(canvas)
+    vals = recognize_crops_batched(extract_crops(canvas, boxes))
+    assert sorted(v for v, _ in vals) == ["alpha", "beta", "gamma7"]
+
+
+def test_pdf_extraction_end_to_end(spark):
+    from doctr_spark.fixtures.pdfdocs import generate_pdf_transcripts
+    from doctr_spark.operators.pipeline import extract_documents
+
+    tdf, gdf = generate_pdf_transcripts(spark, 6, with_gt=True)
+    docs = extract_documents(tdf, crop_partitions=8)
+    gt = gdf.withColumnRenamed("n_words", "gt_n_words")
+    rows = (
+        docs.join(gt, ["conv_id", "turn_idx"])
+        .select(
+            (F.col("extracted_text") == F.col("gt_text")).alias("text_ok"),
+            (F.col("n_words") == F.col("gt_n_words")).alias("words_ok"),
+        )
+        .collect()
+    )
+    assert len(rows) >= 6
+    assert all(r.text_ok and r.words_ok for r in rows)
