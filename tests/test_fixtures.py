@@ -67,14 +67,25 @@ def test_generator_deterministic_and_skewed():
 
 
 def test_real_pdf_payload_gate():
-    """A %PDF-signature payload must raise the disclosed pypdfium2 gate
-    (reference doctr/io/pdf.py:16-43), not decode garbage or quarantine."""
+    """Round 5 narrowed the %PDF gate: streams inside the from-scratch
+    codec's subset decode to real pages, while beyond-subset PDFs still
+    raise the disclosed NotImplementedError loudly (reference swap-in
+    point doctr/io/pdf.py:16-43), never decode garbage or quarantine."""
     import base64
 
     import pytest
 
     from doctr_spark.fixtures.payloads import decode_payload
+    from doctr_spark.kernels.pdf import write_pdf
 
+    # beyond the subset (no parsable structure): still a loud gate
     body = base64.b64encode(b"%PDF-1.7\nfake pdf bytes").decode()
-    with pytest.raises(NotImplementedError, match="pypdfium2"):
+    with pytest.raises(NotImplementedError):
         decode_payload(f"<doc:pdf>{body}</doc:pdf>")
+
+    # inside the subset: a genuine PDF decodes to its pages
+    blob = write_pdf([[(10, 10, "hello")], [(10, 10, "there")]], (80, 200), compress=True)
+    pages = decode_payload(
+        "<doc:pdf>" + base64.b64encode(blob).decode() + "</doc:pdf>"
+    )
+    assert len(pages) == 2 and pages[0].shape == (80, 200) and pages[0].sum() > 0
