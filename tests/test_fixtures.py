@@ -89,3 +89,31 @@ def test_real_pdf_payload_gate():
         "<doc:pdf>" + base64.b64encode(blob).decode() + "</doc:pdf>"
     )
     assert len(pages) == 2 and pages[0].shape == (80, 200) and pages[0].sum() > 0
+
+
+def test_mixed_payload_kinds_in_one_turn():
+    """A single turn mixing html, packed-img and REAL-%PDF payloads decodes
+    to the concatenation of all their pages, in order."""
+    import base64
+
+    import numpy as np
+
+    from doctr_spark.fixtures.payloads import (
+        decode_payload,
+        make_html_payload,
+        make_img_payload,
+    )
+    from doctr_spark.kernels.pdf import write_pdf
+
+    img = np.zeros((40, 60), dtype=np.uint8)
+    img[10:20, 10:30] = 200
+    pdf = write_pdf([[(5, 5, "word")]], (50, 90), compress=True)
+    text = (
+        "intro " + make_html_payload([["alpha", "beta"]], with_boilerplate=False)
+        + " middle " + make_img_payload(img)
+        + " end <doc:pdf>" + base64.b64encode(pdf).decode() + "</doc:pdf>"
+    )
+    pages = decode_payload(text)
+    assert len(pages) == 3
+    assert pages[1].shape == (40, 60) and np.array_equal(pages[1], img)
+    assert pages[2].shape == (50, 90) and pages[2].sum() > 0
