@@ -77,6 +77,20 @@ for _lang, (_drop, _extra) in _LANG_EXT.items():
         _base = "".join(c for c in _base if c not in set(_drop))
     VOCABS[_lang] = _base + _extra
 
+# Non-Latin working vocabs, composed by the reference's rule with the
+# glyph code space's 7-bit budget (reference vocabs.py:456-461 greek,
+# :398-447 cyrillic family): base letters + digits + punctuation, plus
+# the common precomposed accents where they fit.
+GREEK_LETTERS = "αβγδεζηθικλμνξοπρςστυφχψωΑΒΓΔΕΖΗΘΙΚΛΜΝΞΟΠΡΣΤΥΦΧΨΩ"
+GREEK_ACCENTED = "άέήίόύώΆΈΉΊΌΎΏ"
+VOCABS["greek"] = DIGITS + PUNCTUATION + GREEK_LETTERS + GREEK_ACCENTED
+
+CYRILLIC_LETTERS = (
+    "абвгдежзийклмнопрстуфхцчшщъыьэюя" "АБВГДЕЖЗИЙКЛМНОПРСТУФХЦЧШЩЪЫЬЭЮЯ"
+)
+VOCABS["cyrillic"] = DIGITS + PUNCTUATION + CYRILLIC_LETTERS + "ёЁ"
+VOCABS["russian"] = VOCABS["cyrillic"]
+
 DEFAULT_VOCAB = VOCABS["french"]
 
 # CTC blank index convention follows the reference CRNN postprocessor:

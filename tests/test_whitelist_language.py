@@ -85,3 +85,26 @@ def test_translate_nfd_fold():
 
     with pytest.raises(KeyError):
         translate("x", "nope")
+
+
+def test_non_latin_vocabs_render_roundtrip():
+    """Greek and Cyrillic working vocabs fit the 7-bit glyph space and
+    survive the full draw -> detect -> recognize path, like hebrew."""
+    from doctr_spark.kernels.detection import detect_words, extract_crops
+    from doctr_spark.kernels.glyphs import draw_word
+    from doctr_spark.kernels.recognition import recognize_crops_batched
+    from doctr_spark.kernels.vocab import VOCABS, decode_sequence, encode_string
+
+    samples = {"greek": ["αβγ", "λόγος", "ΔΕΛΤΑ42"], "cyrillic": ["привет", "МИР7", "ёжик"]}
+    for name, words in samples.items():
+        vocab = VOCABS[name]
+        assert len(vocab) <= 127, (name, len(vocab))
+        for w in words:
+            assert decode_sequence(encode_string(w, vocab), vocab) == w
+        canvas = np.zeros((40, 400), dtype=np.uint8)
+        x = 8
+        for w in words:
+            x = draw_word(canvas, x, 10, w, vocab)[2] + 10
+        boxes, _, _ = detect_words(canvas)
+        vals = recognize_crops_batched(extract_crops(canvas, boxes), vocab=vocab)
+        assert sorted(v for v, _ in vals) == sorted(words)
