@@ -72,9 +72,24 @@ _SEEDS: dict[str, str] = {
         "homem lia um livro sobre a historia do mundo que encontrou na "
         "prateleira da biblioteca para aprender com as palavras"
     ),
+    "el": (
+        "ο σκυλος και η γατα κοιμουνται στο σπιτι των γειτονων με εναν "
+        "φιλο ολη την ημερα αυτη ειναι η ιστορια για αυτα που εχουμε και "
+        "για αυτα που ειπαν οταν τα παιδια επαιζαν στον κηπο με τη μητερα "
+        "τους και ο γερος διαβαζε ενα βιβλιο για την ιστορια του κοσμου "
+        "που βρηκε στο ραφι της βιβλιοθηκης για να μαθει"
+    ),
+    "ru": (
+        "собака и кошка спят в доме соседей с другом весь день это "
+        "история о том что у нас есть и о том что они сказали когда дети "
+        "играли в саду со своей матерью и старик читал книгу об истории "
+        "мира которую он нашел на полке библиотеки чтобы учиться"
+    ),
 }
 
-_CLEAN_RE = re.compile(r"[^a-zÀ-ɏ']+")
+# letters of the supported scripts: latin (+ accents block), greek,
+# cyrillic — everything else is a separator
+_CLEAN_RE = re.compile(r"[^a-zÀ-ɏα-ωά-ώа-яё']+")
 
 
 def _ngrams(text: str) -> Counter:

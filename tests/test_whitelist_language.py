@@ -53,6 +53,8 @@ def test_get_language():
         "der hund schlaft im haus und die kinder spielen": "de",
         "il gatto dorme nella casa dei bambini": "it",
         "o cachorro dorme na casa das criancas": "pt",
+        "ο σκυλος κοιμαται στο σπιτι με τα παιδια": "el",
+        "собака спит в доме с детьми и книгой": "ru",
     }
     for text, expected in cases.items():
         lang, conf = get_language(text)
