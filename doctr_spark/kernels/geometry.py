@@ -163,6 +163,16 @@ def clip_polygon(subject: np.ndarray, clip: np.ndarray) -> np.ndarray:
                 t = side[j] / (side[j] - side[k])
                 nxt.append(out[j] + t * (out[k] - out[j]))
         out = np.asarray(nxt).reshape(-1, 2)
+    if out.shape[0]:
+        # The exact intersection lies inside BOTH input bounding boxes, so
+        # clamping is a no-op for healthy geometry — but when the clip is
+        # orders of magnitude smaller than the subject, the half-plane side
+        # values are ill-conditioned and intersection points can extrapolate
+        # far outside the clip; the clamp bounds that error by construction.
+        subject = np.asarray(subject, dtype=np.float64).reshape(-1, 2)
+        lo = np.maximum(subject.min(axis=0), clip.min(axis=0))
+        hi = np.minimum(subject.max(axis=0), clip.max(axis=0))
+        out = np.clip(out, lo, hi)
     return out
 
 
@@ -194,10 +204,21 @@ def polygon_iou(polys_1: np.ndarray, polys_2: np.ndarray) -> np.ndarray:
     for i, j in zip(cand_i, cand_j):
         if deg1[i] or deg2[j]:
             continue
-        # clamp: the exact intersection area can never exceed either input
-        # area, but the float clip of near-degenerate slivers can — without
-        # the clamp a sliver pair can report inter > union (IoU >> 1)
-        inter = min(polygon_area(clip_polygon(polys_1[i], polys_2[j])), a1[i], a2[j])
+        # Clip in BOTH directions and keep the larger area: the exact
+        # intersection is one set, each float clip can only lose it (a
+        # hairline subject survives clipping by a big box, but a big
+        # subject clipped by a hairline can collapse to nothing), and the
+        # max makes the matrix symmetric by construction. The min-clamp
+        # bounds the opposite failure (float clips of sliver pairs can
+        # overshoot either input's area, sending IoU >> 1).
+        inter = min(
+            max(
+                polygon_area(clip_polygon(polys_1[i], polys_2[j])),
+                polygon_area(clip_polygon(polys_2[j], polys_1[i])),
+            ),
+            a1[i],
+            a2[j],
+        )
         union = a1[i] + a2[j] - inter
         if union > 0:
             iou[i, j] = inter / union
