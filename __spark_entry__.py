@@ -344,12 +344,15 @@ def export_synthesize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = docs.select("conv_id", "turn_idx", "extracted_text").join(
         re_docs, ["conv_id", "turn_idx"], "left"
     )
-    return j.select(
+    out = j.select(
         "conv_id",
         "turn_idx",
         F.regexp_replace("re_text", "\n+", " ").alias("flat_text"),
         (F.col("re_text") == F.col("extracted_text")).alias("roundtrip_ok"),
-    )
+    ).persist()
+    out.count()  # eager: swap the page-bearing docs cache for the tiny result
+    docs.unpersist()
+    return out
 
 
 _TABLE_CELL_ORACLE = f"""

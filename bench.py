@@ -55,7 +55,11 @@ def run_bench(sf_dir: str, cpus: str, shuffle_partitions: int | None = None) -> 
     # synthetic warmup, q1 was charged the flagship path's first-run
     # codegen, ~4 s at 32 cores)
     extract_documents(generate_transcripts(spark, 20)).count()
-    warm_dir = sf_dir.replace("0.1", "0.01") if "0.1" in sf_dir else sf_dir
+    # warm the documents path at the next-smaller scale; match the sf token
+    # exactly (a substring replace corrupts dirs that already contain
+    # "0.01" -> "0.001")
+    sm = re.search(r"sf([0-9.]+)", sf_dir)
+    warm_dir = sf_dir[: sm.start(1)] + "0.01" + sf_dir[sm.end(1) :] if sm else sf_dir
     if warm_dir != sf_dir and os.path.isdir(warm_dir):
         extract_documents(transcripts_from_documents(spark, warm_dir)).count()
 

@@ -139,7 +139,10 @@ def parse_pdf(data: bytes) -> list[dict]:
         em = data.find(b"endobj", m.end())
         if sm is not None and (em == -1 or sm.start() < em):
             head = data[m.end() : sm.start()]
-            lm = re.search(rb"/Length\s+(\d+)(?!\s+0\s+R)", head)
+            # (?!\d) anchors the full number — without it '/Length 10 0 R'
+            # backtracks to match '1' and the indirect-length construct is
+            # silently parsed as a 1-byte stream instead of rejecting loudly
+            lm = re.search(rb"/Length\s+(\d+)(?!\d)(?!\s+0\s+R)", head)
             if not lm:
                 raise NotImplementedError(
                     "stream without a literal /Length is outside the codec subset"
@@ -147,8 +150,13 @@ def parse_pdf(data: bytes) -> list[dict]:
             ln = int(lm.group(1))
             stream = data[sm.end() : sm.end() + ln]
             objs[num] = (head, stream)
-            pos = data.find(b"endobj", sm.end() + ln) + len(b"endobj")
+            end = data.find(b"endobj", sm.end() + ln)
+            if end == -1:
+                raise ValueError("truncated PDF: stream object without endobj")
+            pos = end + len(b"endobj")
         else:
+            if em == -1:
+                raise ValueError("truncated PDF: object without endobj")
             objs[num] = (data[m.end() : em], None)
             pos = em + len(b"endobj")
 
@@ -181,6 +189,11 @@ def parse_pdf(data: bytes) -> list[dict]:
             chead, stream = objs[cnum]
             if stream is None:
                 continue
+            if re.search(rb"/Filter\s*\[", chead):
+                raise NotImplementedError(
+                    "array-valued /Filter (filter chains) is outside the "
+                    "from-scratch codec subset (reference uses pypdfium2)"
+                )
             fm = re.search(rb"/Filter\s*/?(\w+)", chead)
             if fm:
                 if fm.group(1) == b"FlateDecode":

@@ -609,14 +609,23 @@ def pack_sequences(spark: SparkSession, sf_dir: str, context: int = PACK_CONTEXT
     ``Window.partitionBy(partition)``. A bare ``Window.orderBy`` with no
     partition key would funnel the entire corpus through one task; this
     shape keeps every stage parallel, and the result is independent of
-    where the (sampled) range boundaries fall."""
+    where the (sampled) range boundaries fall.
+
+    Returns a PERSISTED (eagerly materialized) DataFrame — callers keeping
+    the session alive should ``unpersist()`` after consumption; the
+    oracle/bench harnesses clear the cache between queries."""
     from pyspark.sql.window import Window
 
     d = _docs(spark, sf_dir).select(
         "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
     )
     parts = d.repartitionByRange(max(spark.sparkContext.defaultParallelism, 8), "doc_id")
-    parts = parts.withColumn("part", F.spark_partition_id())
+    # persist BEFORE the totals collect: RangePartitioner samples its
+    # boundaries, so re-executing the lineage in the final job could place
+    # boundary rows in a different partition than the one whose total was
+    # collected — part_base + cum would then be silently wrong. Pinning the
+    # materialized partitioning makes both jobs read the same placement.
+    parts = parts.withColumn("part", F.spark_partition_id()).persist()
     totals = parts.groupBy("part").agg(F.sum("n_tokens").alias("part_total")).collect()
     base = {int(r["part"]): 0 for r in totals}
     acc = 0
@@ -632,7 +641,7 @@ def pack_sequences(spark: SparkSession, sf_dir: str, context: int = PACK_CONTEXT
         .withColumn("cum", F.sum("n_tokens").over(w))
         .withColumn("start_offset", F.col("part_base") + F.col("cum") - F.col("n_tokens"))
     )
-    return packed.select(
+    out = packed.select(
         "doc_id",
         "n_tokens",
         "start_offset",
@@ -641,7 +650,10 @@ def pack_sequences(spark: SparkSession, sf_dir: str, context: int = PACK_CONTEXT
         .cast("long")
         .alias("seq_last"),
         (F.col("start_offset") % context).cast("long").alias("offset_in_seq"),
-    )
+    ).persist()
+    out.count()  # eager: free the wide parts cache, keep only the result
+    parts.unpersist()
+    return out
 
 
 ORACLES["text_pack_sequences"] = f"""

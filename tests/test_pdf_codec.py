@@ -76,6 +76,36 @@ def test_pdf_loud_gates():
         parse_pdf(b"not a pdf")
 
 
+def test_pdf_indirect_length_rejected():
+    """'/Length 10 0 R' (indirect length) must reject loudly — the anchored
+    regex must not backtrack to match '1' as a literal length."""
+    data = write_pdf([[(1, 1, "hello world")]], (50, 80))
+    import re as _re
+
+    m = _re.search(rb"/Length (\d+)", data)
+    doc = data[: m.start()] + b"/Length 10 0 R" + data[m.end() :]
+    with pytest.raises(NotImplementedError, match="literal /Length"):
+        parse_pdf(doc)
+
+
+def test_pdf_array_filter_rejected():
+    """'/Filter [/FlateDecode]' (array form) must reject loudly, not be
+    silently treated as an unfiltered stream."""
+    data = write_pdf([[(1, 1, "w")]], (50, 80), compress=True)
+    doc = data.replace(b"/Filter /FlateDecode", b"/Filter [/FlateDecode]")
+    assert doc != data, "fixture splice failed"
+    with pytest.raises(NotImplementedError, match="array-valued /Filter"):
+        parse_pdf(doc)
+
+
+def test_pdf_truncated_stream_errors_not_hangs():
+    """A stream object whose endobj was cut off must raise, not loop."""
+    data = write_pdf([[(1, 1, "w")]], (50, 80))
+    cut = data[: data.find(b"endobj")]  # drop everything from first endobj
+    with pytest.raises((ValueError, NotImplementedError, KeyError)):
+        parse_pdf(cut)
+
+
 def test_pdf_rasterize_words_redetectable():
     from doctr_spark.kernels.detection import detect_words, extract_crops
     from doctr_spark.kernels.recognition import recognize_crops_batched
