@@ -141,12 +141,15 @@ def kie_values_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kie_class_values(kie_extract(transcripts_from_documents(spark, sf_dir)))
 
 
-# hOCR is XML the oracle can't re-derive bbox-for-bbox, but stripping tags
-# must give back exactly the flagship token stream, and the number of
-# ocrx_word spans must equal the SQL word count — so the export surface is
-# oracle-checked end-to-end modulo markup (markup itself is golden-tested
-# in tests/test_exporters_kie.py).
-_HOCR_ORACLE = """
+# The export formats are XML/markup the oracle can't re-derive
+# bbox-for-bbox, but stripping the (golden-tested, tests/test_exporters_kie
+# .py) markup must give back exactly the flagship token stream for EVERY
+# format, and hOCR's ocrx_word span count must equal the SQL word count —
+# so the whole export surface is oracle-checked end-to-end modulo markup.
+# One union-tagged query covers hOCR/markdown/asciidoc/html: the driver
+# records correctness rows for at most 50 queries, and the four formats
+# share one pipeline pass this way instead of recomputing it per format.
+_EXPORT_FMT_ORACLE = """
 WITH c AS (
     SELECT source AS conv_id,
            (ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) - 1)::INT AS turn_idx,
@@ -154,86 +157,71 @@ WITH c AS (
                                ' +', ' ', 'g')) AS cleaned
     FROM documents
 )
-SELECT conv_id, turn_idx, cleaned AS hocr_text,
-       (CASE WHEN cleaned = '' THEN 0
-             ELSE len(string_split(cleaned, ' ')) END)::BIGINT AS n_word_spans
+SELECT f.fmt, c.conv_id, c.turn_idx, c.cleaned AS export_text,
+       (CASE WHEN c.cleaned = '' THEN 0
+             ELSE len(string_split(c.cleaned, ' ')) END)::BIGINT AS n_words
 FROM c
+CROSS JOIN (SELECT unnest(['hocr', 'markdown', 'asciidoc', 'html']) AS fmt) f
 """
 
 
-def export_hocr_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-format export surface: full hOCR XML per turn, projected to its
-    tag-stripped text + ocrx_word span count for the SQL oracle."""
+def export_formats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole export surface in one slot: hOCR
+    (`kernels.exporters.export_hocr`), markdown (reference
+    `doctr/io/exporters.py:436-471`), AsciiDoc (`:474-509`) and HTML
+    (`:512-540`) rendered from ONE shared pipeline pass, each projected to
+    its markup-stripped text + word count and union-tagged by format. For
+    hOCR the word count is the ocrx_word SPAN count — the markup must carry
+    exactly one span per word, a stronger check than re-counting tokens.
+
+    Returns an eagerly materialized PERSISTED DataFrame (the shared built
+    pass is cached only while the four exports render, then freed)."""
     from doctr_spark.operators.build import build_pages
     from doctr_spark.operators.detect import detect_and_crop
     from doctr_spark.operators.kie import export_documents
     from doctr_spark.operators.recognize import recognize
 
     t = transcripts_from_documents(spark, sf_dir)
-    built = build_pages(recognize(detect_and_crop(decode_pages(t))))
-    hocr = export_documents(built, "hocr")
-    return hocr.select(
-        "conv_id",
-        "turn_idx",
-        F.trim(
-            F.regexp_replace(F.regexp_replace("content", "<[^>]+>", " "), r"\s+", " ")
-        ).alias("hocr_text"),
-        (F.size(F.split("content", "class='ocrx_word'")) - 1).cast("long").alias("n_word_spans"),
-    )
-
-
-# markdown/asciidoc are oracle-checked the hOCR way: the flagship token
-# stream contains no escapable characters, so undoing the (golden-tested)
-# line-leading marker neutralization and collapsing the format's
-# block/page separators must reproduce exactly the cleaned source stream,
-# and the stripped token count must equal the SQL word count.
-_MD_ORACLE = """
-WITH c AS (
-    SELECT source AS conv_id,
-           (ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) - 1)::INT AS turn_idx,
-           trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
-                               ' +', ' ', 'g')) AS cleaned
-    FROM documents
-)
-SELECT conv_id, turn_idx, cleaned AS md_text,
-       (CASE WHEN cleaned = '' THEN 0
-             ELSE len(string_split(cleaned, ' ')) END)::BIGINT AS n_words
-FROM c
-"""
-
-_ADOC_ORACLE = _MD_ORACLE.replace("AS md_text", "AS adoc_text")
-
-
-def _export_stripped(spark: SparkSession, sf_dir: str, fmt: str, page_break: str, col: str) -> DataFrame:
-    from doctr_spark.operators.build import build_pages
-    from doctr_spark.operators.detect import detect_and_crop
-    from doctr_spark.operators.kie import export_documents
-    from doctr_spark.operators.recognize import recognize
-
-    t = transcripts_from_documents(spark, sf_dir)
-    built = build_pages(recognize(detect_and_crop(decode_pages(t))))
-    doc = export_documents(built, fmt)
-    # undo line-leading neutralization only (markdown "\\", asciidoc
-    # "{empty}"), drop the page separator, collapse whitespace
-    lead = r"(^|\n)\\" if fmt == "markdown" else r"(^|\n)\{empty\}"
-    stripped = F.regexp_replace("content", lead, "$1")
-    flat = F.trim(
-        F.regexp_replace(F.regexp_replace(stripped, page_break, " "), r"\s+", " ")
-    )
-    n_words = F.when(flat == "", F.lit(0)).otherwise(F.size(F.split(flat, " "))).cast("long")
-    return doc.select("conv_id", "turn_idx", flat.alias(col), n_words.alias("n_words"))
-
-
-def export_markdown_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Markdown export surface end to end (`kernels.exporters.export_markdown`,
-    reference `doctr/io/exporters.py:436-471`), oracle-checked like hOCR."""
-    return _export_stripped(spark, sf_dir, "markdown", r"\n\n---\n\n", "md_text")
-
-
-def export_asciidoc_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """AsciiDoc export surface end to end (`kernels.exporters.export_asciidoc`,
-    reference `doctr/io/exporters.py:474-509`), oracle-checked like hOCR."""
-    return _export_stripped(spark, sf_dir, "asciidoc", r"\n\n<<<\n\n", "adoc_text")
+    built = build_pages(recognize(detect_and_crop(decode_pages(t)))).persist()
+    built.count()  # eager: all four export branches share this one pass
+    outs = []
+    for fmt in ("hocr", "markdown", "asciidoc", "html"):
+        doc = export_documents(built, fmt)
+        if fmt in ("hocr", "html"):
+            flat = F.trim(
+                F.regexp_replace(F.regexp_replace("content", "<[^>]+>", " "), r"\s+", " ")
+            )
+        else:
+            # undo line-leading neutralization only (markdown "\\",
+            # asciidoc "{empty}"), drop the page separator, collapse
+            lead = r"(^|\n)\\" if fmt == "markdown" else r"(^|\n)\{empty\}"
+            brk = r"\n\n---\n\n" if fmt == "markdown" else r"\n\n<<<\n\n"
+            stripped = F.regexp_replace("content", lead, "$1")
+            flat = F.trim(
+                F.regexp_replace(F.regexp_replace(stripped, brk, " "), r"\s+", " ")
+            )
+        if fmt == "hocr":
+            n_words = (F.size(F.split("content", "class='ocrx_word'")) - 1).cast("long")
+        else:
+            n_words = (
+                F.when(flat == "", F.lit(0)).otherwise(F.size(F.split(flat, " "))).cast("long")
+            )
+        outs.append(
+            doc.select(
+                F.lit(fmt).alias("fmt"),
+                "conv_id",
+                "turn_idx",
+                flat.alias("export_text"),
+                n_words.alias("n_words"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    out = out.persist()
+    out.count()  # eager: swap the page-bearing built cache for the text rows
+    built.unpersist()
+    return out
 
 
 _PDF_ORACLE = f"""
@@ -263,28 +251,6 @@ def ocr_extract_pdf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_pages").cast("long").alias("n_pages"),
         F.col("n_words").cast("long").alias("n_words"),
     )
-
-
-_HTML_ORACLE = _MD_ORACLE.replace("AS md_text", "AS html_text")
-
-
-def export_html_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HTML export surface end to end (`kernels.exporters.export_html`,
-    reference `doctr/io/exporters.py:512-540`), oracle-checked the hOCR way:
-    stripping the ``<p>``/``<br>``/``<hr>`` markup must reproduce exactly
-    the flagship token stream and its word count (the markup itself is
-    golden-tested in tests/test_exporters_kie.py)."""
-    from doctr_spark.operators.build import build_pages
-    from doctr_spark.operators.detect import detect_and_crop
-    from doctr_spark.operators.kie import export_documents
-    from doctr_spark.operators.recognize import recognize
-
-    t = transcripts_from_documents(spark, sf_dir)
-    built = build_pages(recognize(detect_and_crop(decode_pages(t))))
-    doc = export_documents(built, "html")
-    flat = F.trim(F.regexp_replace(F.regexp_replace("content", "<[^>]+>", " "), r"\s+", " "))
-    n_words = F.when(flat == "", F.lit(0)).otherwise(F.size(F.split(flat, " "))).cast("long")
-    return doc.select("conv_id", "turn_idx", flat.alias("html_text"), n_words.alias("n_words"))
 
 
 _ROUNDTRIP_ORACLE = """
@@ -436,16 +402,10 @@ def metric_table_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _metric_box_iou(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from doctr_spark.operators.metrics import box_iou_events
+def _metric_geometry_iou(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from doctr_spark.operators.metrics import geometry_iou_events
 
-    return box_iou_events(spark, sf_dir)
-
-
-def _metric_polygon_iou(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from doctr_spark.operators.metrics import polygon_iou_events
-
-    return polygon_iou_events(spark, sf_dir)
+    return geometry_iou_events(spark, sf_dir)
 
 
 def _sf_from_dir(sf_dir: str) -> float:
@@ -570,48 +530,31 @@ def ocr_extract_rtl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _MC_ORACLE = f"""
-SELECT conv_id, turn_idx::INT AS turn_idx, gt_text AS extracted_text,
+SELECT mode, conv_id, turn_idx::INT AS turn_idx, gt_text AS extracted_text,
        n_pages::BIGINT AS n_pages, n_words::BIGINT AS n_words
 FROM read_parquet('{ORACLE_SCRATCH}/mc_gt/*.parquet')
 """
 
 
 def ocr_extract_multicolumn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Layout-aware reading order end to end: two-column pages with a
-    bridging title, header/footer/footnote furniture, and a photo float
-    with a hugging caption, extracted with ``keep_reading_order=True`` (the
-    builder consumes the in-pipeline layout predictor's regions). The
-    staged oracle is the generator's designed reading-order text — title,
-    full left column, full right column — which the naive y-sorted builder
-    would interleave."""
-    from doctr_spark.fixtures.multicolumn import generate_multicolumn_transcripts
+    """Layout-aware reading order end to end, BOTH renders in one slot
+    (the driver caps correctness rows at 50 queries): two-column pages
+    with a bridging title, header/footer/footnote furniture, and a photo
+    float with a hugging caption, extracted with
+    ``keep_reading_order=True`` (the builder consumes the in-pipeline
+    layout predictor's regions).
 
-    tdf, gdf = generate_multicolumn_transcripts(spark, 40, with_gt=True)
-    _stage_expectation(gdf, "mc_gt")
-    return extract_documents(tdf, keep_reading_order=True).select(
-        "conv_id",
-        "turn_idx",
-        "extracted_text",
-        F.col("n_pages").cast("long").alias("n_pages"),
-        F.col("n_words").cast("long").alias("n_words"),
-    )
-
-
-_MC_BARE_ORACLE = f"""
-SELECT conv_id, turn_idx::INT AS turn_idx, gt_text AS extracted_text,
-       n_words::BIGINT AS n_words
-FROM read_parquet('{ORACLE_SCRATCH}/mc_bare_gt/*.parquet')
-"""
-
-
-def ocr_extract_multicolumn_bare(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The ``include_furniture=False`` render end to end (reference
-    `doctr/io/exporters.py:346-347`): same multicolumn pages, but the
-    extraction must drop exactly the page-header, footnote and footer
-    blocks. The staged oracle filters the generator's full reading-order
-    ground truth by the per-block roles the fixture emits (`gt_roles`,
-    parallel to the blocks) — position-independent, so a fixture-layout
-    change cannot silently shift which blocks count as furniture."""
+    * ``mode='layout'`` — the full render; the staged oracle is the
+      generator's designed reading-order text — title, full left column,
+      full right column — which the naive y-sorted builder would
+      interleave.
+    * ``mode='bare'`` — the ``include_furniture=False`` render (reference
+      `doctr/io/exporters.py:346-347`): the extraction must drop exactly
+      the page-header, footnote and footer blocks. Its oracle filters the
+      full ground truth by the per-block roles the fixture emits
+      (`gt_roles`, parallel to the blocks) — position-independent, so a
+      fixture-layout change cannot silently shift which blocks count as
+      furniture."""
     from doctr_spark.fixtures.multicolumn import (
         bare_gt_text,
         generate_multicolumn_transcripts,
@@ -619,21 +562,42 @@ def ocr_extract_multicolumn_bare(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tdf, gdf = generate_multicolumn_transcripts(spark, 40, with_gt=True)
     bare_text = bare_gt_text()
-    bare = gdf.select(
+    gt = gdf.select(
+        F.lit("layout").alias("mode"),
         "conv_id",
         "turn_idx",
-        bare_text.alias("gt_text"),
-        F.size(F.split(bare_text, r"\s+")).cast("long").alias("n_words"),
+        "gt_text",
+        "n_pages",
+        "n_words",
+    ).unionByName(
+        gdf.select(
+            F.lit("bare").alias("mode"),
+            "conv_id",
+            "turn_idx",
+            bare_text.alias("gt_text"),
+            "n_pages",
+            F.size(F.split(bare_text, r"\s+")).cast(gdf.schema["n_words"].dataType).alias("n_words"),
+        )
     )
-    _stage_expectation(bare, "mc_bare_gt")
-    docs = extract_documents(tdf, keep_reading_order=True, include_furniture=False)
+    _stage_expectation(gt, "mc_gt")
+    full = extract_documents(tdf, keep_reading_order=True)
+    bare = extract_documents(tdf, keep_reading_order=True, include_furniture=False)
     flat = F.coalesce(F.col("extracted_text"), F.lit(""))
-    return docs.select(
-        "conv_id",
-        "turn_idx",
-        "extracted_text",
-        F.size(F.split(flat, r"\s+")).cast("long").alias("n_words"),
-    )
+
+    def _proj(df: DataFrame, mode: str, recount: bool) -> DataFrame:
+        n = (
+            F.size(F.split(flat, r"\s+")) if recount else F.col("n_words")
+        )
+        return df.select(
+            F.lit(mode).alias("mode"),
+            "conv_id",
+            "turn_idx",
+            "extracted_text",
+            F.col("n_pages").cast("long").alias("n_pages"),
+            n.cast("long").alias("n_words"),
+        )
+
+    return _proj(full, "layout", False).unionByName(_proj(bare, "bare", True))
 
 
 _ACCENT_ORACLE = f"""
@@ -999,6 +963,7 @@ def dataset_loaders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sroie": (archives.fabricate_sroie, dsets.load_sroie),
         "synthtext": (archives.fabricate_synthtext, dsets.load_synthtext),
         "iiit5k": (archives.fabricate_iiit5k, dsets.load_iiit5k),
+        "svhn": (archives.fabricate_svhn, dsets.load_svhn),
     }
     exp_rows, outs = [], []
     for name, (fab, load) in fabs.items():
@@ -1066,16 +1031,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ocr_extract_resampled": ocr_extract_resampled,
         "ocr_extract_multicolumn": ocr_extract_multicolumn,
         "ocr_extract_rtl": ocr_extract_rtl,
-        "ocr_extract_multicolumn_bare": ocr_extract_multicolumn_bare,
         "ocr_media_metadata": ocr_media_metadata,
         "ocr_artefacts": ocr_artefacts,
         "ocr_layout_regions": ocr_layout_regions,
         "kie_class_counts": kie_counts_documents,
         "kie_class_values": kie_values_documents,
-        "export_hocr": export_hocr_documents,
-        "export_markdown": export_markdown_documents,
-        "export_asciidoc": export_asciidoc_documents,
-        "export_html": export_html_documents,
+        "export_formats": export_formats_documents,
         "export_roundtrip": export_roundtrip_documents,
         "export_synthesize_roundtrip": export_synthesize_roundtrip,
         "dataset_loaders": dataset_loaders,
@@ -1092,8 +1053,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_cosine_topk": similarity.cosine_topk,
         "similarity_lsh_ann": similarity.lsh_bucket_ann,
         "similarity_ivf_ann": similarity.ivf_ann,
-        "similarity_near_dups": similarity.embedding_near_dups,
-        "similarity_dedup_clusters": similarity.embedding_dedup_clusters,
+        "similarity_near_dup_clusters": similarity.near_dup_report,
         # text analysis
         "text_stats": text_analysis.text_stats,
         "text_lang_id": text_analysis.lang_id,
@@ -1108,18 +1068,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_source_stats": text_analysis.source_stats,
         "text_char_entropy": text_analysis.char_entropy,
         # metrics
-        "metric_box_iou": _metric_box_iou,
-        "metric_polygon_iou": _metric_polygon_iou,
+        "metric_geometry_iou": _metric_geometry_iou,
         "metric_localization": metric_localization,
         "metric_table_cells": metric_table_cells,
         "metric_artefact_detection": metric_artefact_detection,
         "metric_object_detection_map": metric_object_detection_map,
         # relational / window
-        "rel_pricing_summary": relational.pricing_summary,
-        "rel_top_customers": relational.top_customers,
+        "rel_aggregates": relational.aggregates,
         "rel_events_sessionize": relational.events_sessionize,
-        "rel_events_topk": relational.events_topk,
-        "rel_bbox_aggregate": relational.bbox_aggregate,
+        "rel_topk": relational.topk,
     }
     return q
 
@@ -1130,10 +1087,7 @@ def oracle_sql() -> dict[str, str]:
         "ocr_word_stats": _WORD_STATS_ORACLE,
         "kie_class_counts": _KIE_ORACLE,
         "kie_class_values": _KIE_VALUES_ORACLE,
-        "export_hocr": _HOCR_ORACLE,
-        "export_markdown": _MD_ORACLE,
-        "export_asciidoc": _ADOC_ORACLE,
-        "export_html": _HTML_ORACLE,
+        "export_formats": _EXPORT_FMT_ORACLE,
         "export_roundtrip": _ROUNDTRIP_ORACLE,
         "export_synthesize_roundtrip": _SYNTH_RT_ORACLE,
         "ocr_extract_synthetic": _SYNTH_ORACLE,
@@ -1143,16 +1097,14 @@ def oracle_sql() -> dict[str, str]:
         "ocr_extract_resampled": _RESAMPLE_ORACLE,
         "ocr_extract_multicolumn": _MC_ORACLE,
         "ocr_extract_rtl": _RTL_ORACLE,
-        "ocr_extract_multicolumn_bare": _MC_BARE_ORACLE,
         "ocr_media_metadata": _MEDIA_ORACLE,
         "ocr_artefacts": _ARTEFACT_ORACLE,
         "ocr_layout_regions": _REGION_ORACLE,
         "dataset_loaders": _DATASET_ORACLE,
     }
-    from doctr_spark.operators.metrics import BOX_IOU_ORACLE, POLY_IOU_ORACLE
+    from doctr_spark.operators.metrics import GEOM_IOU_ORACLE
 
-    oracles["metric_box_iou"] = BOX_IOU_ORACLE
-    oracles["metric_polygon_iou"] = POLY_IOU_ORACLE
+    oracles["metric_geometry_iou"] = GEOM_IOU_ORACLE
     oracles["metric_localization"] = _LOC_ORACLE
     oracles["metric_table_cells"] = _TABLE_CELL_ORACLE
     oracles["metric_artefact_detection"] = _DET_METRIC_ORACLE

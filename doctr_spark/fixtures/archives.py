@@ -504,3 +504,55 @@ def fabricate_iiit5k(root: str, n_imgs: int = 4, seed: int = 14) -> list[dict]:
         _touch(f"{root}/{img}")
     savemat(f"{root}/trainCharBound.mat", {"trainCharBound": StructArray(recs)})
     return expected
+
+
+def fabricate_svhn(root: str, n_imgs: int = 4, seed: int = 15) -> list[dict]:
+    """SVHN digitStruct.mat (MATLAB v7.3 = HDF5), written with the
+    from-scratch codec `kernels/hdf5.py`: /digitStruct/name references
+    uint16 char matrices; /digitStruct/bbox references per-image groups
+    whose height/left/top/width/label fields are (1,1) float64 scalars for
+    single-digit images (i == 0 exercises that branch, like the
+    reference's ``box["left"].shape[0] == 1`` split) and columns of object
+    references to scalars otherwise."""
+    import numpy as np
+
+    from ..kernels.hdf5 import H5Writer
+
+    rng = random.Random(seed)
+    _mkdirs(root)
+    w = H5Writer()
+    name_ids, bbox_ids, expected = [], [], []
+    for i in range(n_imgs):
+        img = f"{i + 1}.png"
+        n_digits = 1 if i == 0 else rng.randrange(2, 5)
+        x = float(rng.randrange(5, 30))
+        y = float(rng.randrange(5, 20))
+        fields: dict[str, list[float]] = {"left": [], "top": [], "width": [], "height": [], "label": []}
+        labels, boxes = [], []
+        for _ in range(n_digits):
+            bw, bh = float(rng.randrange(8, 20)), float(rng.randrange(20, 40))
+            lab = float(rng.randrange(1, 11))  # SVHN: 10 encodes the digit 0
+            fields["left"].append(x)
+            fields["top"].append(y)
+            fields["width"].append(bw)
+            fields["height"].append(bh)
+            fields["label"].append(lab)
+            labels.append(str(int(lab)))
+            boxes.append([x, y, x + bw, y + bh])
+            x += bw + 2
+        members = {}
+        for key, vals in fields.items():
+            if n_digits == 1:
+                members[key] = w.dataset(np.array([[vals[0]]]))
+            else:
+                scalar_ids = [w.dataset(np.array([[v]])) for v in vals]
+                members[key] = w.ref_dataset(scalar_ids)
+        bbox_ids.append(w.group(members))
+        name_ids.append(
+            w.dataset(np.array([[ord(c)] for c in img], dtype=np.uint16))
+        )
+        expected.append({"img_path": f"{root}/{img}", "labels": labels, "boxes": boxes})
+        _touch(f"{root}/{img}")
+    ds = w.group({"name": w.ref_dataset(name_ids), "bbox": w.ref_dataset(bbox_ids)})
+    w.save(f"{root}/digitStruct.mat", w.group({"digitStruct": ds}))
+    return expected

@@ -610,21 +610,62 @@ def load_imgur5k(
     return _assemble(words, use_polygons=False)
 
 
-def _gated_mat_loader(name: str, fmt: str, ref: str):
-    def _loader(*args, **kwargs):
-        raise NotImplementedError(
-            f"{name} annotations ship as {fmt}, which needs scipy/h5py — absent in this "
-            f"environment. The parse contract is documented at reference {ref}; once the "
-            "lib is present the rows feed the same _assemble() path as the other loaders."
-        )
+def load_svhn(
+    spark: SparkSession, folder: str, train: bool = True, use_polygons: bool = False
+) -> DataFrame:
+    """SVHN loader (reference `doctr/datasets/svhn.py:82-127`, h5py
+    replaced by the from-scratch HDF5 codec `kernels/hdf5.py`):
+    ``digitStruct.mat`` is a MATLAB v7.3 = HDF5 file where
+    ``/digitStruct/name`` holds object references to uint16 char matrices
+    (the filenames) and ``/digitStruct/bbox`` references one group per
+    image with height/left/top/width/label fields — each a (1,1) float64
+    scalar for single-digit images or a column of object references to
+    scalars for multi-digit ones (both branches, like the reference's
+    ``box["left"].shape[0] == 1`` split). Boxes are [left, top, w, h] ->
+    xyxy; labels are ``str(int(label))`` for parity (SVHN keeps '10' for
+    the digit 0, and so does the reference)."""
 
-    _loader.__name__ = f"load_{name.lower()}"
-    _loader.__doc__ = f"GATED: {name} ({fmt}) — scipy/h5py not available here (see {ref})."
-    return _loader
+    raw = spark.read.format("binaryFile").load(f"{folder}/digitStruct.mat").select("content")
 
+    def fn(batches):
+        import pandas as pd
 
-# binary-container annotation formats: gated on missing scientific-IO libs
-load_svhn = _gated_mat_loader("SVHN", "HDF5 digitStruct.mat", "doctr/datasets/svhn.py:62-120")
+        from ..kernels.hdf5 import H5File
+
+        for pdf in batches:
+            rows = []
+            for blob in pdf["content"]:
+                f = H5File(bytes(blob))
+                names = f["digitStruct/name"]
+                bboxes = f["digitStruct/bbox"]
+                for i in range(names.shape[0]):
+                    img = "".join(map(chr, f.deref(names.data[i, 0]).data.flatten()))
+                    box = f.deref(bboxes.data[i, 0])
+
+                    def field(key):
+                        ds = box[key]
+                        if ds.is_ref:
+                            return [int(f.deref(r).data.item()) for r in ds.data[:, 0]]
+                        return [int(ds.data[0, 0])]
+
+                    lefts, tops = field("left"), field("top")
+                    widths, heights = field("width"), field("height")
+                    labels = field("label")
+                    for o, (x, y, bw, bh, lab) in enumerate(
+                        zip(lefts, tops, widths, heights, labels)
+                    ):
+                        rows.append(
+                            (
+                                f"{folder}/{img}",
+                                o,
+                                [float(x), float(y), float(x + bw), float(y + bh)],
+                                str(lab),
+                            )
+                        )
+            yield pd.DataFrame(rows, columns=["img_path", "ord", "box", "label"])
+
+    words = raw.mapInPandas(fn, "img_path string, ord long, box array<double>, label string")
+    return _assemble(words, use_polygons)
 
 
 def _mat_word_rows(spark: SparkSession, mat_path: str, parse_fn) -> DataFrame:

@@ -389,3 +389,24 @@ def polygon_iou_events(spark, sf_dir: str) -> DataFrame:
 # identical arithmetic to BOX_IOU_ORACLE: a rigid rotation of both boxes
 # preserves their IoU exactly, so the straight-box formula IS the oracle
 POLY_IOU_ORACLE = BOX_IOU_ORACLE
+
+
+def geometry_iou_events(spark, sf_dir: str) -> DataFrame:
+    """Both IoU primitives in one driver slot (the driver caps correctness
+    rows at 50 queries): the native-expression straight-box IoU and the
+    Sutherland-Hodgman rotated-polygon IoU over the same deterministic
+    pairs, union-tagged by kind."""
+    box = box_iou_events(spark, sf_dir).select(
+        F.lit("box").alias("kind"), "event_id", "iou"
+    )
+    poly = polygon_iou_events(spark, sf_dir).select(
+        F.lit("polygon").alias("kind"), "event_id", "iou"
+    )
+    return box.unionByName(poly)
+
+
+GEOM_IOU_ORACLE = f"""
+SELECT k.kind, b.event_id, b.iou
+FROM ({BOX_IOU_ORACLE}) b
+CROSS JOIN (SELECT unnest(['box', 'polygon']) AS kind) k
+"""

@@ -123,6 +123,67 @@ def bbox_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregation surface in one driver slot: the TPC-H Q1-style pricing
+    summary (:func:`pricing_summary`) and the enclosing-bbox fold
+    (:func:`bbox_aggregate`) union-tagged into a null-padded common schema
+    (the driver caps correctness rows at 50 queries, so independent
+    operators share a slot without losing their per-value hash check)."""
+    nd = F.lit(None).cast("double")
+    p = pricing_summary(spark, sf_dir).select(
+        F.lit("pricing").alias("part"),
+        F.col("l_returnflag").alias("key1"),
+        F.col("l_linestatus").alias("key2"),
+        "sum_qty",
+        "sum_base_price",
+        "sum_disc_price",
+        "avg_qty",
+        "avg_disc",
+        F.col("count_order").alias("n_rows"),
+        nd.alias("xmin"),
+        nd.alias("ymin"),
+        nd.alias("xmax"),
+        nd.alias("ymax"),
+    )
+    b = bbox_aggregate(spark, sf_dir).select(
+        F.lit("bbox").alias("part"),
+        F.col("user_id").cast("string").alias("key1"),
+        F.lit(None).cast("string").alias("key2"),
+        nd.alias("sum_qty"),
+        nd.alias("sum_base_price"),
+        nd.alias("sum_disc_price"),
+        nd.alias("avg_qty"),
+        nd.alias("avg_disc"),
+        F.col("n_boxes").alias("n_rows"),
+        "xmin",
+        "ymin",
+        "xmax",
+        "ymax",
+    )
+    return p.unionByName(b)
+
+
+def topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking surface in one driver slot: revenue-by-nation over two
+    broadcast dims (:func:`top_customers`) and per-user window top-k
+    (:func:`events_topk`), union-tagged the same way as :func:`aggregates`."""
+    tc = top_customers(spark, sf_dir).select(
+        F.lit("customers").alias("part"),
+        F.col("n_name").alias("grp"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.col("revenue").alias("val"),
+        F.col("n_orders").alias("rnk"),
+    )
+    tk = events_topk(spark, sf_dir).select(
+        F.lit("events").alias("part"),
+        F.col("user_id").cast("string").alias("grp"),
+        "event_id",
+        F.col("value").alias("val"),
+        F.col("rank").cast("long").alias("rnk"),
+    )
+    return tc.unionByName(tk)
+
+
 ORACLES: dict[str, str] = {
     "rel_pricing_summary": """
     SELECT l_returnflag, l_linestatus,
@@ -181,3 +242,34 @@ ORACLES: dict[str, str] = {
     FROM b GROUP BY user_id
     """,
 }
+
+# the driver records correctness rows for at most 50 queries, so the four
+# standalone relational oracles pair up into two union-tagged slots; the
+# underlying SQL is reused verbatim as subqueries
+_PRICING_SQL = ORACLES.pop("rel_pricing_summary")
+_TOPCUST_SQL = ORACLES.pop("rel_top_customers")
+_EVENTS_TOPK_SQL = ORACLES.pop("rel_events_topk")
+_BBOX_SQL = ORACLES.pop("rel_bbox_aggregate")
+
+ORACLES["rel_aggregates"] = f"""
+SELECT 'pricing' AS part, l_returnflag AS key1, l_linestatus AS key2,
+       sum_qty, sum_base_price, sum_disc_price, avg_qty, avg_disc,
+       count_order AS n_rows,
+       NULL::DOUBLE AS xmin, NULL::DOUBLE AS ymin,
+       NULL::DOUBLE AS xmax, NULL::DOUBLE AS ymax
+FROM ({_PRICING_SQL})
+UNION ALL
+SELECT 'bbox', user_id::VARCHAR, NULL::VARCHAR,
+       NULL::DOUBLE, NULL::DOUBLE, NULL::DOUBLE, NULL::DOUBLE, NULL::DOUBLE,
+       n_boxes, xmin, ymin, xmax, ymax
+FROM ({_BBOX_SQL})
+"""
+
+ORACLES["rel_topk"] = f"""
+SELECT 'customers' AS part, n_name AS grp, NULL::BIGINT AS event_id,
+       revenue AS val, n_orders AS rnk
+FROM ({_TOPCUST_SQL})
+UNION ALL
+SELECT 'events', user_id::VARCHAR, event_id, value, rank::BIGINT
+FROM ({_EVENTS_TOPK_SQL})
+"""

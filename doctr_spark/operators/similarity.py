@@ -413,6 +413,36 @@ def embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def near_dup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs AND their connected-component clusters in one driver
+    slot (the driver caps correctness rows at 50 queries): the LSH-bucketed
+    cosine pair list (:func:`embedding_near_dups`) is computed ONCE, then
+    both the pair rows and the large-star/small-star component labels
+    derived from it are union-tagged into a common (kind, id_a, id_b, cos)
+    schema.
+
+    Returns a DataFrame over a PERSISTED pair list — the oracle/bench
+    harnesses clear the cache between queries."""
+    from .dedup import connected_components
+
+    pairs = embedding_near_dups(spark, sf_dir)
+    edges = pairs.select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
+    labels, _ = connected_components(edges)
+    p = pairs.select(
+        F.lit("pair").alias("kind"),
+        F.col("vec_a").alias("id_a"),
+        F.col("vec_b").alias("id_b"),
+        "cos",
+    )
+    c = labels.select(
+        F.lit("cluster").alias("kind"),
+        F.col("doc_id").alias("id_a"),
+        F.col("cluster_id").alias("id_b"),
+        F.lit(None).cast("double").alias("cos"),
+    )
+    return p.unionByName(c)
+
+
 ORACLES["similarity_dedup_clusters"] = f"""
 WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings),
 banded AS ({_band_keys_sql("embedding")}),
@@ -444,4 +474,18 @@ reach AS (
 )
 SELECT node::BIGINT AS vec_id, least(node, min(root))::BIGINT AS cluster_id
 FROM reach GROUP BY node
+"""
+
+# the driver records correctness rows for at most 50 queries, so the pair
+# list and its clustering share one union-tagged slot; the standalone SQL
+# is reused verbatim as subqueries
+_NEAR_DUPS_SQL = ORACLES.pop("similarity_near_dups")
+_CLUSTERS_SQL = ORACLES.pop("similarity_dedup_clusters")
+
+ORACLES["similarity_near_dup_clusters"] = f"""
+SELECT 'pair' AS kind, vec_a AS id_a, vec_b AS id_b, cos
+FROM ({_NEAR_DUPS_SQL})
+UNION ALL
+SELECT 'cluster', vec_id, cluster_id, NULL::DOUBLE
+FROM ({_CLUSTERS_SQL})
 """

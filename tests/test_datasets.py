@@ -197,3 +197,28 @@ def test_loaders_tolerate_corrupt_annotation_files(spark, tmp_path):
     got2 = _collect(ds.load_sroie(spark, root2))
     # the malformed row casts to null coords but must not break the others
     assert set(got2) == set(expected2)
+
+
+def test_svhn_loader_both_branches(spark, tmp_path):
+    """digitStruct.mat via the from-scratch HDF5 codec: image 1 uses the
+    scalar-field branch (single digit), the rest the reference-array
+    branch; labels keep SVHN's '10'-encodes-0 convention like the
+    reference (doctr/datasets/svhn.py:96-104)."""
+    root = str(tmp_path / "svhn")
+    expected = _by_img(archives.fabricate_svhn(root))
+    got = _collect(ds.load_svhn(spark, root, train=True))
+    assert set(got) == set(expected)
+    for p, exp in expected.items():
+        assert got[p]["labels"] == exp["labels"]
+        assert [list(b) for b in got[p]["boxes"]] == exp["boxes"]
+    assert any(len(e["labels"]) == 1 for e in expected.values())
+    assert any(len(e["labels"]) > 1 for e in expected.values())
+
+
+def test_svhn_polygons_mode(spark, tmp_path):
+    root = str(tmp_path / "svhn_poly")
+    expected = _by_img(archives.fabricate_svhn(root))
+    got = _collect(ds.load_svhn(spark, root, use_polygons=True))
+    for p, exp in expected.items():
+        for corners, (x0, y0, x1, y1) in zip(got[p]["boxes"], exp["boxes"]):
+            assert [list(c) for c in corners] == [[x0, y0], [x1, y0], [x1, y1], [x0, y1]]

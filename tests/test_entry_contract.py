@@ -22,8 +22,14 @@ FAST_SUBSET = [
     "similarity_cosine_topk",
     "text_stats",
     "rel_events_sessionize",
-    "rel_pricing_summary",
+    "rel_aggregates",
 ]
+
+
+def test_query_count_within_driver_cap():
+    """The driver records correctness rows for at most 50 queries; a 51st
+    entry silently loses its oracle check (round-5 blind spot)."""
+    assert len(entry_mod.queries()) <= 50
 
 
 @pytest.fixture(scope="module")
