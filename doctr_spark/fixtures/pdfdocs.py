@@ -27,8 +27,11 @@ def _word(rng: np.random.Generator) -> str:
     return "".join(_CHARS[i] for i in rng.integers(0, len(_CHARS), n))
 
 
-def gen_pdf_page(rng: np.random.Generator) -> tuple[list[tuple[int, int, str]], str, int]:
-    """One page of packed word rows; returns (placements, gt_text, n_words)."""
+def gen_pdf_page(
+    rng: np.random.Generator, scale: int = 1
+) -> tuple[list[tuple[int, int, str]], str, int]:
+    """One page of packed word rows; returns (placements, gt_text, n_words).
+    ``scale`` lays the page out at that glyph scale (font size 12*scale)."""
     placements: list[tuple[int, int, str]] = []
     lines: list[list[str]] = []
     y = MARGIN
@@ -37,18 +40,18 @@ def gen_pdf_page(rng: np.random.Generator) -> tuple[list[tuple[int, int, str]], 
         x = MARGIN
         while True:
             w = _word(rng)
-            if x + word_width(w) > PAGE_W - MARGIN or len(words) >= 7:
+            if x + word_width(w) * scale > PAGE_W - MARGIN or len(words) >= 7:
                 break
             placements.append((x, y, w))
             words.append(w)
-            x += word_width(w) + WORD_GAP
+            x += (word_width(w) + WORD_GAP) * scale
         if len(words) >= 2:
             lines.append(words)
         else:
             placements = placements[: len(placements) - len(words)]
             continue
-        y += _ROW_PITCH
-        if y + GLYPH_H > PAGE_H - MARGIN:
+        y += _ROW_PITCH * scale
+        if y + GLYPH_H * scale > PAGE_H - MARGIN:
             break
     gt = "\n".join(" ".join(ws) for ws in lines)
     return placements, gt, sum(len(ws) for ws in lines)
@@ -62,14 +65,27 @@ def gen_pdf_conversation(conv_no: int, seed: int = 42) -> tuple[list[dict], list
     rows, gts = [], []
     for t in range(n_turns):
         n_pages = int(rng.integers(1, 3))
+        # cycle the writer variants so every parser path runs end to end:
+        # raw / FlateDecode, per-word Tm vs kerned [..] TJ arrays,
+        # ASCIIHexDecode, PDF 1.5 object+xref streams, and Tf 24 (glyph
+        # scale 2 through the crop normalizer)
+        mode = (conv_no + t) % 6
+        scale = 2 if mode == 5 else 1
         page_words, gt_pages, n_words = [], [], 0
         for _ in range(n_pages):
-            placements, gt, n = gen_pdf_page(rng)
+            placements, gt, n = gen_pdf_page(rng, scale)
             page_words.append(placements)
             gt_pages.append(gt)
             n_words += n
-        # alternate raw / FlateDecode streams so both parser paths run
-        blob = write_pdf(page_words, (PAGE_H, PAGE_W), compress=bool((conv_no + t) % 2))
+        blob = write_pdf(
+            page_words,
+            (PAGE_H, PAGE_W),
+            compress=mode in (1, 4, 5),
+            use_tj=mode in (2, 4),
+            ascii_hex=mode == 3,
+            pdf15=mode == 4,
+            font_size=12 * scale,
+        )
         rows.append(
             {
                 "conv_id": conv_id,

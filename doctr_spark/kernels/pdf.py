@@ -2,25 +2,37 @@
 
 The reference rasterizes PDFs with pypdfium2 (`doctr/io/pdf.py:16-43`),
 which this container lacks. Like the MAT v5 codec (`kernels/matv5.py`),
-this module implements the subset of the PUBLIC PDF 1.4 specification the
+this module implements the subset of the PUBLIC PDF specification the
 engine needs, from scratch against the spec (ISO 32000 / the Adobe PDF
-Reference): indirect objects + xref, page tree, MediaBox, content streams
-(raw or /FlateDecode — zlib is stdlib), and the text-showing operators
-``BT/ET``, ``Tm`` (text matrix; translation part), ``Td`` (relative text
-displacement) and ``(…) Tj`` with the ``\\( \\) \\\\`` escapes. Everything
-else is either ignored (graphics state the rasterizer does not need) or
-rejected LOUDLY (unknown stream filters, encrypted files), preserving the
-disclosed-gate contract for PDFs beyond the subset.
+Reference):
+
+* indirect objects + classic xref, page tree, MediaBox,
+* PDF 1.5 cross-reference STREAMS and object streams (``/Type /ObjStm``,
+  §7.5.7-7.5.8): dict-only objects packed inside a compressed stream,
+  ``/Root`` discovered from the xref stream's own dictionary,
+* content streams raw, ``/FlateDecode`` (zlib is stdlib) or
+  ``/ASCIIHexDecode``,
+* text operators ``BT/ET``, ``Tm`` (translation part), ``Td``, ``Tf``
+  (font SIZE: glyph scale = size/12, integer scales rasterize), ``(…) Tj``
+  with the ``\\( \\) \\\\`` escapes, and ``[…] TJ`` arrays whose kerning
+  numbers displace the text position by ``-n/1000 * size`` (§9.4.3) —
+  both show operators advance the position by the shown width.
+
+Everything else is either ignored (graphics state the rasterizer does not
+need) or rejected LOUDLY (unknown stream filters, filter chains,
+encryption, non-integer glyph scales), preserving the disclosed-gate
+contract for PDFs beyond the subset.
 
 Rasterization draws each extracted word in the deterministic glyph font,
 so a parsed page flows through the standard detection → recognition
 pipeline bit-exactly. Coordinates: PDF space is y-up from the bottom-left;
 the writer stores a word whose TOP sits at ``y_top`` as
-``pdf_y = page_h - y_top - GLYPH_H`` and the parser inverts it.
+``pdf_y = page_h - y_top - GLYPH_H*scale`` and the parser inverts it.
 """
 
 from __future__ import annotations
 
+import binascii
 import re
 import zlib
 
@@ -28,15 +40,20 @@ import numpy as np
 
 from ..config import GLYPH_H
 
+BASE_FONT_SIZE = 12  # Tf size that renders the glyph font at scale 1
+
 _OBJ_RE = re.compile(rb"(\d+)\s+0\s+obj(.*?)endobj", re.DOTALL)
 _STREAM_RE = re.compile(rb"stream\r?\n")
 _REF_RE = re.compile(rb"(\d+)\s+0\s+R")
-_TM_TD_TJ_RE = re.compile(
+_TEXT_OP_RE = re.compile(
     rb"(?:(-?[\d.]+)\s+(-?[\d.]+)\s+(-?[\d.]+)\s+(-?[\d.]+)\s+(-?[\d.]+)\s+(-?[\d.]+)\s+Tm)"
     rb"|(?:(-?[\d.]+)\s+(-?[\d.]+)\s+Td)"
     rb"|(?:\(((?:[^()\\]|\\.)*)\)\s*Tj)"
-    rb"|(BT)|(ET)"
+    rb"|(BT)"
+    rb"|(?:/\w+\s+(-?[\d.]+)\s+Tf)"
+    rb"|(?:\[((?:\((?:[^()\\]|\\.)*\)|[^\[\]()])*)\]\s*TJ)"
 )
+_TJ_ELEM_RE = re.compile(rb"\(((?:[^()\\]|\\.)*)\)|(-?[\d.]+)")
 
 
 def _esc(s: str) -> str:
@@ -52,73 +69,200 @@ def _unesc(b: bytes) -> str:
     )
 
 
+def _fmt_num(v: float) -> str:
+    s = f"{v:.10f}".rstrip("0").rstrip(".")
+    return s or "0"
+
+
+def _content_ops(
+    words: list[tuple[int, int, str]], h: int, use_tj: bool, font_size: int
+) -> bytes:
+    """One page's text operators. ``use_tj`` groups each baseline run into
+    a single ``[…] TJ`` array whose kerning numbers carry the inter-word
+    gaps (exercising the §9.4.3 displacement math); otherwise every word
+    gets its own ``Tm … Tj``."""
+    from .glyphs import word_width
+
+    scale = font_size // BASE_FONT_SIZE
+    ops = [b"BT /F1 %d Tf" % font_size]
+    if not use_tj:
+        for x, y_top, word in words:
+            pdf_y = h - int(y_top) - GLYPH_H * scale
+            ops.append(f"1 0 0 1 {int(x)} {pdf_y} Tm ({_esc(word)}) Tj".encode("latin-1"))
+    else:
+        runs: list[list[tuple[int, int, str]]] = []
+        for x, y_top, word in sorted(words, key=lambda p: (p[1], p[0])):
+            if runs and runs[-1][-1][1] == y_top:
+                runs[-1].append((x, y_top, word))
+            else:
+                runs.append([(x, y_top, word)])
+        for run in runs:
+            x0, y_top, _ = run[0]
+            pdf_y = h - int(y_top) - GLYPH_H * scale
+            elems, cur = [], float(x0)
+            for x, _, word in run:
+                gap = x - cur
+                if gap:
+                    elems.append(_fmt_num(-gap * 1000.0 / font_size))
+                elems.append(f"({_esc(word)})")
+                cur = x + word_width(word) * scale
+            ops.append(
+                f"1 0 0 1 {int(x0)} {pdf_y} Tm [{' '.join(elems)}] TJ".encode("latin-1")
+            )
+    ops.append(b"ET")
+    return b"\n".join(ops)
+
+
+def _encode_stream(raw: bytes, compress: bool, ascii_hex: bool) -> tuple[bytes, bytes]:
+    if ascii_hex:
+        data = binascii.hexlify(raw) + b">"
+        return data, b"/Filter /ASCIIHexDecode "
+    if compress:
+        data = zlib.compress(raw)
+        return data, b"/Filter /FlateDecode "
+    return raw, b""
+
+
 def write_pdf(
     pages: list[list[tuple[int, int, str]]],
     page_hw: tuple[int, int],
     compress: bool = False,
+    *,
+    use_tj: bool = False,
+    ascii_hex: bool = False,
+    font_size: int = BASE_FONT_SIZE,
+    pdf15: bool = False,
 ) -> bytes:
-    """Write a real PDF: one content stream per page, each word as
-    ``1 0 0 1 x y Tm (word) Tj`` inside a BT/ET block; ``pages`` holds
-    per-page ``(x, y_top, word)`` placements in top-down pixel space."""
+    """Write a real PDF; ``pages`` holds per-page ``(x, y_top, word)``
+    placements in top-down pixel space (at the glyph scale implied by
+    ``font_size``, which must be an integer multiple of 12).
+
+    ``pdf15=True`` emits a PDF 1.5 file: all dictionary-only objects
+    packed into a ``/Type /ObjStm`` object stream and the cross-reference
+    written as an xref STREAM (``/Type /XRef``, ``/W [1 4 2]``) carrying
+    ``/Root`` — no classic ``xref`` table or ``trailer`` keyword."""
+    if font_size % BASE_FONT_SIZE:
+        raise ValueError("font_size must be an integer multiple of 12 (glyph scale)")
     h, w = page_hw
-    objs: list[bytes] = []  # object bodies, 1-indexed
-
-    def add(body: bytes) -> int:
-        objs.append(body)
-        return len(objs)
-
-    font = add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
-    page_ids, content_ids = [], []
+    contents: list[bytes] = []  # full stream objects, numbered 1..K
     for words in pages:
-        ops = [b"BT /F1 12 Tf"]
-        for x, y_top, word in words:
-            pdf_y = h - int(y_top) - GLYPH_H
-            ops.append(f"1 0 0 1 {int(x)} {pdf_y} Tm ({_esc(word)}) Tj".encode("latin-1"))
-        ops.append(b"ET")
-        raw = b"\n".join(ops)
-        if compress:
-            data = zlib.compress(raw)
-            head = b"<< /Length %d /Filter /FlateDecode >>" % len(data)
-        else:
-            data = raw
-            head = b"<< /Length %d >>" % len(data)
-        content_ids.append(add(head + b"\nstream\n" + data + b"\nendstream"))
-    pages_id = len(objs) + len(pages) + 1  # forward ref: pages node comes after
-    for cid in content_ids:
-        page_ids.append(
-            add(
-                b"<< /Type /Page /Parent %d 0 R /MediaBox [0 0 %d %d] "
-                b"/Contents %d 0 R /Resources << /Font << /F1 %d 0 R >> >> >>"
-                % (pages_id, w, h, cid, font)
-            )
+        raw = _content_ops(words, h, use_tj, font_size)
+        data, filt = _encode_stream(raw, compress, ascii_hex)
+        contents.append(
+            b"<< /Length %d %s>>\nstream\n" % (len(data), filt) + data + b"\nendstream"
         )
-    kids = b" ".join(b"%d 0 R" % p for p in page_ids)
-    assert add(
-        b"<< /Type /Pages /Kids [%s] /Count %d >>" % (kids, len(page_ids))
-    ) == pages_id
-    catalog = add(b"<< /Type /Catalog /Pages %d 0 R >>" % pages_id)
+    k = len(contents)
+    # dict-only objects, numbered K+1..K+4+pages
+    font_id, pages_id = k + 1, k + 2
+    catalog_id = k + 3
+    page_ids = list(range(k + 4, k + 4 + len(pages)))
+    dict_objs: dict[int, bytes] = {
+        font_id: b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        pages_id: b"<< /Type /Pages /Kids [%s] /Count %d >>"
+        % (b" ".join(b"%d 0 R" % p for p in page_ids), len(page_ids)),
+        catalog_id: b"<< /Type /Catalog /Pages %d 0 R >>" % pages_id,
+    }
+    for pid, cid in zip(page_ids, range(1, k + 1)):
+        dict_objs[pid] = (
+            b"<< /Type /Page /Parent %d 0 R /MediaBox [0 0 %d %d] "
+            b"/Contents %d 0 R /Resources << /Font << /F1 %d 0 R >> >> >>"
+            % (pages_id, w, h, cid, font_id)
+        )
 
-    out = bytearray(b"%PDF-1.4\n")
-    offsets = []
-    for i, body in enumerate(objs, start=1):
-        offsets.append(len(out))
-        out += b"%d 0 obj\n" % i + body + b"\nendobj\n"
-    xref_at = len(out)
-    out += b"xref\n0 %d\n" % (len(objs) + 1)
-    out += b"0000000000 65535 f \n"
-    for off in offsets:
-        out += b"%010d 00000 n \n" % off
-    out += (
-        b"trailer\n<< /Size %d /Root %d 0 R >>\nstartxref\n%d\n%%%%EOF\n"
-        % (len(objs) + 1, catalog, xref_at)
+    if not pdf15:
+        out = bytearray(b"%PDF-1.4\n")
+        offsets = []
+        bodies = contents + [dict_objs[n] for n in sorted(dict_objs)]
+        for i, body in enumerate(bodies, start=1):
+            offsets.append(len(out))
+            out += b"%d 0 obj\n" % i + body + b"\nendobj\n"
+        xref_at = len(out)
+        n_objs = len(bodies)
+        out += b"xref\n0 %d\n" % (n_objs + 1)
+        out += b"0000000000 65535 f \n"
+        for off in offsets:
+            out += b"%010d 00000 n \n" % off
+        out += (
+            b"trailer\n<< /Size %d /Root %d 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+            % (n_objs + 1, catalog_id, xref_at)
+        )
+        return bytes(out)
+
+    # -- PDF 1.5: object stream + xref stream
+    objstm_id = k + 4 + len(pages)
+    xref_id = objstm_id + 1
+    packed_nums = sorted(dict_objs)
+    header, body = [], b""
+    for n in packed_nums:
+        header.append(b"%d %d" % (n, len(body)))
+        body += dict_objs[n] + b"\n"
+    stm_head = b" ".join(header) + b"\n"
+    objstm_raw = stm_head + body
+    objstm_data = zlib.compress(objstm_raw)
+    objstm = (
+        b"<< /Type /ObjStm /N %d /First %d /Length %d /Filter /FlateDecode >>\nstream\n"
+        % (len(packed_nums), len(stm_head), len(objstm_data))
+        + objstm_data
+        + b"\nendstream"
     )
+
+    out = bytearray(b"%PDF-1.5\n")
+    offsets: dict[int, int] = {}
+    for i, blob in enumerate(contents, start=1):
+        offsets[i] = len(out)
+        out += b"%d 0 obj\n" % i + blob + b"\nendobj\n"
+    offsets[objstm_id] = len(out)
+    out += b"%d 0 obj\n" % objstm_id + objstm + b"\nendobj\n"
+    xref_at = len(out)
+    # xref stream rows, /W [1 4 2]: free / type-1 offset / type-2 (objstm, idx)
+    rows = [b"\x00" + (0).to_bytes(4, "big") + (65535).to_bytes(2, "big")]
+    for i in range(1, k + 1):
+        rows.append(b"\x01" + offsets[i].to_bytes(4, "big") + (0).to_bytes(2, "big"))
+    for idx, n in enumerate(packed_nums):
+        rows.append(b"\x02" + objstm_id.to_bytes(4, "big") + idx.to_bytes(2, "big"))
+    rows.append(b"\x01" + offsets[objstm_id].to_bytes(4, "big") + (0).to_bytes(2, "big"))
+    rows.append(b"\x01" + xref_at.to_bytes(4, "big") + (0).to_bytes(2, "big"))
+    xref_data = zlib.compress(b"".join(rows))
+    out += b"%d 0 obj\n" % xref_id
+    out += (
+        b"<< /Type /XRef /Size %d /W [1 4 2] /Index [0 %d] /Root %d 0 R "
+        b"/Length %d /Filter /FlateDecode >>\nstream\n"
+        % (xref_id + 1, xref_id + 1, catalog_id, len(xref_data))
+    )
+    out += xref_data + b"\nendstream\nendobj\n"
+    out += b"startxref\n%d\n%%%%EOF\n" % xref_at
     return bytes(out)
+
+
+def _decode_stream(head: bytes, stream: bytes) -> bytes:
+    """Apply the stream's /Filter (§7.4): none, FlateDecode or
+    ASCIIHexDecode; filter CHAINS and anything else reject loudly."""
+    if re.search(rb"/Filter\s*\[", head):
+        raise NotImplementedError(
+            "array-valued /Filter (filter chains) is outside the "
+            "from-scratch codec subset (reference uses pypdfium2)"
+        )
+    fm = re.search(rb"/Filter\s*/?(\w+)", head)
+    if not fm:
+        return stream
+    name = fm.group(1)
+    if name == b"FlateDecode":
+        return zlib.decompress(stream)
+    if name in (b"ASCIIHexDecode", b"AHx"):
+        body = re.sub(rb"\s", b"", stream.split(b">")[0])
+        if len(body) % 2:
+            body += b"0"  # odd final digit implies a trailing 0 (§7.4.2)
+        return binascii.unhexlify(body)
+    raise NotImplementedError(
+        f"PDF stream filter /{name.decode()} is outside the "
+        "from-scratch codec subset (reference uses pypdfium2)"
+    )
 
 
 def parse_pdf(data: bytes) -> list[dict]:
     """Parse a PDF into per-page ``{"size": (h, w), "words": [(x, y_top,
-    text)]}``. Raises NotImplementedError for constructs outside the
-    supported subset (non-Flate filters, encryption)."""
+    text, font_size)]}``. Raises NotImplementedError for constructs
+    outside the supported subset (unknown filters, encryption)."""
     if data[:5] != b"%PDF-":
         raise ValueError("not a PDF stream")
     if b"/Encrypt" in data:
@@ -160,6 +304,21 @@ def parse_pdf(data: bytes) -> list[dict]:
             objs[num] = (data[m.end() : em], None)
             pos = em + len(b"endobj")
 
+    # expand object streams (PDF 1.5 §7.5.7): dict-only objects packed in
+    # a compressed stream — "N pairs of (objnum, offset)" header, bodies
+    # at /First + offset
+    for num in list(objs):
+        head, stream = objs[num]
+        if stream is not None and re.search(rb"/Type\s*/ObjStm", head):
+            decoded = _decode_stream(head, stream)
+            n = int(re.search(rb"/N\s+(\d+)", head).group(1))
+            first = int(re.search(rb"/First\s+(\d+)", head).group(1))
+            ints = [int(v) for v in re.findall(rb"\d+", decoded[:first])]
+            pairs = list(zip(ints[0::2], ints[1::2]))[:n]
+            for i, (onum, off) in enumerate(pairs):
+                end = first + pairs[i + 1][1] if i + 1 < len(pairs) else len(decoded)
+                objs.setdefault(onum, (decoded[first + off : end].strip(), None))
+
     def _dict_of(num: int) -> bytes:
         return objs[num][0]
 
@@ -189,51 +348,80 @@ def parse_pdf(data: bytes) -> list[dict]:
             chead, stream = objs[cnum]
             if stream is None:
                 continue
-            if re.search(rb"/Filter\s*\[", chead):
-                raise NotImplementedError(
-                    "array-valued /Filter (filter chains) is outside the "
-                    "from-scratch codec subset (reference uses pypdfium2)"
-                )
-            fm = re.search(rb"/Filter\s*/?(\w+)", chead)
-            if fm:
-                if fm.group(1) == b"FlateDecode":
-                    stream = zlib.decompress(stream)
-                else:
-                    raise NotImplementedError(
-                        f"PDF stream filter /{fm.group(1).decode()} is outside the "
-                        "from-scratch codec subset (reference uses pypdfium2)"
-                    )
-            contents.append(stream)
-        words: list[tuple[float, float, str]] = []
-        x = y = 0.0
-        for m in _TM_TD_TJ_RE.finditer(b"\n".join(contents)):
+            contents.append(_decode_stream(chead, stream))
+        words: list[tuple[float, float, str, float]] = []
+        # text-line matrix origin (lx, ly) vs current point x: Td displaces
+        # the LINE start (§9.4.2), while Tj/TJ advance only the current
+        # point within the line
+        lx = ly = x = y = 0.0
+        size = float(BASE_FONT_SIZE)
+
+        def show(raw: bytes) -> None:
+            """Tj/TJ string: emit at the current position, then advance by
+            the shown width (glyph metrics at scale = size/12)."""
+            nonlocal x
+            from .glyphs import word_width
+
+            text = _unesc(raw)
+            scale = size / BASE_FONT_SIZE
+            words.append((x, h - y - GLYPH_H * scale, text, size))
+            x += word_width(text) * scale
+
+        for m in _TEXT_OP_RE.finditer(b"\n".join(contents)):
             if m.group(1) is not None:  # Tm: take the translation part
-                x, y = float(m.group(5)), float(m.group(6))
-            elif m.group(7) is not None:  # Td: relative displacement
-                x, y = x + float(m.group(7)), y + float(m.group(8))
+                lx, ly = float(m.group(5)), float(m.group(6))
+                x, y = lx, ly
+            elif m.group(7) is not None:  # Td: displace the line matrix
+                lx, ly = lx + float(m.group(7)), ly + float(m.group(8))
+                x, y = lx, ly
             elif m.group(9) is not None:  # Tj
-                words.append((x, h - y - GLYPH_H, _unesc(m.group(9))))
-            elif m.group(10) is not None:  # BT resets the text matrix
-                x = y = 0.0
+                show(m.group(9))
+            elif m.group(10) is not None:  # BT resets the text matrices
+                lx = ly = x = y = 0.0
+            elif m.group(11) is not None:  # Tf: font size (Tf persists)
+                size = float(m.group(11))
+            elif m.group(12) is not None:  # TJ array (§9.4.3)
+                for em in _TJ_ELEM_RE.finditer(m.group(12)):
+                    if em.group(1) is not None:
+                        show(em.group(1))
+                    else:  # kern number: tx = -n/1000 * size
+                        x -= float(em.group(2)) / 1000.0 * size
         out.append({"size": (h, w), "words": words})
     return out
 
 
 def rasterize_pdf(data: bytes, vocab: str | None = None) -> list[np.ndarray]:
     """Parse + draw every page in the deterministic glyph font -> uint8
-    canvases ready for the standard detection path."""
-    from .glyphs import draw_word, word_width
+    canvases ready for the standard detection path. Font sizes that are
+    integer multiples of 12 draw at the matching glyph scale (the crop
+    normalizer accepts 1x/2x/4x, the resampled-scan path); anything else
+    rejects loudly."""
+    from .glyphs import _word_raster, draw_word, word_width
     from .vocab import DEFAULT_VOCAB
 
     pages = []
     for page in parse_pdf(data):
         h, w = page["size"]
         canvas = np.zeros((h, w), dtype=np.uint8)
-        for x, y_top, text in page["words"]:
+        for x, y_top, text, size in page["words"]:
             if not text:
                 continue
-            xi = max(0, min(int(round(x)), w - word_width(text)))
-            yi = max(0, min(int(round(y_top)), h - GLYPH_H))
-            draw_word(canvas, xi, yi, text, vocab or DEFAULT_VOCAB)
+            scale = size / BASE_FONT_SIZE
+            s = int(round(scale))
+            if abs(scale - s) > 1e-9 or s < 1:
+                raise NotImplementedError(
+                    f"font size {size} (glyph scale {scale:.3g}) is outside the "
+                    "from-scratch codec subset (integer scales only)"
+                )
+            ww = word_width(text) * s
+            xi = max(0, min(int(round(x)), w - ww))
+            yi = max(0, min(int(round(y_top)), h - GLYPH_H * s))
+            if s == 1:
+                draw_word(canvas, xi, yi, text, vocab or DEFAULT_VOCAB)
+            else:
+                raster = _word_raster(text, vocab or DEFAULT_VOCAB)
+                big = np.kron(raster, np.ones((s, s), dtype=raster.dtype))
+                region = canvas[yi : yi + GLYPH_H * s, xi : xi + ww]
+                np.maximum(region, big, out=region)
         pages.append(canvas)
     return pages

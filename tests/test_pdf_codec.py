@@ -40,7 +40,7 @@ def test_pdf_roundtrip_property(pages, compress):
     assert len(parsed) == len(pages)
     for page, exp in zip(parsed, pages):
         assert page["size"] == (160, 320)
-        got = [(int(x), int(y), t) for x, y, t in page["words"]]
+        got = [(int(x), int(y), t) for x, y, t, _sz in page["words"]]
         assert got == [(x, y, t) for x, y, t in exp]
 
 
@@ -56,7 +56,7 @@ def test_pdf_td_relative_positioning():
     )
     assert doc != raw, "fixture splice failed"
     (page,) = parse_pdf(doc)
-    assert [(x, y, t) for x, y, t in ((int(a), int(b), c) for a, b, c in page["words"])] == [
+    assert [(int(a), int(b), c) for a, b, c, _sz in page["words"]] == [
         (10, 100 - 50 - 16, "a"),
         (30, 100 - 40 - 16, "b"),
         (35, 100 - 40 - 16, "c"),
@@ -137,3 +137,62 @@ def test_pdf_extraction_end_to_end(spark):
     )
     assert len(rows) >= 6
     assert all(r.text_ok and r.words_ok for r in rows)
+
+
+PAGE = [[(12, 10, "alpha"), (60, 10, "beta"), (12, 48, "gamma7")]]
+
+
+def _placements(doc):
+    (page,) = parse_pdf(doc)
+    return sorted((round(x), round(y), t) for x, y, t, _sz in page["words"])
+
+
+def test_pdf_tj_array_kerning_roundtrip():
+    """[…] TJ with kerning numbers places every word exactly where the
+    per-word Tm form does (§9.4.3 displacement math)."""
+    classic = write_pdf(PAGE, (100, 260))
+    tj = write_pdf(PAGE, (100, 260), use_tj=True)
+    assert b"TJ" in tj and b"Tj" not in tj.replace(b"TJ", b"")
+    assert _placements(tj) == _placements(classic)
+
+
+def test_pdf_ascii_hex_filter():
+    doc = write_pdf(PAGE, (100, 260), ascii_hex=True)
+    assert b"/ASCIIHexDecode" in doc
+    assert _placements(doc) == _placements(write_pdf(PAGE, (100, 260)))
+
+
+def test_pdf15_object_and_xref_streams():
+    """PDF 1.5: dict objects inside /ObjStm, xref as a stream, /Root only
+    in the xref stream dict — parses identically to the classic layout."""
+    doc = write_pdf(PAGE, (100, 260), use_tj=True, pdf15=True)
+    assert doc.startswith(b"%PDF-1.5") and b"/ObjStm" in doc and b"/XRef" in doc
+    assert b"trailer" not in doc and b"\nxref\n" not in doc
+    assert _placements(doc) == _placements(write_pdf(PAGE, (100, 260)))
+
+
+def test_pdf_tf_scale_parses_and_rasterizes():
+    """Font size 24 = glyph scale 2: placements honor the scaled glyph
+    height and the drawn page redetects through the crop normalizer."""
+    from doctr_spark.kernels.detection import detect_words, extract_crops
+    from doctr_spark.kernels.recognition import recognize_crops_batched
+
+    page = [[(12, 10, "alpha"), (120, 10, "beta")]]
+    doc = write_pdf(page, (120, 300), font_size=24)
+    (parsed,) = parse_pdf(doc)
+    assert [(round(x), round(y), t, sz) for x, y, t, sz in parsed["words"]] == [
+        (12, 10, "alpha", 24.0),
+        (120, 10, "beta", 24.0),
+    ]
+    (canvas,) = rasterize_pdf(doc)
+    boxes, _, _ = detect_words(canvas)
+    vals = recognize_crops_batched(extract_crops(canvas, boxes))
+    assert sorted(v for v, _ in vals) == ["alpha", "beta"]
+
+
+def test_pdf_fractional_scale_rejected():
+    doc = write_pdf(PAGE, (100, 260))
+    bad = doc.replace(b"/F1 12 Tf", b"/F1 13 Tf")
+    assert bad != doc
+    with pytest.raises(NotImplementedError, match="glyph scale"):
+        rasterize_pdf(bad)
