@@ -511,16 +511,17 @@ FROM read_parquet('{ORACLE_SCRATCH}/rtl_gt/*.parquet')
 
 
 def ocr_extract_rtl(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Right-to-left slice: Hebrew pages laid out right-to-left (with
-    embedded LTR digit lines), recognized with the ``hebrew`` working
-    vocab and rendered under ``text_direction="auto"`` — each line takes
-    its own base direction from its text, so extraction must equal the
+    """Right-to-left slice: Hebrew AND Arabic rows laid out right-to-left
+    (with embedded LTR digit lines), recognized with the ``rtl`` working
+    vocab (both consonant cores, reference `datasets/vocabs.py:228,480`)
+    and rendered under ``text_direction="auto"`` — each line takes its own
+    base direction from its text, so extraction must equal the
     generation-time LOGICAL word order."""
     from doctr_spark.fixtures.rtl import generate_rtl_transcripts
 
     tdf, gdf = generate_rtl_transcripts(spark, 40, with_gt=True)
     _stage_expectation(gdf, "rtl_gt")
-    return extract_documents(tdf, reco_vocab="hebrew", text_direction="auto").select(
+    return extract_documents(tdf, reco_vocab="rtl", text_direction="auto").select(
         "conv_id",
         "turn_idx",
         "extracted_text",

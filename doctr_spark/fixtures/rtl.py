@@ -1,18 +1,21 @@
-"""Right-to-left (Hebrew) transcript fixture.
+"""Right-to-left (Hebrew + Arabic) transcript fixture.
 
 Pages whose text lines are laid out RIGHT-TO-LEFT: the logical first word
 of each line is drawn at the right margin and successive words extend
-leftward — the visual mirror of the Latin fixtures. A fraction of lines
-are pure digit/Latin runs drawn left-to-right (an RTL document quoting
-numbers or code), exercising the reference's per-line auto direction:
-under ``text_direction="auto"`` each line takes its OWN base direction
-from its text (`doctr/io/exporters.py:219-250`,
-`reading_order/base.py:83-120`), so Hebrew lines re-order right-to-left
-while embedded Latin lines keep their natural order.
+leftward — the visual mirror of the Latin fixtures. Lines mix scripts:
+Hebrew rows, Arabic rows (bidi class AL, the reference's other
+first-class RTL script, `datasets/vocabs.py:480-489`), and pure
+digit/Latin runs drawn left-to-right (an RTL document quoting numbers or
+code), exercising the reference's per-line auto direction: under
+``text_direction="auto"`` each line takes its OWN base direction from its
+text (`doctr/io/exporters.py:219-250`, `reading_order/base.py:83-120`),
+so Hebrew/Arabic lines re-order right-to-left while embedded Latin lines
+keep their natural order.
 
 The ground truth is the LOGICAL word order per line, computed at
-generation time; recognition runs with the ``hebrew`` working vocab
-(reference per-language vocab selection, `datasets/vocabs.py:228,468`).
+generation time; recognition runs with the ``rtl`` working vocab (both
+consonant cores + both digit sets; reference per-language vocab
+selection, `datasets/vocabs.py:228,468,480`).
 """
 
 from __future__ import annotations
@@ -24,18 +27,25 @@ import pandas as pd
 
 from ..config import GLYPH_H, LINE_LEADING, MARGIN, PAGE_H, PAGE_W, WORD_GAP
 from ..kernels.glyphs import draw_word, word_width
-from ..kernels.vocab import DIGITS, HEBREW_CONSONANTS, VOCABS
+from ..kernels.vocab import ARABIC_LETTERS, DIGITS, HEBREW_CONSONANTS, VOCABS
 from .payloads import make_img_payload
 from .transcripts import GT_SCHEMA, TRANSCRIPTS_SCHEMA
 
 _EPOCH = dt.datetime(2025, 3, 1)
 _ROW_PITCH = GLYPH_H + LINE_LEADING
-_VOCAB = VOCABS["hebrew"]
+_VOCAB = VOCABS["rtl"]
+# tatweel is a justification filler, not a letter — keep it out of words
+_ARABIC_CORE = ARABIC_LETTERS.replace("ـ", "")
 
 
 def _hebrew_word(rng: np.random.Generator) -> str:
     n = int(rng.integers(2, 9))
     return "".join(HEBREW_CONSONANTS[i] for i in rng.integers(0, len(HEBREW_CONSONANTS), n))
+
+
+def _arabic_word(rng: np.random.Generator) -> str:
+    n = int(rng.integers(2, 9))
+    return "".join(_ARABIC_CORE[i] for i in rng.integers(0, len(_ARABIC_CORE), n))
 
 
 def _digit_word(rng: np.random.Generator) -> str:
@@ -65,10 +75,12 @@ def gen_rtl_page(rng: np.random.Generator) -> tuple[np.ndarray, str, int]:
                 placements.append((x, w))
                 x += word_width(w) + WORD_GAP
         else:
-            # RTL: logical first word at the right margin, extending left
+            # RTL: logical first word at the right margin, extending left;
+            # Hebrew and Arabic rows interleave (both strong-RTL scripts)
+            gen = _arabic_word if rng.random() < 0.4 else _hebrew_word
             x = PAGE_W - MARGIN
             while True:
-                w = _hebrew_word(rng)
+                w = gen(rng)
                 if x - word_width(w) < MARGIN or len(placements) >= 8:
                     break
                 x -= word_width(w)

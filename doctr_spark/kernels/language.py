@@ -85,11 +85,46 @@ _SEEDS: dict[str, str] = {
         "играли в саду со своей матерью и старик читал книгу об истории "
         "мира которую он нашел на полке библиотеки чтобы учиться"
     ),
+    "nl": (
+        "de hond en de kat slapen in het huis van de buren met een vriend "
+        "de hele dag dit is het verhaal van wat wij hebben en wat zij "
+        "zeiden toen de kinderen in de tuin speelden met hun moeder en de "
+        "oude man een boek las over de geschiedenis van de wereld dat hij "
+        "op de plank van de bibliotheek had gevonden om te leren"
+    ),
+    "pl": (
+        "pies i kot śpią w domu sąsiadów z przyjacielem przez cały dzień "
+        "to jest historia o tym co mamy i o tym co powiedzieli kiedy "
+        "dzieci bawiły się w ogrodzie ze swoją matką a stary człowiek "
+        "czytał książkę o historii świata którą znalazł na półce "
+        "biblioteki żeby się uczyć nowych słów każdego dnia"
+    ),
+    "ar": (
+        "الكلب والقطة ينامان في بيت الجيران مع صديق طوال اليوم هذه هي "
+        "قصة ما لدينا وما قالوه عندما كان الأطفال يلعبون في الحديقة مع "
+        "أمهم وكان الرجل العجوز يقرأ كتابا عن تاريخ العالم وجده على رف "
+        "المكتبة من أجل أن يتعلم كلمات جديدة كل يوم"
+    ),
+    # CJK: no word separators, so the 1-gram ranks dominate (each han /
+    # kana character is itself a strong signal); the clean regex admits
+    # the script blocks and the padded-token grams still work because the
+    # whole run becomes one token
+    "zh": (
+        "狗和猫整天睡在邻居的房子里和朋友在一起这是关于我们拥有什么的故事"
+        "以及当孩子们和母亲在花园里玩耍时他们所说的话老人读了一本关于世界"
+        "历史的书他在图书馆的书架上找到了它为了每天学习新的词语"
+    ),
+    "ja": (
+        "犬と猫は一日中隣人の家で友達と眠っていますこれは私たちが持っている"
+        "ものの物語であり子供たちが母親と庭で遊んでいたときに彼らが言った"
+        "ことです老人は世界の歴史についての本を読みました彼はそれを図書館の"
+        "棚で見つけました毎日新しい言葉を学ぶために"
+    ),
 }
 
 # letters of the supported scripts: latin (+ accents block), greek,
-# cyrillic — everything else is a separator
-_CLEAN_RE = re.compile(r"[^a-zÀ-ɏα-ωά-ώа-яё']+")
+# cyrillic, arabic, han, kana — everything else is a separator
+_CLEAN_RE = re.compile(r"[^a-zÀ-ɏα-ωά-ώа-яё'؀-ۿ぀-ヿ一-鿿]+")
 
 
 def _ngrams(text: str) -> Counter:

@@ -91,6 +91,31 @@ CYRILLIC_LETTERS = (
 VOCABS["cyrillic"] = DIGITS + PUNCTUATION + CYRILLIC_LETTERS + "ёЁ"
 VOCABS["russian"] = VOCABS["cyrillic"]
 
+# Arabic composite, the reference's composition order (vocabs.py:480-489:
+# digits + arabic digits + arabic letters + persian letters + diacritics
+# + arabic punctuation + punctuation; 116 chars, fits the 7-bit budget)
+ARABIC_DIGITS = "٠١٢٣٤٥٦٧٨٩"
+ARABIC_LETTERS = "ءآأؤإئابةتثجحخدذرزسشصضطظعغـفقكلمنهوىيٱ"
+PERSIAN_LETTERS = "پچژڢڤگکی"
+ARABIC_DIACRITICS = "ًٌٍَُِّْٕٓٔٚ"
+ARABIC_PUNCTUATION = "؟؛«»—،"
+VOCABS["arabic"] = (
+    DIGITS
+    + ARABIC_DIGITS
+    + ARABIC_LETTERS
+    + PERSIAN_LETTERS
+    + ARABIC_DIACRITICS
+    + ARABIC_PUNCTUATION
+    + PUNCTUATION
+)
+VOCABS["persian"] = VOCABS["arabic"]
+
+# RTL RENDER vocab for mixed Hebrew+Arabic pages (the RTL fixture): both
+# consonant cores + both digit sets + punctuation, 117 chars — the render
+# vocab must fit the 7-bit glyph code space, so the diacritics stay out
+# (the reference render font does not model them either)
+VOCABS["rtl"] = DIGITS + PUNCTUATION + HEBREW_CONSONANTS + ARABIC_LETTERS + ARABIC_DIGITS
+
 DEFAULT_VOCAB = VOCABS["french"]
 
 # CTC blank index convention follows the reference CRNN postprocessor:

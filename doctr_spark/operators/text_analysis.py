@@ -16,6 +16,11 @@ from pyspark.sql import functions as F  # noqa: N812
 # language-ID heuristic: marker-token hit counts per language
 _LANG_MARKERS = {
     "en": ["the", "and", "with", "for"],
+    "fr": ["le", "la", "les", "et"],
+    "de": ["der", "die", "und", "das"],
+    "es": ["el", "los", "las", "para"],
+    "nl": ["de", "het", "een", "van"],
+    "pl": ["nie", "jest", "się", "oraz"],
     "query": ["query", "scan", "join", "filter"],
     "data": ["data", "row", "table", "batch"],
 }

@@ -1,4 +1,4 @@
-"""RTL (Hebrew) extraction: per-line auto direction + hebrew vocab."""
+"""RTL (Hebrew + Arabic) extraction: per-line auto direction + rtl vocab."""
 
 import numpy as np
 import pytest
@@ -39,7 +39,7 @@ def test_rtl_page_kernel_roundtrip(conv_no):
 
 def test_rtl_pipeline_end_to_end(spark):
     tdf, gdf = generate_rtl_transcripts(spark, 4, with_gt=True)
-    docs = extract_documents(tdf, reco_vocab="hebrew", text_direction="auto", crop_partitions=8)
+    docs = extract_documents(tdf, reco_vocab="rtl", text_direction="auto", crop_partitions=8)
     gt = gdf.withColumnRenamed("n_words", "gt_n_words")
     j = (
         docs.join(gt, ["conv_id", "turn_idx"])
@@ -51,3 +51,21 @@ def test_rtl_pipeline_end_to_end(spark):
     )
     assert len(j) >= 4
     assert all(r.text_ok and r.words_ok for r in j)
+
+
+def test_rtl_fixture_mixes_scripts():
+    """The fixture must emit BOTH RTL scripts so the arabic vocab slice is
+    actually exercised end to end."""
+    import numpy as np
+
+    from doctr_spark.kernels.vocab import ARABIC_LETTERS, HEBREW_CONSONANTS
+
+    heb, ara = set(HEBREW_CONSONANTS), set(ARABIC_LETTERS)
+    seen_h = seen_a = False
+    for conv_no in range(8):
+        rng = np.random.default_rng([42, conv_no, 29])
+        _, gt, _ = gen_rtl_page(rng)
+        chars = set(gt)
+        seen_h |= bool(chars & heb)
+        seen_a |= bool(chars & ara)
+    assert seen_h and seen_a
