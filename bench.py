@@ -110,9 +110,43 @@ def run_bench(sf_dir: str, cpus: str, shuffle_partitions: int | None = None) -> 
     }
 
 
+def wait_for_calm(max_wait_sec: float, threshold: float = 0.80, interval: float = 45.0) -> dict:
+    """Defer the capture until the hypervisor gives a calm window: probe
+    the pinned pure-CPU 8->32 ceiling (tools/probe_clock.pinned_mops) and
+    wait — up to ``max_wait_sec`` — until it reaches ``threshold``, the
+    BENCH.md band where suite numbers reproduce (throttle windows have
+    measured as low as 0.53 and charge the hypervisor, not the engine).
+    Returns the last probe so the capture records what it ran under."""
+    import time as _time
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from tools.probe_clock import pinned_mops
+
+    t0 = _time.monotonic()
+    while True:
+        m8, m32 = pinned_mops(8), pinned_mops(32)
+        probe = {
+            "mops8": round(m8, 1),
+            "mops32": round(m32, 1),
+            "ceiling_8_32": round(m32 / m8 / 4, 3),
+            "waited_sec": round(_time.monotonic() - t0, 1),
+        }
+        if probe["ceiling_8_32"] >= threshold:
+            probe["calm"] = True
+            return probe
+        if _time.monotonic() - t0 + interval > max_wait_sec:
+            probe["calm"] = False  # deadline: capture anyway, disclosed
+            return probe
+        _time.sleep(interval)
+
+
 if __name__ == "__main__":
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    calm_wait = float(os.environ.get("SPARK_GRAFT_CALM_WAIT_SEC", "420"))
+    probe = wait_for_calm(calm_wait) if calm_wait > 0 else None
     result = run_bench(sf_dir, cpus)
+    if probe is not None:
+        result["calm_probe"] = probe
     print(json.dumps(result))
     sys.stdout.flush()
