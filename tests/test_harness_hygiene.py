@@ -32,7 +32,7 @@ def test_dataset_loaders_clears_stale_archives(spark):
 
     df = entry.dataset_loaders(spark, SF)
     rows = df.collect()
-    assert len(rows) == 30  # 5 datasets x 6 fabricated images, no stragglers
+    assert len(rows) == 36  # 6 datasets x 6 fabricated images, no stragglers
     assert not any("zzz_stale" in r.img_path for r in rows)
     assert not any("stalely" in r.labels_cat for r in rows)
 
