@@ -6,12 +6,18 @@ this module implements the subset of the PUBLIC PDF specification the
 engine needs, from scratch against the spec (ISO 32000 / the Adobe PDF
 Reference):
 
-* indirect objects + classic xref, page tree, MediaBox,
+* indirect objects + classic xref, page tree, MediaBox, literal AND
+  indirect (``/Length N 0 R``) stream lengths with an endstream landing
+  check,
 * PDF 1.5 cross-reference STREAMS and object streams (``/Type /ObjStm``,
   §7.5.7-7.5.8): dict-only objects packed inside a compressed stream,
-  ``/Root`` discovered from the xref stream's own dictionary,
-* content streams raw, ``/FlateDecode`` (zlib is stdlib) or
-  ``/ASCIIHexDecode``,
+  ``/Root`` discovered from the xref stream's own dictionary, optional
+  PNG-predictor-coded xref rows (``/Predictor 12``),
+* stream filters (§7.4): ``/FlateDecode`` (zlib is stdlib),
+  ``/LZWDecode`` (from-scratch §7.4.4 codec, EarlyChange=1),
+  ``/ASCIIHexDecode``, ``/ASCII85Decode``, ``/RunLengthDecode``, filter
+  CHAINS (array-valued ``/Filter``), and ``/DecodeParms`` predictors for
+  Flate/LZW (TIFF 2 + PNG 10-15),
 * text operators ``BT/ET``, ``Tm`` (translation part), ``Td``, ``Tf``
   (font SIZE: glyph scale = size/12, integer scales rasterize), ``(…) Tj``
   with the ``\\( \\) \\\\`` escapes, and ``[…] TJ`` arrays whose kerning
@@ -19,9 +25,9 @@ Reference):
   both show operators advance the position by the shown width.
 
 Everything else is either ignored (graphics state the rasterizer does not
-need) or rejected LOUDLY (unknown stream filters, filter chains,
-encryption, non-integer glyph scales), preserving the disclosed-gate
-contract for PDFs beyond the subset.
+need) or rejected LOUDLY (image/encryption filters — DCT, JPX, JBIG2,
+CCITTFax, Crypt — plus encryption and non-integer glyph scales),
+preserving the disclosed-gate contract for PDFs beyond the subset.
 
 Rasterization draws each extracted word in the deterministic glyph font,
 so a parsed page flows through the standard detection → recognition
@@ -32,6 +38,7 @@ the writer stores a word whose TOP sits at ``y_top`` as
 
 from __future__ import annotations
 
+import base64
 import binascii
 import re
 import zlib
@@ -113,14 +120,25 @@ def _content_ops(
     return b"\n".join(ops)
 
 
-def _encode_stream(raw: bytes, compress: bool, ascii_hex: bool) -> tuple[bytes, bytes]:
-    if ascii_hex:
-        data = binascii.hexlify(raw) + b">"
-        return data, b"/Filter /ASCIIHexDecode "
-    if compress:
-        data = zlib.compress(raw)
-        return data, b"/Filter /FlateDecode "
-    return raw, b""
+def _encode_stream(raw: bytes, filters: tuple[str, ...]) -> tuple[bytes, bytes]:
+    """Encode ``raw`` through ``filters`` (given in DECODE order, like the
+    /Filter entry they produce) and return (data, filter clause)."""
+    if not filters:
+        return raw, b""
+    encoders = {
+        "flate": (zlib.compress, b"FlateDecode"),
+        "lzw": (lambda b: _lzw_encode(b), b"LZWDecode"),
+        "ahx": (lambda b: binascii.hexlify(b) + b">", b"ASCIIHexDecode"),
+        "a85": (lambda b: base64.a85encode(b) + b"~>", b"ASCII85Decode"),
+        "rl": (lambda b: _rl_encode(b), b"RunLengthDecode"),
+    }
+    data = raw
+    for f in reversed(filters):  # decoder applies left→right, so encode right→left
+        data = encoders[f][0](data)
+    names = [encoders[f][1] for f in filters]
+    if len(names) == 1:
+        return data, b"/Filter /" + names[0] + b" "
+    return data, b"/Filter [" + b" ".join(b"/" + n for n in names) + b"] "
 
 
 def write_pdf(
@@ -130,28 +148,57 @@ def write_pdf(
     *,
     use_tj: bool = False,
     ascii_hex: bool = False,
+    stream_filter: str | tuple[str, ...] | None = None,
+    indirect_length: bool = False,
     font_size: int = BASE_FONT_SIZE,
     pdf15: bool = False,
+    xref_predictor: bool = False,
 ) -> bytes:
     """Write a real PDF; ``pages`` holds per-page ``(x, y_top, word)``
     placements in top-down pixel space (at the glyph scale implied by
     ``font_size``, which must be an integer multiple of 12).
 
-    ``pdf15=True`` emits a PDF 1.5 file: all dictionary-only objects
-    packed into a ``/Type /ObjStm`` object stream and the cross-reference
-    written as an xref STREAM (``/Type /XRef``, ``/W [1 4 2]``) carrying
-    ``/Root`` — no classic ``xref`` table or ``trailer`` keyword."""
+    ``stream_filter`` names the content-stream encoding in decode order:
+    ``"flate"``, ``"lzw"``, ``"ahx"``, ``"a85"``, ``"rl"``, or a tuple
+    chain like ``("a85", "flate")`` (→ ``/Filter [/ASCII85Decode
+    /FlateDecode]``). The legacy ``compress``/``ascii_hex`` flags map onto
+    it. ``indirect_length=True`` declares each content stream's length as
+    ``/Length N 0 R`` with the integer in a separate object (the common
+    write-then-backfill layout real generators emit; classic-xref files
+    only). ``pdf15=True`` emits a PDF 1.5 file: all dictionary-only
+    objects packed into a ``/Type /ObjStm`` object stream and the
+    cross-reference written as an xref STREAM (``/Type /XRef``,
+    ``/W [1 4 2]``) carrying ``/Root`` — no classic ``xref`` table or
+    ``trailer`` keyword. ``xref_predictor=True`` additionally codes the
+    xref stream rows with the PNG Up predictor
+    (``/DecodeParms << /Predictor 12 /Columns 7 >>``), the layout most
+    real 1.5+ writers emit."""
     if font_size % BASE_FONT_SIZE:
         raise ValueError("font_size must be an integer multiple of 12 (glyph scale)")
+    if stream_filter is None:
+        filters: tuple[str, ...] = ("ahx",) if ascii_hex else (("flate",) if compress else ())
+    elif isinstance(stream_filter, str):
+        filters = (stream_filter,)
+    else:
+        filters = tuple(stream_filter)
+    if indirect_length and pdf15:
+        raise ValueError("indirect_length targets the classic-xref layout only")
     h, w = page_hw
+    k = len(pages)
     contents: list[bytes] = []  # full stream objects, numbered 1..K
-    for words in pages:
+    # dict-only objects occupy K+1..K+3+pages; indirect length integers
+    # (when requested) follow at K+4+pages..K+3+2*pages
+    len_ids = list(range(k + 4 + len(pages), k + 4 + 2 * len(pages)))
+    length_objs: dict[int, bytes] = {}
+    for i, words in enumerate(pages):
         raw = _content_ops(words, h, use_tj, font_size)
-        data, filt = _encode_stream(raw, compress, ascii_hex)
-        contents.append(
-            b"<< /Length %d %s>>\nstream\n" % (len(data), filt) + data + b"\nendstream"
-        )
-    k = len(contents)
+        data, filt = _encode_stream(raw, filters)
+        if indirect_length:
+            length_objs[len_ids[i]] = b"%d" % len(data)
+            head = b"<< /Length %d 0 R %s>>" % (len_ids[i], filt)
+        else:
+            head = b"<< /Length %d %s>>" % (len(data), filt)
+        contents.append(head + b"\nstream\n" + data + b"\nendstream")
     # dict-only objects, numbered K+1..K+4+pages
     font_id, pages_id = k + 1, k + 2
     catalog_id = k + 3
@@ -170,6 +217,7 @@ def write_pdf(
         )
 
     if not pdf15:
+        dict_objs.update(length_objs)
         out = bytearray(b"%PDF-1.4\n")
         offsets = []
         bodies = contents + [dict_objs[n] for n in sorted(dict_objs)]
@@ -222,41 +270,285 @@ def write_pdf(
         rows.append(b"\x02" + objstm_id.to_bytes(4, "big") + idx.to_bytes(2, "big"))
     rows.append(b"\x01" + offsets[objstm_id].to_bytes(4, "big") + (0).to_bytes(2, "big"))
     rows.append(b"\x01" + xref_at.to_bytes(4, "big") + (0).to_bytes(2, "big"))
-    xref_data = zlib.compress(b"".join(rows))
+    if xref_predictor:
+        # PNG Up row filter (/Predictor 12): each 7-byte row carries a
+        # filter-type byte and stores the delta against the previous row
+        coded = bytearray()
+        prev_row = bytes(7)
+        for r in rows:
+            coded.append(2)
+            coded += bytes((r[i] - prev_row[i]) & 0xFF for i in range(7))
+            prev_row = r
+        xref_data = zlib.compress(bytes(coded))
+        parms = b"/DecodeParms << /Predictor 12 /Columns 7 >> "
+    else:
+        xref_data = zlib.compress(b"".join(rows))
+        parms = b""
     out += b"%d 0 obj\n" % xref_id
     out += (
         b"<< /Type /XRef /Size %d /W [1 4 2] /Index [0 %d] /Root %d 0 R "
-        b"/Length %d /Filter /FlateDecode >>\nstream\n"
-        % (xref_id + 1, xref_id + 1, catalog_id, len(xref_data))
+        b"/Length %d %s/Filter /FlateDecode >>\nstream\n"
+        % (xref_id + 1, xref_id + 1, catalog_id, len(xref_data), parms)
     )
     out += xref_data + b"\nendstream\nendobj\n"
     out += b"startxref\n%d\n%%%%EOF\n" % xref_at
     return bytes(out)
 
 
+def _lzw_encode(raw: bytes) -> bytes:
+    """PDF/TIFF LZW (§7.4.4, EarlyChange=1): 9→12-bit MSB-first codes,
+    256=clear, 257=EOD. The encoder widens at next==2^w — one add AHEAD of
+    the decoder's len==2^w-1, because the decoder's table lags the
+    encoder's by exactly one entry at each code boundary."""
+    out = bytearray()
+    buf = nbuf = 0
+    width = 9
+
+    def emit(code: int) -> None:
+        nonlocal buf, nbuf
+        buf = (buf << width) | code
+        nbuf += width
+        while nbuf >= 8:
+            nbuf -= 8
+            out.append((buf >> nbuf) & 0xFF)
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    nxt = 258
+    emit(256)
+    w = b""
+    for ch in raw:
+        wc = w + bytes([ch])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w])
+        table[wc] = nxt
+        nxt += 1
+        if width < 12 and nxt == (1 << width):
+            width += 1
+        elif nxt == 4095:  # keep clear of the 12-bit early-change edge
+            emit(256)
+            table = {bytes([i]): i for i in range(256)}
+            nxt, width = 258, 9
+        w = bytes([ch])
+    if w:
+        emit(table[w])
+    emit(257)
+    if nbuf:
+        out.append((buf << (8 - nbuf)) & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes) -> bytes:
+    out = bytearray()
+    table: list[bytes] = []
+    width = 9
+
+    def reset() -> None:
+        nonlocal table, width
+        table = [bytes([i]) for i in range(256)] + [b"", b""]  # 256/257 reserved
+        width = 9
+
+    reset()
+    prev: bytes | None = None
+    buf = nbuf = 0
+    for byte in data:
+        buf = (buf << 8) | byte
+        nbuf += 8
+        while nbuf >= width:
+            nbuf -= width
+            code = (buf >> nbuf) & ((1 << width) - 1)
+            if code == 256:
+                reset()
+                prev = None
+                continue
+            if code == 257:
+                return bytes(out)
+            if code < len(table) and code not in (256, 257):
+                entry = table[code]
+            elif code == len(table) and prev is not None:
+                entry = prev + prev[:1]  # the KwKwK case
+            else:
+                raise ValueError("corrupt LZW stream")
+            out += entry
+            if prev is not None:
+                table.append(prev + entry[:1])
+            prev = entry
+            if width < 12 and len(table) == (1 << width) - 1:  # EarlyChange=1
+                width += 1
+    raise ValueError("LZW stream without EOD")
+
+
+def _rl_encode(raw: bytes) -> bytes:
+    """RunLengthDecode's inverse (§7.4.5): length byte 0-127 = literal run
+    of length+1, 129-255 = repeat next byte 257-length times, 128 = EOD."""
+    out = bytearray()
+    i, n = 0, len(raw)
+    while i < n:
+        run = 1
+        while run < 128 and i + run < n and raw[i + run] == raw[i]:
+            run += 1
+        if run >= 2:
+            out.append(257 - run)
+            out.append(raw[i])
+            i += run
+        else:
+            j = i + 1
+            while j < n and (j - i) < 128 and not (j + 1 < n and raw[j] == raw[j + 1]):
+                j += 1
+            out.append(j - i - 1)
+            out += raw[i:j]
+            i = j
+    out.append(128)
+    return bytes(out)
+
+
+def _rl_decode(data: bytes) -> bytes:
+    out = bytearray()
+    i = 0
+    while i < len(data):
+        b = data[i]
+        if b == 128:
+            return bytes(out)
+        if b < 128:
+            chunk = data[i + 1 : i + 2 + b]
+            if len(chunk) != b + 1:
+                raise ValueError("truncated RunLength literal run")
+            out += chunk
+            i += 2 + b
+        else:
+            if i + 1 >= len(data):
+                raise ValueError("truncated RunLength repeat run")
+            out += bytes([data[i + 1]]) * (257 - b)
+            i += 2
+    raise ValueError("RunLength stream without EOD")
+
+
+def _parse_parms(parms: bytes | None) -> tuple[int, int, int, int]:
+    """(Predictor, Colors, BitsPerComponent, Columns) from a /DecodeParms
+    dict blob, with the §7.4.4.3 defaults."""
+    if not parms:
+        return 1, 1, 8, 1
+
+    def g(key: bytes, dflt: int) -> int:
+        m = re.search(rb"/" + key + rb"\s+(\d+)", parms)
+        return int(m.group(1)) if m else dflt
+
+    return g(b"Predictor", 1), g(b"Colors", 1), g(b"BitsPerComponent", 8), g(b"Columns", 1)
+
+
+def _unpredict(data: bytes, parms: bytes | None) -> bytes:
+    """Undo the Flate/LZW predictor declared in /DecodeParms: 1 = none,
+    2 = TIFF horizontal differencing (8-bit), 10-15 = the five PNG row
+    filters (§7.4.4.4 — the 10-15 distinction is advisory; each ROW
+    carries its own filter-type byte)."""
+    pred, colors, bpc, columns = _parse_parms(parms)
+    if pred == 1:
+        return data
+    bpp = max(1, colors * bpc // 8)
+    rowlen = (columns * colors * bpc + 7) // 8
+    if pred == 2:
+        if bpc != 8:
+            raise NotImplementedError("TIFF predictor with BitsPerComponent != 8")
+        out = bytearray(data)
+        for r in range(0, len(out), rowlen):
+            for i in range(r + bpp, min(r + rowlen, len(out))):
+                out[i] = (out[i] + out[i - bpp]) & 0xFF
+        return bytes(out)
+    if 10 <= pred <= 15:
+        out = bytearray()
+        prev = bytearray(rowlen)
+        i = 0
+        while i < len(data):
+            ft = data[i]
+            row = bytearray(data[i + 1 : i + 1 + rowlen])
+            i += 1 + rowlen
+            if ft == 1:  # Sub
+                for j in range(bpp, len(row)):
+                    row[j] = (row[j] + row[j - bpp]) & 0xFF
+            elif ft == 2:  # Up
+                for j in range(len(row)):
+                    row[j] = (row[j] + prev[j]) & 0xFF
+            elif ft == 3:  # Average
+                for j in range(len(row)):
+                    left = row[j - bpp] if j >= bpp else 0
+                    row[j] = (row[j] + (left + prev[j]) // 2) & 0xFF
+            elif ft == 4:  # Paeth
+                for j in range(len(row)):
+                    a = row[j - bpp] if j >= bpp else 0
+                    b = prev[j]
+                    c = prev[j - bpp] if j >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pr = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                    row[j] = (row[j] + pr) & 0xFF
+            elif ft != 0:
+                raise ValueError(f"unknown PNG row filter {ft}")
+            out += row
+            prev = row
+        return bytes(out)
+    raise NotImplementedError(f"predictor {pred} is outside the codec subset")
+
+
+_NAME_RE = re.compile(rb"/(\w+)")
+
+
+def _filters_of(head: bytes) -> list[tuple[bytes, bytes | None]]:
+    """[(filter name, DecodeParms dict blob | None), ...] in decode order
+    from a stream dict: /Filter as a single name or an array, /DecodeParms
+    (or its /DP abbreviation) as a single dict or a parallel array of
+    dict/null entries. Predictor parms are flat dicts, so the non-greedy
+    ``<<…>>`` match suffices."""
+    am = re.search(rb"/Filter\s*\[(.*?)\]", head, re.DOTALL)
+    if am:
+        names = _NAME_RE.findall(am.group(1))
+    else:
+        fm = re.search(rb"/Filter\s*/(\w+)", head)
+        names = [fm.group(1)] if fm else []
+    parms: list[bytes | None] = []
+    pm = re.search(rb"/(?:DecodeParms|DP)\s*(\[.*?\]|<<.*?>>)", head, re.DOTALL)
+    if pm:
+        blob = pm.group(1)
+        if blob.startswith(b"["):
+            parms = [p if p != b"null" else None for p in re.findall(rb"<<.*?>>|null", blob)]
+        else:
+            parms = [blob]
+    parms += [None] * (len(names) - len(parms))
+    return list(zip(names, parms))
+
+
 def _decode_stream(head: bytes, stream: bytes) -> bytes:
-    """Apply the stream's /Filter (§7.4): none, FlateDecode or
-    ASCIIHexDecode; filter CHAINS and anything else reject loudly."""
-    if re.search(rb"/Filter\s*\[", head):
-        raise NotImplementedError(
-            "array-valued /Filter (filter chains) is outside the "
-            "from-scratch codec subset (reference uses pypdfium2)"
-        )
-    fm = re.search(rb"/Filter\s*/?(\w+)", head)
-    if not fm:
-        return stream
-    name = fm.group(1)
-    if name == b"FlateDecode":
-        return zlib.decompress(stream)
-    if name in (b"ASCIIHexDecode", b"AHx"):
-        body = re.sub(rb"\s", b"", stream.split(b">")[0])
-        if len(body) % 2:
-            body += b"0"  # odd final digit implies a trailing 0 (§7.4.2)
-        return binascii.unhexlify(body)
-    raise NotImplementedError(
-        f"PDF stream filter /{name.decode()} is outside the "
-        "from-scratch codec subset (reference uses pypdfium2)"
-    )
+    """Apply the stream's /Filter chain (§7.4) in declared order: none,
+    FlateDecode, LZWDecode (both honoring /DecodeParms predictors),
+    ASCIIHexDecode, ASCII85Decode, RunLengthDecode; anything else —
+    DCTDecode, JPXDecode, JBIG2Decode, CCITTFaxDecode, Crypt — rejects
+    loudly (those are image/encryption filters the reference rasterizes
+    via pypdfium2)."""
+    data = stream
+    for name, parms in _filters_of(head):
+        if name in (b"FlateDecode", b"Fl"):
+            data = _unpredict(zlib.decompress(data), parms)
+        elif name in (b"LZWDecode", b"LZW"):
+            data = _unpredict(_lzw_decode(data), parms)
+        elif name in (b"ASCIIHexDecode", b"AHx"):
+            body = re.sub(rb"\s", b"", data.split(b">")[0])
+            if len(body) % 2:
+                body += b"0"  # odd final digit implies a trailing 0 (§7.4.2)
+            data = binascii.unhexlify(body)
+        elif name in (b"ASCII85Decode", b"A85"):
+            body = re.sub(rb"\s", b"", data)
+            if body.startswith(b"<~"):
+                body = body[2:]
+            body = body.split(b"~>")[0]
+            data = base64.a85decode(body)
+        elif name in (b"RunLengthDecode", b"RL"):
+            data = _rl_decode(data)
+        else:
+            raise NotImplementedError(
+                f"PDF stream filter /{name.decode()} is outside the "
+                "from-scratch codec subset (reference uses pypdfium2)"
+            )
+    return data
 
 
 def parse_pdf(data: bytes) -> list[dict]:
@@ -271,6 +563,15 @@ def parse_pdf(data: bytes) -> list[dict]:
     # and may contain "endobj"/"endstream"/newline bytes, so the stream
     # extent must come from the declared length, never from delimiter
     # search inside the payload (PDF 32000 §7.3.8).
+    # plain-integer objects ("N 0 obj M endobj") up front: indirect
+    # /Length refs usually point FORWARD at a length object written after
+    # the stream, so the sequential scan can't have seen them yet. A false
+    # match inside a binary stream payload is caught by the endstream
+    # landing check below.
+    int_objs = {
+        int(m.group(1)): int(m.group(2))
+        for m in re.finditer(rb"(\d+)\s+0\s+obj\s*(\d+)\s*endobj", data)
+    }
     objs: dict[int, tuple[bytes, bytes | None]] = {}
     head_re = re.compile(rb"(\d+)\s+0\s+obj")
     pos = 0
@@ -287,12 +588,19 @@ def parse_pdf(data: bytes) -> list[dict]:
             # backtracks to match '1' and the indirect-length construct is
             # silently parsed as a 1-byte stream instead of rejecting loudly
             lm = re.search(rb"/Length\s+(\d+)(?!\d)(?!\s+0\s+R)", head)
-            if not lm:
-                raise NotImplementedError(
-                    "stream without a literal /Length is outside the codec subset"
-                )
-            ln = int(lm.group(1))
+            if lm:
+                ln = int(lm.group(1))
+            else:
+                rm = re.search(rb"/Length\s+(\d+)\s+0\s+R", head)
+                if rm is None or int(rm.group(1)) not in int_objs:
+                    raise NotImplementedError(
+                        "stream without a resolvable /Length is outside the codec subset"
+                    )
+                ln = int_objs[int(rm.group(1))]
             stream = data[sm.end() : sm.end() + ln]
+            tail = data[sm.end() + ln : sm.end() + ln + 16]
+            if not tail.lstrip(b"\r\n ").startswith(b"endstream"):
+                raise ValueError("declared /Length does not land on endstream")
             objs[num] = (head, stream)
             end = data.find(b"endobj", sm.end() + ln)
             if end == -1:

@@ -65,37 +65,44 @@ def test_pdf_td_relative_positioning():
 
 
 def test_pdf_loud_gates():
-    data = write_pdf([[(1, 1, "w")]], (50, 80))
+    data = write_pdf([[(1, 1, "w")]], (50, 80), compress=True)
     with pytest.raises(NotImplementedError, match="Encrypt|encrypted"):
         parse_pdf(data.replace(b"/Root", b"/Encrypt 9 0 R /Root"))
-    bad_filter = data.replace(b"/FlateDecode", b"/LZWDecode")
-    if b"/LZWDecode" in bad_filter:
-        with pytest.raises(NotImplementedError, match="LZWDecode"):
-            parse_pdf(bad_filter)
+    bad_filter = data.replace(b"/FlateDecode", b"/DCTDecode")
+    assert b"/DCTDecode" in bad_filter
+    with pytest.raises(NotImplementedError, match="DCTDecode"):
+        parse_pdf(bad_filter)
     with pytest.raises(ValueError):
         parse_pdf(b"not a pdf")
 
 
-def test_pdf_indirect_length_rejected():
-    """'/Length 10 0 R' (indirect length) must reject loudly — the anchored
-    regex must not backtrack to match '1' as a literal length."""
+def test_pdf_indirect_length():
+    """'/Length N 0 R' resolves against the plain-integer object written
+    elsewhere in the file; an unresolvable ref still rejects loudly."""
+    doc = write_pdf([[(1, 1, "hello world")]], (50, 80), indirect_length=True)
+    assert b" 0 R " in doc.split(b"stream", 1)[0]  # head really is indirect
+    (page,) = parse_pdf(doc)
+    assert [t for _x, _y, t, _sz in page["words"]] == ["hello world"]
+
     data = write_pdf([[(1, 1, "hello world")]], (50, 80))
     import re as _re
 
     m = _re.search(rb"/Length (\d+)", data)
-    doc = data[: m.start()] + b"/Length 10 0 R" + data[m.end() :]
-    with pytest.raises(NotImplementedError, match="literal /Length"):
-        parse_pdf(doc)
+    dangling = data[: m.start()] + b"/Length 99 0 R" + data[m.end() :]
+    with pytest.raises(NotImplementedError, match="resolvable /Length"):
+        parse_pdf(dangling)
 
 
-def test_pdf_array_filter_rejected():
-    """'/Filter [/FlateDecode]' (array form) must reject loudly, not be
-    silently treated as an unfiltered stream."""
-    data = write_pdf([[(1, 1, "w")]], (50, 80), compress=True)
+def test_pdf_single_element_filter_array():
+    """'/Filter [/FlateDecode]' (array form) decodes identically to the
+    name form; an image filter inside an array still rejects loudly."""
+    data = write_pdf(PAGE, (100, 260), compress=True)
     doc = data.replace(b"/Filter /FlateDecode", b"/Filter [/FlateDecode]")
     assert doc != data, "fixture splice failed"
-    with pytest.raises(NotImplementedError, match="array-valued /Filter"):
-        parse_pdf(doc)
+    assert _placements(doc) == _placements(write_pdf(PAGE, (100, 260)))
+    bad = data.replace(b"/Filter /FlateDecode", b"/Filter [/JBIG2Decode]")
+    with pytest.raises(NotImplementedError, match="JBIG2Decode"):
+        parse_pdf(bad)
 
 
 def test_pdf_truncated_stream_errors_not_hangs():
@@ -160,6 +167,134 @@ def test_pdf_ascii_hex_filter():
     doc = write_pdf(PAGE, (100, 260), ascii_hex=True)
     assert b"/ASCIIHexDecode" in doc
     assert _placements(doc) == _placements(write_pdf(PAGE, (100, 260)))
+
+
+@pytest.mark.parametrize(
+    "filt,name",
+    [
+        ("a85", b"/ASCII85Decode"),
+        ("rl", b"/RunLengthDecode"),
+        ("lzw", b"/LZWDecode"),
+    ],
+)
+def test_pdf_stream_filters_roundtrip(filt, name):
+    doc = write_pdf(PAGE, (100, 260), stream_filter=filt)
+    assert name in doc
+    assert _placements(doc) == _placements(write_pdf(PAGE, (100, 260)))
+
+
+def test_pdf_filter_chain():
+    """'/Filter [/ASCII85Decode /FlateDecode]' — THE classic real-world
+    chain — decodes left to right (§7.4.1)."""
+    doc = write_pdf(PAGE, (100, 260), stream_filter=("a85", "flate"))
+    assert b"/Filter [/ASCII85Decode /FlateDecode]" in doc
+    assert _placements(doc) == _placements(write_pdf(PAGE, (100, 260)))
+
+
+def test_pdf_ascii85_z_shortcut():
+    """'z' (four zero bytes) inside an ASCII85 stream decodes per spec."""
+    from doctr_spark.kernels.pdf import _decode_stream
+
+    import base64 as b64
+
+    raw = b"BT A" + b"\x00" * 8 + b"B ET"
+    body = b64.a85encode(raw[:4]) + b"zz" + b64.a85encode(raw[-4:]) + b"~>"
+    assert _decode_stream(b"<< /Filter /ASCII85Decode >>", body) == raw
+
+
+@given(st.binary(min_size=0, max_size=5000))
+@settings(max_examples=60, deadline=None)
+def test_lzw_roundtrip_property(raw):
+    """From-scratch LZW encode→decode is the identity, across the 9→10 bit
+    width bump (5 kB of structured input crosses code 511)."""
+    from doctr_spark.kernels.pdf import _lzw_decode, _lzw_encode
+
+    assert _lzw_decode(_lzw_encode(raw)) == raw
+
+
+def test_lzw_width_bumps_and_clear():
+    """A low-entropy megabyte forces width 9→12 and a mid-stream CLEAR."""
+    from doctr_spark.kernels.pdf import _lzw_decode, _lzw_encode
+
+    raw = bytes((i * 7 + (i >> 3)) & 0xFF for i in range(300_000))
+    assert _lzw_decode(_lzw_encode(raw)) == raw
+
+
+@given(st.binary(min_size=0, max_size=2000))
+@settings(max_examples=60, deadline=None)
+def test_runlength_roundtrip_property(raw):
+    from doctr_spark.kernels.pdf import _rl_decode, _rl_encode
+
+    assert _rl_decode(_rl_encode(raw)) == raw
+
+
+@pytest.mark.parametrize("pred", [2, 11, 12, 13, 14])
+def test_pdf_decode_parms_predictors(pred):
+    """TIFF (2) and PNG Sub/Up/Average/Paeth predictors declared via
+    /DecodeParms undo exactly (applied on top of FlateDecode)."""
+    import zlib as _z
+
+    from doctr_spark.kernels.pdf import _decode_stream
+
+    columns, rows = 7, 40
+    raw = bytes((r * 31 + c * 17) & 0xFF for r in range(rows) for c in range(columns))
+    if pred == 2:
+        coded = bytearray(raw)
+        for r in range(0, len(coded), columns):
+            for i in range(r + columns - 1, r, -1):
+                coded[i] = (coded[i] - coded[i - 1]) & 0xFF
+        body = bytes(coded)
+    else:
+        ftype = {11: 1, 12: 2, 13: 3, 14: 4}[pred]
+        body = bytearray()
+        prev = bytes(columns)
+        for r in range(rows):
+            row = raw[r * columns : (r + 1) * columns]
+            body.append(ftype)
+            for j in range(columns):
+                left = row[j - 1] if j else 0
+                up = prev[j]
+                ul = prev[j - 1] if j else 0
+                if ftype == 1:
+                    body.append((row[j] - left) & 0xFF)
+                elif ftype == 2:
+                    body.append((row[j] - up) & 0xFF)
+                elif ftype == 3:
+                    body.append((row[j] - (left + up) // 2) & 0xFF)
+                else:
+                    p = left + up - ul
+                    pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                    pr = left if pa <= pb and pa <= pc else (up if pb <= pc else ul)
+                    body.append((row[j] - pr) & 0xFF)
+            prev = row
+        body = bytes(body)
+    head = (
+        b"<< /Filter /FlateDecode /DecodeParms << /Predictor %d /Columns %d >> >>"
+        % (pred, columns)
+    )
+    assert _decode_stream(head, _z.compress(body)) == raw
+
+
+def test_pdf15_xref_predictor_roundtrip():
+    """xref stream rows coded with the PNG Up predictor still parse, and
+    decoding the xref stream itself recovers offsets that land on real
+    'N 0 obj' headers."""
+    import re as _re
+
+    from doctr_spark.kernels.pdf import _decode_stream
+
+    doc = write_pdf(PAGE, (100, 260), pdf15=True, xref_predictor=True)
+    assert b"/Predictor 12" in doc
+    assert _placements(doc) == _placements(write_pdf(PAGE, (100, 260)))
+    m = _re.search(rb"(\d+)\s+0\s+obj\s*(<< /Type /XRef.*?>>)\nstream\n", doc, _re.DOTALL)
+    head = m.group(2)
+    ln = int(_re.search(rb"/Length (\d+)", head).group(1))
+    rows = _decode_stream(head, doc[m.end() : m.end() + ln])
+    assert len(rows) % 7 == 0
+    for k in range(0, len(rows), 7):
+        typ, off = rows[k], int.from_bytes(rows[k + 1 : k + 5], "big")
+        if typ == 1 and off:
+            assert _re.match(rb"\d+\s+0\s+obj", doc[off : off + 16])
 
 
 def test_pdf15_object_and_xref_streams():
