@@ -18,9 +18,14 @@ Reference):
   ``/ASCIIHexDecode``, ``/ASCII85Decode``, ``/RunLengthDecode``, filter
   CHAINS (array-valued ``/Filter``), and ``/DecodeParms`` predictors for
   Flate/LZW (TIFF 2 + PNG 10-15),
-* text operators ``BT/ET``, ``Tm`` (translation part), ``Td``, ``Tf``
-  (font SIZE: glyph scale = size/12, integer scales rasterize), ``(…) Tj``
-  with the ``\\( \\) \\\\`` escapes, and ``[…] TJ`` arrays whose kerning
+* text operators ``BT/ET``, ``Tm`` (translation part), ``Td``/``TD``,
+  ``TL``/``T*``/``'``/``"`` line advances, ``Tc``/``Tw`` spacing (advance
+  math; strings draw as atomic words), ``Tr`` render modes (mode 3 —
+  the OCR-layer construct — advances without emitting, matching the
+  raster path), ``Tf`` (font SIZE: glyph scale = size/12, integer scales
+  rasterize), literal ``(…)`` strings with the full §7.3.4.2 escape set
+  (octal, named, line continuation) plus hex ``<…>`` strings, and
+  ``[…] TJ`` arrays whose kerning
   numbers displace the text position by ``-n/1000 * size`` (§9.4.3) —
   both show operators advance the position by the shown width.
 
@@ -52,15 +57,33 @@ BASE_FONT_SIZE = 12  # Tf size that renders the glyph font at scale 1
 _OBJ_RE = re.compile(rb"(\d+)\s+0\s+obj(.*?)endobj", re.DOTALL)
 _STREAM_RE = re.compile(rb"stream\r?\n")
 _REF_RE = re.compile(rb"(\d+)\s+0\s+R")
+# a string object (§7.3.4): literal (…) with escapes, or hex <…>
+_SOBJ = rb"\((?:[^()\\]|\\.)*\)|<[0-9A-Fa-f\s]*>"
+_NUM = rb"-?[\d.]+"
 _TEXT_OP_RE = re.compile(
-    rb"(?:(-?[\d.]+)\s+(-?[\d.]+)\s+(-?[\d.]+)\s+(-?[\d.]+)\s+(-?[\d.]+)\s+(-?[\d.]+)\s+Tm)"
-    rb"|(?:(-?[\d.]+)\s+(-?[\d.]+)\s+Td)"
-    rb"|(?:\(((?:[^()\\]|\\.)*)\)\s*Tj)"
-    rb"|(BT)"
-    rb"|(?:/\w+\s+(-?[\d.]+)\s+Tf)"
-    rb"|(?:\[((?:\((?:[^()\\]|\\.)*\)|[^\[\]()])*)\]\s*TJ)"
+    rb"(?:(" + _NUM + rb")\s+(" + _NUM + rb")\s+(" + _NUM + rb")\s+"
+    rb"(" + _NUM + rb")\s+(" + _NUM + rb")\s+(" + _NUM + rb")\s+Tm)"
+    rb"|(?:(" + _NUM + rb")\s+(" + _NUM + rb")\s+(Td|TD))"
+    rb"|(?:(?P<tj>" + _SOBJ + rb")\s*Tj)"
+    rb"|(?P<bt>BT)"
+    rb"|(?:/\w+\s+(?P<tf>" + _NUM + rb")\s+Tf)"
+    rb"|(?:\[(?P<tjarr>(?:" + _SOBJ + rb"|[^\[\]()<>])*)\]\s*TJ)"
+    rb"|(?:(?P<tl>" + _NUM + rb")\s+TL)"
+    rb"|(?P<tstar>T\*)"
+    rb"|(?:(?P<quote>" + _SOBJ + rb")\s*')"
+    rb"|(?:(?P<dqw>" + _NUM + rb")\s+(?P<dqc>" + _NUM + rb")\s+"
+    rb"(?P<dquote>" + _SOBJ + rb")\s*\")"
+    rb"|(?:(?P<tc>" + _NUM + rb")\s+Tc)"
+    rb"|(?:(?P<tw>" + _NUM + rb")\s+Tw)"
+    rb"|(?:(?P<tz>" + _NUM + rb")\s+Tz)"
+    rb"|(?:(?P<tr>" + _NUM + rb")\s+Tr)",
+    re.DOTALL,  # \\. inside _SOBJ must span a backslash-EOL continuation
 )
-_TJ_ELEM_RE = re.compile(rb"\(((?:[^()\\]|\\.)*)\)|(-?[\d.]+)")
+_TJ_ELEM_RE = re.compile(rb"(" + _SOBJ + rb")|(" + _NUM + rb")", re.DOTALL)
+# §7.3.4.2 literal-string escapes: line continuation, octal, named, and
+# "backslash before anything else" (the backslash is dropped)
+_ESC_RE = re.compile(rb"\\(\r\n|\r|\n|[0-7]{1,3}|.)", re.DOTALL)
+_ESC_NAMED = {b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b", b"f": b"\f"}
 
 
 def _esc(s: str) -> str:
@@ -68,12 +91,27 @@ def _esc(s: str) -> str:
 
 
 def _unesc(b: bytes) -> str:
-    return (
-        b.replace(rb"\(", b"(")
-        .replace(rb"\)", b")")
-        .replace(rb"\\", b"\\")
-        .decode("latin-1")
-    )
+    def rep(m: re.Match) -> bytes:
+        g = m.group(1)
+        if g in (b"\r\n", b"\r", b"\n"):
+            return b""  # line continuation: backslash-EOL vanishes
+        if g.isdigit() and all(c in b"01234567" for c in g):
+            return bytes([int(g, 8) & 0xFF])
+        return _ESC_NAMED.get(g, g)
+
+    return _ESC_RE.sub(rep, b).decode("latin-1")
+
+
+def _str_token(tok: bytes) -> str:
+    """Decode a string object token INCLUDING its delimiters: ``(…)``
+    literal (escapes per §7.3.4.2) or ``<…>`` hex (whitespace ignored, an
+    odd final digit is padded with 0, §7.3.4.3)."""
+    if tok[:1] == b"(":
+        return _unesc(tok[1:-1])
+    hx = b"".join(tok[1:-1].split())
+    if len(hx) % 2:
+        hx += b"0"
+    return binascii.unhexlify(hx).decode("latin-1")
 
 
 def _fmt_num(v: float) -> str:
@@ -81,40 +119,103 @@ def _fmt_num(v: float) -> str:
     return s or "0"
 
 
+def _mk_str(word: str, hex_strings: bool) -> str:
+    if hex_strings:
+        return "<" + word.encode("latin-1").hex().upper() + ">"
+    return f"({_esc(word)})"
+
+
+def _runs_of(words: list[tuple[int, int, str]]) -> list[list[tuple[int, int, str]]]:
+    runs: list[list[tuple[int, int, str]]] = []
+    for x, y_top, word in sorted(words, key=lambda p: (p[1], p[0])):
+        if runs and runs[-1][-1][1] == y_top:
+            runs[-1].append((x, y_top, word))
+        else:
+            runs.append([(x, y_top, word)])
+    return runs
+
+
 def _content_ops(
-    words: list[tuple[int, int, str]], h: int, use_tj: bool, font_size: int
+    words: list[tuple[int, int, str]],
+    h: int,
+    use_tj: bool,
+    font_size: int,
+    *,
+    line_ops: bool = False,
+    hex_strings: bool = False,
+    char_spacing: float = 0.0,
 ) -> bytes:
     """One page's text operators. ``use_tj`` groups each baseline run into
     a single ``[…] TJ`` array whose kerning numbers carry the inter-word
     gaps (exercising the §9.4.3 displacement math); otherwise every word
-    gets its own ``Tm … Tj``."""
+    gets its own ``Tm … Tj``. ``line_ops`` lays the page out the way
+    word-processor exporters do — ``TL`` + one ``Td`` + ``T*``/``'``/``"``
+    line advances (requires a uniform grid: every line starts at the same
+    x and line pitch is constant). ``hex_strings`` emits ``<…>`` string
+    objects; ``char_spacing`` emits a ``Tc`` whose per-glyph advance the
+    kerning numbers then compensate."""
     from .glyphs import word_width
 
     scale = font_size // BASE_FONT_SIZE
     ops = [b"BT /F1 %d Tf" % font_size]
-    if not use_tj:
+    if char_spacing:
+        ops.append(f"{_fmt_num(char_spacing)} Tc".encode("latin-1"))
+
+    def advance(x: float, word: str) -> float:
+        return x + word_width(word) * scale + len(word) * char_spacing
+
+    def tj_elems(run: list[tuple[int, int, str]], cur: float) -> str:
+        elems = []
+        for x, _, word in run:
+            gap = x - cur
+            if gap:
+                elems.append(_fmt_num(-gap * 1000.0 / font_size))
+            elems.append(_mk_str(word, hex_strings))
+            cur = advance(x, word)
+        return "[" + " ".join(elems) + "] TJ"
+
+    if line_ops:
+        runs = _runs_of(words)
+        pdf_ys = [h - int(r[0][1]) - GLYPH_H * scale for r in runs]
+        x0s = {int(r[0][0]) for r in runs}
+        pitches = {pdf_ys[i - 1] - pdf_ys[i] for i in range(1, len(runs))}
+        if len(x0s) > 1 or len(pitches) > 1:
+            raise ValueError("line_ops requires a uniform grid (same x0, constant pitch)")
+        x0 = x0s.pop()
+        if pitches:
+            ops.append(b"%d TL" % pitches.pop())
+        ops.append(b"%d %d Td" % (x0, pdf_ys[0]))
+        for i, run in enumerate(runs):
+            first_x, _, first_w = run[0]
+            if i == 0:
+                ops.append(tj_elems(run, float(x0)).encode("latin-1"))
+                continue
+            # line advance: exercise ' on line 1, " on line 2, T* after;
+            # ' and " show the line's FIRST word (which must sit at x0)
+            if i in (1, 2) and int(first_x) == x0:
+                tok = _mk_str(first_w, hex_strings)
+                # " SETS Tw/Tc — carry char_spacing through its ac operand
+                # or the page's later kern numbers stop compensating
+                dq = f"0 {_fmt_num(char_spacing)} {tok} \""
+                lead = tok + " '" if i == 1 else dq
+                ops.append(lead.encode("latin-1"))
+                rest, cur = run[1:], advance(first_x, first_w)
+            else:
+                ops.append(b"T*")
+                rest, cur = run, float(x0)
+            if rest:
+                ops.append(tj_elems(rest, cur).encode("latin-1"))
+    elif not use_tj:
         for x, y_top, word in words:
             pdf_y = h - int(y_top) - GLYPH_H * scale
-            ops.append(f"1 0 0 1 {int(x)} {pdf_y} Tm ({_esc(word)}) Tj".encode("latin-1"))
+            tok = _mk_str(word, hex_strings)
+            ops.append(f"1 0 0 1 {int(x)} {pdf_y} Tm {tok} Tj".encode("latin-1"))
     else:
-        runs: list[list[tuple[int, int, str]]] = []
-        for x, y_top, word in sorted(words, key=lambda p: (p[1], p[0])):
-            if runs and runs[-1][-1][1] == y_top:
-                runs[-1].append((x, y_top, word))
-            else:
-                runs.append([(x, y_top, word)])
-        for run in runs:
+        for run in _runs_of(words):
             x0, y_top, _ = run[0]
             pdf_y = h - int(y_top) - GLYPH_H * scale
-            elems, cur = [], float(x0)
-            for x, _, word in run:
-                gap = x - cur
-                if gap:
-                    elems.append(_fmt_num(-gap * 1000.0 / font_size))
-                elems.append(f"({_esc(word)})")
-                cur = x + word_width(word) * scale
             ops.append(
-                f"1 0 0 1 {int(x0)} {pdf_y} Tm [{' '.join(elems)}] TJ".encode("latin-1")
+                f"1 0 0 1 {int(x0)} {pdf_y} Tm {tj_elems(run, float(x0))}".encode("latin-1")
             )
     ops.append(b"ET")
     return b"\n".join(ops)
@@ -153,6 +254,9 @@ def write_pdf(
     font_size: int = BASE_FONT_SIZE,
     pdf15: bool = False,
     xref_predictor: bool = False,
+    line_ops: bool = False,
+    hex_strings: bool = False,
+    char_spacing: float = 0.0,
 ) -> bytes:
     """Write a real PDF; ``pages`` holds per-page ``(x, y_top, word)``
     placements in top-down pixel space (at the glyph scale implied by
@@ -191,7 +295,15 @@ def write_pdf(
     len_ids = list(range(k + 4 + len(pages), k + 4 + 2 * len(pages)))
     length_objs: dict[int, bytes] = {}
     for i, words in enumerate(pages):
-        raw = _content_ops(words, h, use_tj, font_size)
+        raw = _content_ops(
+            words,
+            h,
+            use_tj,
+            font_size,
+            line_ops=line_ops,
+            hex_strings=hex_strings,
+            char_spacing=char_spacing,
+        )
         data, filt = _encode_stream(raw, filters)
         if indirect_length:
             length_objs[len_ids[i]] = b"%d" % len(data)
@@ -658,42 +770,83 @@ def parse_pdf(data: bytes) -> list[dict]:
                 continue
             contents.append(_decode_stream(chead, stream))
         words: list[tuple[float, float, str, float]] = []
-        # text-line matrix origin (lx, ly) vs current point x: Td displaces
-        # the LINE start (§9.4.2), while Tj/TJ advance only the current
-        # point within the line
+        # text-line matrix origin (lx, ly) vs current point x: Td/TD/T*
+        # displace the LINE start (§9.4.2), while Tj/TJ/'/" advance only
+        # the current point within the line. Tc/Tw/TL/Tr are text-state
+        # parameters that PERSIST across BT/ET (§9.3.1) — only the
+        # matrices reset at BT.
         lx = ly = x = y = 0.0
         size = float(BASE_FONT_SIZE)
+        leading = tc = tw = 0.0
+        render_mode = 0
 
-        def show(raw: bytes) -> None:
-            """Tj/TJ string: emit at the current position, then advance by
-            the shown width (glyph metrics at scale = size/12)."""
+        def show(tok: bytes) -> None:
+            """Show a string token at the current position, then advance
+            by the shown width (glyph metrics at scale = size/12) plus
+            the §9.3.2-9.3.3 spacing terms: +Tc per glyph, +Tw per space
+            glyph. Render mode 3 (invisible — the OCR-layer construct)
+            advances without emitting: the raster path the reference
+            feeds to detection would not contain those pixels either."""
             nonlocal x
             from .glyphs import word_width
 
-            text = _unesc(raw)
+            text = _str_token(tok)
             scale = size / BASE_FONT_SIZE
-            words.append((x, h - y - GLYPH_H * scale, text, size))
-            x += word_width(text) * scale
+            if render_mode != 3:
+                words.append((x, h - y - GLYPH_H * scale, text, size))
+            x += word_width(text) * scale + len(text) * tc + text.count(" ") * tw
+
+        def next_line() -> None:
+            nonlocal lx, ly, x, y
+            ly -= leading
+            x, y = lx, ly
 
         for m in _TEXT_OP_RE.finditer(b"\n".join(contents)):
+            g = m.groupdict()
             if m.group(1) is not None:  # Tm: take the translation part
                 lx, ly = float(m.group(5)), float(m.group(6))
                 x, y = lx, ly
-            elif m.group(7) is not None:  # Td: displace the line matrix
-                lx, ly = lx + float(m.group(7)), ly + float(m.group(8))
+            elif m.group(7) is not None:  # Td / TD (TD also sets TL=-ty)
+                ty = float(m.group(8))
+                if m.group(9) == b"TD":
+                    leading = -ty
+                lx, ly = lx + float(m.group(7)), ly + ty
                 x, y = lx, ly
-            elif m.group(9) is not None:  # Tj
-                show(m.group(9))
-            elif m.group(10) is not None:  # BT resets the text matrices
+            elif g["tj"] is not None:
+                show(g["tj"])
+            elif g["bt"] is not None:  # BT resets the text matrices
                 lx = ly = x = y = 0.0
-            elif m.group(11) is not None:  # Tf: font size (Tf persists)
-                size = float(m.group(11))
-            elif m.group(12) is not None:  # TJ array (§9.4.3)
-                for em in _TJ_ELEM_RE.finditer(m.group(12)):
+            elif g["tf"] is not None:  # Tf: font size (Tf persists)
+                size = float(g["tf"])
+            elif g["tjarr"] is not None:  # TJ array (§9.4.3)
+                for em in _TJ_ELEM_RE.finditer(g["tjarr"]):
                     if em.group(1) is not None:
                         show(em.group(1))
                     else:  # kern number: tx = -n/1000 * size
                         x -= float(em.group(2)) / 1000.0 * size
+            elif g["tl"] is not None:
+                leading = float(g["tl"])
+            elif g["tstar"] is not None:
+                next_line()
+            elif g["quote"] is not None:  # ': T* then show
+                next_line()
+                show(g["quote"])
+            elif g["dquote"] is not None:  # ": aw Tw, ac Tc, T*, show
+                tw, tc = float(g["dqw"]), float(g["dqc"])
+                next_line()
+                show(g["dquote"])
+            elif g["tc"] is not None:
+                tc = float(g["tc"])
+            elif g["tw"] is not None:
+                tw = float(g["tw"])
+            elif g["tz"] is not None:  # horizontal scaling: only 100 (=1.0)
+                if abs(float(g["tz"]) - 100.0) > 1e-9:
+                    raise NotImplementedError(
+                        f"Tz horizontal scaling {float(g['tz'])} is outside the "
+                        "from-scratch codec subset (100 only)"
+                    )
+            elif g["tr"] is not None:  # render mode; 3 = invisible
+                render_mode = int(float(g["tr"]))
         out.append({"size": (h, w), "words": words})
     return out
 

@@ -331,3 +331,119 @@ def test_pdf_fractional_scale_rejected():
     assert bad != doc
     with pytest.raises(NotImplementedError, match="glyph scale"):
         rasterize_pdf(bad)
+
+
+# uniform grid (same x0, constant pitch) — the line_ops writer contract
+GRID = [
+    [
+        (30, 10, "alpha"),
+        (110, 10, "beta"),
+        (30, 40, "gamma"),
+        (30, 70, "delta"),
+        (95, 70, "eps"),
+        (30, 100, "zeta"),
+    ]
+]
+
+
+def _splice(content: bytes) -> bytes:
+    """Hand-written content stream inside an otherwise-valid classic PDF."""
+    raw = write_pdf([[]], (200, 320))
+    empty = b"BT /F1 12 Tf\nET"
+    doc = raw.replace(
+        b"<< /Length %d >>\nstream\n%s\nendstream" % (len(empty), empty),
+        b"<< /Length %d >>\nstream\n%s\nendstream" % (len(content), content),
+    )
+    assert doc != raw, "fixture splice failed"
+    return doc
+
+
+@pytest.mark.parametrize(
+    "kw",
+    [
+        {"line_ops": True},
+        {"line_ops": True, "hex_strings": True},
+        {"line_ops": True, "char_spacing": 0.25},
+        {"use_tj": True, "hex_strings": True},
+        {"use_tj": True, "char_spacing": 0.5},
+    ],
+    ids=["line_ops", "line_ops_hex", "line_ops_tc", "tj_hex", "tj_tc"],
+)
+def test_pdf_line_operator_layouts(kw):
+    """TL/Td/T*/'/\" line layouts, <hex> strings, and Tc char spacing all
+    restore the exact grid the Tm form produces (§9.4.2-9.4.3, §9.3.2)."""
+    doc = write_pdf(GRID, (200, 320), **kw)
+    if kw.get("line_ops"):
+        assert b"T*" in doc and b"'" in doc and b'"' in doc and b" TL" in doc
+    if kw.get("hex_strings"):
+        assert b"(" not in doc.split(b"stream", 1)[1].split(b"endstream")[0]
+    if kw.get("char_spacing"):
+        assert b" Tc" in doc
+    (page,) = parse_pdf(doc)
+    got = sorted((round(x), round(y), t) for x, y, t, _sz in page["words"])
+    assert got == sorted(GRID[0])
+
+
+def test_pdf_line_ops_rasterize_matches_tm_form():
+    """The line-operator layout rasterizes to the identical canvas."""
+    a = rasterize_pdf(write_pdf(GRID, (200, 320)))
+    b = rasterize_pdf(write_pdf(GRID, (200, 320), line_ops=True, char_spacing=0.25))
+    assert np.array_equal(a[0], b[0])
+
+
+def test_pdf_line_ops_requires_uniform_grid():
+    with pytest.raises(ValueError, match="uniform grid"):
+        write_pdf([[(10, 10, "a"), (20, 40, "b")]], (100, 100), line_ops=True)
+
+
+def test_pdf_string_escapes():
+    r"""§7.3.4.2: octal \145, named \n-style escapes, and backslash-EOL
+    line continuation all decode; a stray backslash drops."""
+    content = (
+        b"BT /F1 12 Tf\n"
+        b"1 0 0 1 30 100 Tm (h\\145l\\154o) Tj\n"
+        b"1 0 0 1 30 60 Tm (a\\\nb) Tj\n"
+        b"1 0 0 1 30 30 Tm (\\q) Tj\n"
+        b"ET"
+    )
+    (page,) = parse_pdf(_splice(content))
+    assert [w[2] for w in page["words"]] == ["hello", "ab", "q"]
+
+
+def test_pdf_td_uppercase_sets_leading_and_tstar_uses_it():
+    """TD = Td + TL(-ty); T* then advances by that leading (§9.4.2)."""
+    content = b"BT /F1 12 Tf 0 180 Td 30 -40 TD (a) Tj T* (b) Tj ET"
+    (page,) = parse_pdf(_splice(content))
+    got = [(round(x), round(y), t) for x, y, t, _sz in page["words"]]
+    assert got == [(30, 200 - 140 - 16, "a"), (30, 200 - 100 - 16, "b")]
+
+
+def test_pdf_invisible_render_mode_advances_without_text():
+    """3 Tr (the scanned-page OCR-layer construct) contributes no words —
+    the reference's raster path would not contain those pixels either —
+    but still advances the current point for what follows."""
+    content = b"BT /F1 12 Tf 1 0 0 1 30 100 Tm 3 Tr (ghost) Tj 0 Tr (real) Tj ET"
+    (page,) = parse_pdf(_splice(content))
+    assert [w[2] for w in page["words"]] == ["real"]
+    from doctr_spark.kernels.glyphs import word_width
+
+    assert round(page["words"][0][0]) == 30 + word_width("ghost")
+
+
+def test_pdf_tz_gate():
+    """Non-unit horizontal scaling rejects loudly; 100 Tz is a no-op."""
+    ok = b"BT /F1 12 Tf 100 Tz 1 0 0 1 30 100 Tm (a) Tj ET"
+    assert [w[2] for w in parse_pdf(_splice(ok))[0]["words"]] == ["a"]
+    with pytest.raises(NotImplementedError, match="Tz"):
+        parse_pdf(_splice(b"BT /F1 12 Tf 50 Tz (a) Tj ET"))
+
+
+def test_pdf_word_spacing_advances_spaces():
+    """Tw adds to the advance of every SPACE glyph in a shown string
+    (§9.3.3): two strings shown back to back stay adjacent."""
+    content = b"BT /F1 12 Tf 6 Tw 1 0 0 1 30 100 Tm (a b) Tj (!) Tj ET"
+    (page,) = parse_pdf(_splice(content))
+    from doctr_spark.kernels.glyphs import word_width
+
+    a_b, bang = page["words"]
+    assert bang[0] == pytest.approx(30 + word_width("a b") + 6)
