@@ -57,6 +57,16 @@ def gen_pdf_page(
     return placements, gt, sum(len(ws) for ws in lines)
 
 
+def _render_canvas(placements: list[tuple[int, int, str]]) -> np.ndarray:
+    """Glyph-render a page's word layout — the pixels a scanner would see."""
+    from ..kernels.glyphs import draw_word
+
+    canvas = np.zeros((PAGE_H, PAGE_W), dtype=np.uint8)
+    for x, y, wd in placements:
+        draw_word(canvas, x, y, wd)
+    return canvas
+
+
 def gen_pdf_conversation(conv_no: int, seed: int = 42) -> tuple[list[dict], list[dict]]:
     rng = np.random.default_rng([seed, conv_no, 37])
     conv_id = f"pdf{conv_no:07d}"
@@ -67,9 +77,11 @@ def gen_pdf_conversation(conv_no: int, seed: int = 42) -> tuple[list[dict], list
         n_pages = int(rng.integers(1, 3))
         # cycle the writer variants so every parser path runs end to end:
         # raw / FlateDecode, per-word Tm vs kerned [..] TJ arrays,
-        # ASCIIHexDecode, PDF 1.5 object+xref streams, and Tf 24 (glyph
-        # scale 2 through the crop normalizer)
-        mode = (conv_no + t) % 6
+        # ASCIIHexDecode, PDF 1.5 object+xref streams, Tf 24 (glyph
+        # scale 2 through the crop normalizer), and SCANNED pages (§8.9
+        # image XObjects carrying the rendered pixels under an invisible
+        # 3 Tr OCR text layer — extraction must read the IMAGE)
+        mode = (conv_no + t) % 7
         scale = 2 if mode == 5 else 1
         page_words, gt_pages, n_words = [], [], 0
         for _ in range(n_pages):
@@ -85,6 +97,10 @@ def gen_pdf_conversation(conv_no: int, seed: int = 42) -> tuple[list[dict], list
             ascii_hex=mode == 3,
             pdf15=mode == 4,
             font_size=12 * scale,
+            images={i: [(_render_canvas(pw), 0, 0)] for i, pw in enumerate(page_words)}
+            if mode == 6
+            else None,
+            render_mode=3 if mode == 6 else 0,
         )
         rows.append(
             {

@@ -18,6 +18,16 @@ Reference):
   ``/ASCIIHexDecode``, ``/ASCII85Decode``, ``/RunLengthDecode``, filter
   CHAINS (array-valued ``/Filter``), and ``/DecodeParms`` predictors for
   Flate/LZW (TIFF 2 + PNG 10-15),
+* image XObjects (§8.9): ``/Subtype /Image`` streams in ``/DeviceGray``
+  at 8 bits/component (raw or any supported filter chain), placed by the
+  ``q a 0 0 d e f cm /Name Do Q`` idiom every common writer emits —
+  axis-aligned scale+translate CTMs only, nearest-neighbor resample when
+  the display size differs from the pixel size. This is the SCANNED-PAGE
+  construct: an image-only page (optionally under an invisible ``3 Tr``
+  text layer) rasterizes to the embedded pixels and flows through the
+  standard detection → recognition path, exactly like the reference's
+  pypdfium2 render. Rotated/skewed CTMs, form XObjects, and inline
+  images (``BI``/``ID``/``EI``) reject loudly,
 * text operators ``BT/ET``, ``Tm`` (translation part), ``Td``/``TD``,
   ``TL``/``T*``/``'``/``"`` line advances, ``Tc``/``Tw`` spacing (advance
   math; strings draw as atomic words), ``Tr`` render modes (mode 3 —
@@ -80,6 +90,15 @@ _TEXT_OP_RE = re.compile(
     re.DOTALL,  # \\. inside _SOBJ must span a backslash-EOL continuation
 )
 _TJ_ELEM_RE = re.compile(rb"(" + _SOBJ + rb")|(" + _NUM + rb")", re.DOTALL)
+_SOBJ_RE = re.compile(_SOBJ, re.DOTALL)
+# the image-placement idiom (§8.9): unit square mapped by an axis-aligned
+# CTM inside its own q/Q save, then painted with Do
+_IMG_DO_RE = re.compile(
+    rb"q\s+(" + _NUM + rb")\s+(" + _NUM + rb")\s+(" + _NUM + rb")\s+"
+    rb"(" + _NUM + rb")\s+(" + _NUM + rb")\s+(" + _NUM + rb")\s+cm\s*"
+    rb"/(\w+)\s+Do\s+Q"
+)
+_ANY_DO_RE = re.compile(rb"/\w+\s+Do\b")
 # §7.3.4.2 literal-string escapes: line continuation, octal, named, and
 # "backslash before anything else" (the backslash is dropped)
 _ESC_RE = re.compile(rb"\\(\r\n|\r|\n|[0-7]{1,3}|.)", re.DOTALL)
@@ -144,6 +163,7 @@ def _content_ops(
     line_ops: bool = False,
     hex_strings: bool = False,
     char_spacing: float = 0.0,
+    render_mode: int = 0,
 ) -> bytes:
     """One page's text operators. ``use_tj`` groups each baseline run into
     a single ``[…] TJ`` array whose kerning numbers carry the inter-word
@@ -158,6 +178,8 @@ def _content_ops(
 
     scale = font_size // BASE_FONT_SIZE
     ops = [b"BT /F1 %d Tf" % font_size]
+    if render_mode:
+        ops.append(b"%d Tr" % render_mode)
     if char_spacing:
         ops.append(f"{_fmt_num(char_spacing)} Tc".encode("latin-1"))
 
@@ -257,10 +279,19 @@ def write_pdf(
     line_ops: bool = False,
     hex_strings: bool = False,
     char_spacing: float = 0.0,
+    images: dict[int, list[tuple]] | None = None,
+    render_mode: int = 0,
 ) -> bytes:
     """Write a real PDF; ``pages`` holds per-page ``(x, y_top, word)``
     placements in top-down pixel space (at the glyph scale implied by
     ``font_size``, which must be an integer multiple of 12).
+
+    ``images`` maps page index -> ``[(gray_uint8_array, x, y_top)]`` (or
+    5-tuples ``(img, x, y_top, disp_w, disp_h)`` to display at a size
+    other than the pixel size): each becomes a ``/DeviceGray`` 8-bit
+    image XObject placed via ``q w 0 0 h x y cm /ImN Do Q`` (§8.9) —
+    the scanned-page construct. A page whose ``pages`` entry is empty
+    but has an ``images`` entry is an image-ONLY page.
 
     ``stream_filter`` names the content-stream encoding in decode order:
     ``"flate"``, ``"lzw"``, ``"ahx"``, ``"a85"``, ``"rl"``, or a tuple
@@ -289,10 +320,37 @@ def write_pdf(
         raise ValueError("indirect_length targets the classic-xref layout only")
     h, w = page_hw
     k = len(pages)
+    images = images or {}
+    # image XObjects are STREAM objects numbered K+1..K+M — top-level in
+    # both layouts (stream objects cannot live inside an ObjStm, §7.5.7)
+    img_objs: list[bytes] = []
+    img_ops: dict[int, list[bytes]] = {}
+    img_res: dict[int, list[bytes]] = {}
+    for pi in sorted(images):
+        for placement in images[pi]:
+            img, x, y_top, *disp = placement
+            img = np.ascontiguousarray(img, dtype=np.uint8)
+            ih, iw = img.shape
+            dw, dh = disp if disp else (iw, ih)
+            oid = k + 1 + len(img_objs)
+            data = zlib.compress(img.tobytes())
+            img_objs.append(
+                b"<< /Type /XObject /Subtype /Image /Width %d /Height %d "
+                b"/ColorSpace /DeviceGray /BitsPerComponent 8 "
+                b"/Length %d /Filter /FlateDecode >>\nstream\n" % (iw, ih, len(data))
+                + data
+                + b"\nendstream"
+            )
+            img_res.setdefault(pi, []).append(b"/Im%d %d 0 R" % (oid, oid))
+            img_ops.setdefault(pi, []).append(
+                b"q %d 0 0 %d %d %d cm /Im%d Do Q"
+                % (dw, dh, int(x), h - int(y_top) - dh, oid)
+            )
+    m = len(img_objs)
     contents: list[bytes] = []  # full stream objects, numbered 1..K
-    # dict-only objects occupy K+1..K+3+pages; indirect length integers
-    # (when requested) follow at K+4+pages..K+3+2*pages
-    len_ids = list(range(k + 4 + len(pages), k + 4 + 2 * len(pages)))
+    # dict-only objects occupy K+M+1..K+M+3+pages; indirect length
+    # integers (when requested) follow after the page objects
+    len_ids = list(range(k + m + 4 + len(pages), k + m + 4 + 2 * len(pages)))
     length_objs: dict[int, bytes] = {}
     for i, words in enumerate(pages):
         raw = _content_ops(
@@ -303,7 +361,10 @@ def write_pdf(
             line_ops=line_ops,
             hex_strings=hex_strings,
             char_spacing=char_spacing,
+            render_mode=render_mode,
         )
+        if i in img_ops:
+            raw = b"\n".join(img_ops[i] + [raw])
         data, filt = _encode_stream(raw, filters)
         if indirect_length:
             length_objs[len_ids[i]] = b"%d" % len(data)
@@ -311,28 +372,30 @@ def write_pdf(
         else:
             head = b"<< /Length %d %s>>" % (len(data), filt)
         contents.append(head + b"\nstream\n" + data + b"\nendstream")
-    # dict-only objects, numbered K+1..K+4+pages
-    font_id, pages_id = k + 1, k + 2
-    catalog_id = k + 3
-    page_ids = list(range(k + 4, k + 4 + len(pages)))
+    # dict-only objects, numbered K+M+1..K+M+4+pages
+    font_id, pages_id = k + m + 1, k + m + 2
+    catalog_id = k + m + 3
+    page_ids = list(range(k + m + 4, k + m + 4 + len(pages)))
     dict_objs: dict[int, bytes] = {
         font_id: b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
         pages_id: b"<< /Type /Pages /Kids [%s] /Count %d >>"
         % (b" ".join(b"%d 0 R" % p for p in page_ids), len(page_ids)),
         catalog_id: b"<< /Type /Catalog /Pages %d 0 R >>" % pages_id,
     }
-    for pid, cid in zip(page_ids, range(1, k + 1)):
+    for pi, (pid, cid) in enumerate(zip(page_ids, range(1, k + 1))):
+        res = b"/Font << /F1 %d 0 R >>" % font_id
+        if pi in img_res:
+            res += b" /XObject << %s >>" % b" ".join(img_res[pi])
         dict_objs[pid] = (
             b"<< /Type /Page /Parent %d 0 R /MediaBox [0 0 %d %d] "
-            b"/Contents %d 0 R /Resources << /Font << /F1 %d 0 R >> >> >>"
-            % (pages_id, w, h, cid, font_id)
+            b"/Contents %d 0 R /Resources << %s >> >>" % (pages_id, w, h, cid, res)
         )
 
     if not pdf15:
         dict_objs.update(length_objs)
         out = bytearray(b"%PDF-1.4\n")
         offsets = []
-        bodies = contents + [dict_objs[n] for n in sorted(dict_objs)]
+        bodies = contents + img_objs + [dict_objs[n] for n in sorted(dict_objs)]
         for i, body in enumerate(bodies, start=1):
             offsets.append(len(out))
             out += b"%d 0 obj\n" % i + body + b"\nendobj\n"
@@ -349,7 +412,7 @@ def write_pdf(
         return bytes(out)
 
     # -- PDF 1.5: object stream + xref stream
-    objstm_id = k + 4 + len(pages)
+    objstm_id = k + m + 4 + len(pages)
     xref_id = objstm_id + 1
     packed_nums = sorted(dict_objs)
     header, body = [], b""
@@ -368,7 +431,7 @@ def write_pdf(
 
     out = bytearray(b"%PDF-1.5\n")
     offsets: dict[int, int] = {}
-    for i, blob in enumerate(contents, start=1):
+    for i, blob in enumerate(contents + img_objs, start=1):
         offsets[i] = len(out)
         out += b"%d 0 obj\n" % i + blob + b"\nendobj\n"
     offsets[objstm_id] = len(out)
@@ -376,7 +439,7 @@ def write_pdf(
     xref_at = len(out)
     # xref stream rows, /W [1 4 2]: free / type-1 offset / type-2 (objstm, idx)
     rows = [b"\x00" + (0).to_bytes(4, "big") + (65535).to_bytes(2, "big")]
-    for i in range(1, k + 1):
+    for i in range(1, k + m + 1):
         rows.append(b"\x01" + offsets[i].to_bytes(4, "big") + (0).to_bytes(2, "big"))
     for idx, n in enumerate(packed_nums):
         rows.append(b"\x02" + objstm_id.to_bytes(4, "big") + idx.to_bytes(2, "big"))
@@ -769,6 +832,56 @@ def parse_pdf(data: bytes) -> list[dict]:
             if stream is None:
                 continue
             contents.append(_decode_stream(chead, stream))
+        full = b"\n".join(contents)
+
+        # -- image XObjects (§8.9): resolve each q/cm/Do placement via the
+        # page's /XObject resource dict; anything painted with Do outside
+        # that idiom (form XObjects, rotated CTMs) rejects loudly below
+        xm = re.search(rb"/XObject\s*<<(.*?)>>", head, re.DOTALL)
+        xres = (
+            {r.group(1): int(r.group(2)) for r in re.finditer(rb"/(\w+)\s+(\d+)\s+0\s+R", xm.group(1))}
+            if xm
+            else {}
+        )
+        images: list[tuple[float, float, np.ndarray]] = []
+        for im in _IMG_DO_RE.finditer(full):
+            a, b_, c, d, e, f = (float(v) for v in im.groups()[:6])
+            if b_ or c or a <= 0 or d <= 0:
+                raise NotImplementedError(
+                    "image CTM with rotation/skew/reflection is outside the codec subset"
+                )
+            name = im.group(7)
+            if name not in xres:
+                raise ValueError(f"Do references unknown XObject /{name.decode()}")
+            xhead, xstream = objs[xres[name]]
+            if xstream is None or not re.search(rb"/Subtype\s*/Image\b", xhead):
+                raise NotImplementedError("form XObjects are outside the codec subset")
+            if not re.search(rb"/ColorSpace\s*/DeviceGray\b", xhead) or not re.search(
+                rb"/BitsPerComponent\s+8\b", xhead
+            ):
+                raise NotImplementedError(
+                    "image XObjects outside 8-bit /DeviceGray are outside the codec subset"
+                )
+            iw = int(re.search(rb"/Width\s+(\d+)", xhead).group(1))
+            ih = int(re.search(rb"/Height\s+(\d+)", xhead).group(1))
+            pix = _decode_stream(xhead, xstream)
+            if len(pix) != iw * ih:
+                raise ValueError("image data length does not match /Width * /Height")
+            arr = np.frombuffer(pix, dtype=np.uint8).reshape(ih, iw)
+            dw, dh = int(round(a)), int(round(d))
+            if (dh, dw) != (ih, iw):  # nearest-neighbor resample to display size
+                arr = arr[np.arange(dh) * ih // dh][:, np.arange(dw) * iw // dw]
+            # CTM maps the unit square to [e, e+a] x [f, f+d]: top-down
+            # y_top = page_h - (bottom + height)
+            images.append((e, h - f - d, arr))
+        leftover = _SOBJ_RE.sub(b" ", _IMG_DO_RE.sub(b" ", full))
+        if _ANY_DO_RE.search(leftover):
+            raise NotImplementedError(
+                "XObject Do outside the q/cm/Do image idiom is outside the codec subset"
+            )
+        if re.search(rb"\bBI\b", leftover):
+            raise NotImplementedError("inline images (BI/ID/EI) are outside the codec subset")
+
         words: list[tuple[float, float, str, float]] = []
         # text-line matrix origin (lx, ly) vs current point x: Td/TD/T*
         # displace the LINE start (§9.4.2), while Tj/TJ/'/" advance only
@@ -801,7 +914,7 @@ def parse_pdf(data: bytes) -> list[dict]:
             ly -= leading
             x, y = lx, ly
 
-        for m in _TEXT_OP_RE.finditer(b"\n".join(contents)):
+        for m in _TEXT_OP_RE.finditer(full):
             g = m.groupdict()
             if m.group(1) is not None:  # Tm: take the translation part
                 lx, ly = float(m.group(5)), float(m.group(6))
@@ -847,7 +960,7 @@ def parse_pdf(data: bytes) -> list[dict]:
                     )
             elif g["tr"] is not None:  # render mode; 3 = invisible
                 render_mode = int(float(g["tr"]))
-        out.append({"size": (h, w), "words": words})
+        out.append({"size": (h, w), "words": words, "images": images})
     return out
 
 
@@ -864,6 +977,14 @@ def rasterize_pdf(data: bytes, vocab: str | None = None) -> list[np.ndarray]:
     for page in parse_pdf(data):
         h, w = page["size"]
         canvas = np.zeros((h, w), dtype=np.uint8)
+        # scanned-page construct: composite image XObjects first, then
+        # draw visible text over them (invisible 3 Tr layers emit no words)
+        for x, y_top, img in page["images"]:
+            ih, iw = img.shape
+            xi = max(0, min(int(round(x)), w - iw))
+            yi = max(0, min(int(round(y_top)), h - ih))
+            region = canvas[yi : yi + ih, xi : xi + iw]
+            np.maximum(region, img[: region.shape[0], : region.shape[1]], out=region)
         for x, y_top, text, size in page["words"]:
             if not text:
                 continue

@@ -447,3 +447,110 @@ def test_pdf_word_spacing_advances_spaces():
 
     a_b, bang = page["words"]
     assert bang[0] == pytest.approx(30 + word_width("a b") + 6)
+
+
+# ---------------------------------------------------------------- images
+
+
+def test_pdf_image_xobject_roundtrip():
+    """§8.9 image XObject: write -> parse returns placement + exact pixels
+    (8-bit /DeviceGray, FlateDecode)."""
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (40, 60), dtype=np.uint8)
+    doc = write_pdf([[]], (200, 320), images={0: [(img, 25, 30)]})
+    (page,) = parse_pdf(doc)
+    assert page["words"] == []
+    [(x, y, arr)] = page["images"]
+    assert (round(x), round(y)) == (25, 30)
+    assert np.array_equal(arr, img)
+
+
+def test_pdf_image_scaled_display_resamples_nearest():
+    """A CTM whose a/d differ from /Width//Height displays the image
+    resampled (nearest neighbor); 2x upscale is exact pixel doubling."""
+    img = np.arange(12, dtype=np.uint8).reshape(3, 4)
+    doc = write_pdf([[]], (100, 100), images={0: [(img, 10, 10, 8, 6)]})
+    [(x, y, arr)] = parse_pdf(doc)[0]["images"]
+    assert (round(x), round(y)) == (10, 10)
+    assert arr.shape == (6, 8)
+    assert np.array_equal(arr, np.kron(img, np.ones((2, 2), np.uint8)))
+
+
+def test_pdf_scanned_page_rasterizes_like_text_page():
+    """The scanned-page construct: the rendered text canvas embedded as an
+    image-only page (plus an invisible 3 Tr OCR layer) rasterizes to the
+    IDENTICAL pixels — so the detection -> recognition path reads the same
+    document either way, exactly like the reference's pypdfium2 render."""
+    (canvas,) = rasterize_pdf(write_pdf(GRID, (200, 320)))
+    scanned = write_pdf(GRID, (200, 320), images={0: [(canvas, 0, 0)]}, render_mode=3)
+    (page,) = parse_pdf(scanned)
+    assert page["words"] == []  # the 3 Tr layer emits no visible words
+    assert len(page["images"]) == 1
+    assert np.array_equal(rasterize_pdf(scanned)[0], canvas)
+
+
+def test_pdf_image_inside_pdf15_layout():
+    """Image streams stay top-level (type-1 xref rows) in the ObjStm/xref-
+    stream layout."""
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (30, 50), dtype=np.uint8)
+    doc = write_pdf(GRID, (200, 320), images={0: [(img, 100, 120)]}, pdf15=True, xref_predictor=True)
+    (page,) = parse_pdf(doc)
+    assert len(page["words"]) == len(GRID[0])
+    assert np.array_equal(page["images"][0][2], img)
+
+
+def test_pdf_image_gates_reject_loudly():
+    """Beyond-subset image constructs keep the disclosed-gate contract."""
+    img = np.zeros((10, 10), dtype=np.uint8)
+    doc = write_pdf([[]], (100, 100), images={0: [(img, 5, 5)]})
+
+    # rotated CTM (b/c nonzero)
+    bad = doc.replace(b"q 10 0 0 10", b"q 10 2 2 10")
+    assert bad != doc
+    with pytest.raises(NotImplementedError, match="rotation/skew"):
+        parse_pdf(bad)
+
+    # non-gray colorspace
+    bad = doc.replace(b"/DeviceGray", b"/DeviceRGB")
+    with pytest.raises(NotImplementedError, match="DeviceGray"):
+        parse_pdf(bad)
+
+    # form XObject (no /Subtype /Image)
+    bad = doc.replace(b"/Subtype /Image", b"/Subtype /Form ")
+    with pytest.raises(NotImplementedError, match="form XObject"):
+        parse_pdf(bad)
+
+    # a bare Do outside the q/cm/Do idiom (same-length splice keeps the
+    # declared /Length landing on endstream)
+    old_ops = b"q 10 0 0 10 5 85 cm /Im2 Do Q"
+    bad = doc.replace(old_ops, b"/Im2 Do".ljust(len(old_ops)))
+    assert bad != doc
+    with pytest.raises(NotImplementedError, match="q/cm/Do"):
+        parse_pdf(bad)
+
+
+def test_pdf_inline_image_rejected_but_BI_in_string_ok():
+    """BI/ID/EI inline images gate loudly; the literal word 'BI' inside a
+    shown string must NOT trip the gate."""
+    content = b"BT /F1 12 Tf 1 0 0 1 10 50 Tm (BI works) Tj ET\nBI /W 1 /H 1 ID x EI"
+    with pytest.raises(NotImplementedError, match="inline image"):
+        parse_pdf(_splice(content))
+    ok = b"BT /F1 12 Tf 1 0 0 1 10 50 Tm (BI) Tj ET"
+    (page,) = parse_pdf(_splice(ok))
+    assert [w[2] for w in page["words"]] == ["BI"]
+
+
+def test_pdf_scanned_fixture_mode_extracts_exact():
+    """The fixture generator's scanned mode (mode 6) rasterizes to exactly
+    the pixels the equivalent text-mode page renders."""
+    from doctr_spark.config import PAGE_H, PAGE_W
+    from doctr_spark.fixtures.pdfdocs import _render_canvas, gen_pdf_page
+
+    rng = np.random.default_rng(3)
+    placements, gt, n = gen_pdf_page(rng)
+    text_doc = write_pdf([placements], (PAGE_H, PAGE_W))
+    scanned = write_pdf(
+        [[]], (PAGE_H, PAGE_W), images={0: [(_render_canvas(placements), 0, 0)]}
+    )
+    assert np.array_equal(rasterize_pdf(text_doc)[0], rasterize_pdf(scanned)[0])
