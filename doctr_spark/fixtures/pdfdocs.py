@@ -78,11 +78,13 @@ def gen_pdf_conversation(conv_no: int, seed: int = 42) -> tuple[list[dict], list
         # cycle the writer variants so every parser path runs end to end:
         # raw / FlateDecode, per-word Tm vs kerned [..] TJ arrays,
         # ASCIIHexDecode, PDF 1.5 object+xref streams, Tf 24 (glyph
-        # scale 2 through the crop normalizer), and SCANNED pages (§8.9
+        # scale 2 through the crop normalizer), SCANNED pages (§8.9
         # image XObjects carrying the rendered pixels under an invisible
-        # 3 Tr OCR text layer — extraction must read the IMAGE)
-        mode = (conv_no + t) % 7
+        # 3 Tr OCR text layer — extraction must read the IMAGE), and
+        # ROTATED scans (stored sideways, /Rotate displays upright)
+        mode = (conv_no + t) % 8
         scale = 2 if mode == 5 else 1
+        rotate = (90, 180, 270)[conv_no % 3] if mode == 7 else 0
         page_words, gt_pages, n_words = [], [], 0
         for _ in range(n_pages):
             placements, gt, n = gen_pdf_page(rng, scale)
@@ -98,9 +100,10 @@ def gen_pdf_conversation(conv_no: int, seed: int = 42) -> tuple[list[dict], list
             pdf15=mode == 4,
             font_size=12 * scale,
             images={i: [(_render_canvas(pw), 0, 0)] for i, pw in enumerate(page_words)}
-            if mode == 6
+            if mode in (6, 7)
             else None,
-            render_mode=3 if mode == 6 else 0,
+            render_mode=3 if mode in (6, 7) else 0,
+            rotate=rotate,
         )
         rows.append(
             {

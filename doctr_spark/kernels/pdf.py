@@ -27,7 +27,11 @@ Reference):
   text layer) rasterizes to the embedded pixels and flows through the
   standard detection → recognition path, exactly like the reference's
   pypdfium2 render. Rotated/skewed CTMs, form XObjects, and inline
-  images (``BI``/``ID``/``EI``) reject loudly,
+  images (``BI``/``ID``/``EI``) reject loudly. Page ``/Rotate`` (90/180/
+  270) displays the stored raster rotated upright — supported for pages
+  whose content draws no VISIBLE text (image-only scans, optionally
+  under a ``3 Tr`` layer, the construct that actually carries /Rotate
+  in the wild); visible text under a rotation rejects loudly,
 * text operators ``BT/ET``, ``Tm`` (translation part), ``Td``/``TD``,
   ``TL``/``T*``/``'``/``"`` line advances, ``Tc``/``Tw`` spacing (advance
   math; strings draw as atomic words), ``Tr`` render modes (mode 3 —
@@ -281,6 +285,7 @@ def write_pdf(
     char_spacing: float = 0.0,
     images: dict[int, list[tuple]] | None = None,
     render_mode: int = 0,
+    rotate: int = 0,
 ) -> bytes:
     """Write a real PDF; ``pages`` holds per-page ``(x, y_top, word)``
     placements in top-down pixel space (at the glyph scale implied by
@@ -292,6 +297,12 @@ def write_pdf(
     image XObject placed via ``q w 0 0 h x y cm /ImN Do Q`` (§8.9) —
     the scanned-page construct. A page whose ``pages`` entry is empty
     but has an ``images`` entry is an image-ONLY page.
+
+    ``rotate`` writes each page stored SIDEWAYS with a ``/Rotate`` entry
+    that displays it upright (the scanned-document layout): inputs stay
+    in display space, the writer inverse-rotates full-page images into
+    content space. Visible text on a rotated page is rejected (pass
+    ``render_mode=3`` for an OCR layer).
 
     ``stream_filter`` names the content-stream encoding in decode order:
     ``"flate"``, ``"lzw"``, ``"ahx"``, ``"a85"``, ``"rl"``, or a tuple
@@ -319,6 +330,15 @@ def write_pdf(
     if indirect_length and pdf15:
         raise ValueError("indirect_length targets the classic-xref layout only")
     h, w = page_hw
+    if rotate not in (0, 90, 180, 270):
+        raise ValueError("rotate must be one of 0/90/180/270")
+    if rotate and render_mode != 3 and any(pages):
+        raise ValueError(
+            "visible text on a rotated page is outside the writer contract "
+            "(pass render_mode=3 for an invisible OCR layer)"
+        )
+    # content-space page dims: the stored raster is sideways for 90/270
+    ch, cw = (w, h) if rotate in (90, 270) else (h, w)
     k = len(pages)
     images = images or {}
     # image XObjects are STREAM objects numbered K+1..K+M — top-level in
@@ -330,6 +350,11 @@ def write_pdf(
         for placement in images[pi]:
             img, x, y_top, *disp = placement
             img = np.ascontiguousarray(img, dtype=np.uint8)
+            if rotate:
+                if disp or (int(x), int(y_top)) != (0, 0) or img.shape != (h, w):
+                    raise ValueError("rotated pages take one full-page display image")
+                # store the scan sideways: inverse of the clockwise /Rotate
+                img = np.ascontiguousarray(np.rot90(img, rotate // 90))
             ih, iw = img.shape
             dw, dh = disp if disp else (iw, ih)
             oid = k + 1 + len(img_objs)
@@ -344,7 +369,7 @@ def write_pdf(
             img_res.setdefault(pi, []).append(b"/Im%d %d 0 R" % (oid, oid))
             img_ops.setdefault(pi, []).append(
                 b"q %d 0 0 %d %d %d cm /Im%d Do Q"
-                % (dw, dh, int(x), h - int(y_top) - dh, oid)
+                % (dw, dh, int(x), ch - int(y_top) - dh, oid)
             )
     m = len(img_objs)
     contents: list[bytes] = []  # full stream objects, numbered 1..K
@@ -355,7 +380,7 @@ def write_pdf(
     for i, words in enumerate(pages):
         raw = _content_ops(
             words,
-            h,
+            ch,
             use_tj,
             font_size,
             line_ops=line_ops,
@@ -388,7 +413,8 @@ def write_pdf(
             res += b" /XObject << %s >>" % b" ".join(img_res[pi])
         dict_objs[pid] = (
             b"<< /Type /Page /Parent %d 0 R /MediaBox [0 0 %d %d] "
-            b"/Contents %d 0 R /Resources << %s >> >>" % (pages_id, w, h, cid, res)
+            b"%s/Contents %d 0 R /Resources << %s >> >>"
+            % (pages_id, cw, ch, b"/Rotate %d " % rotate if rotate else b"", cid, res)
         )
 
     if not pdf15:
@@ -820,6 +846,10 @@ def parse_pdf(data: bytes) -> list[dict]:
         )
         x0, y0, x1, y1 = (float(v) for v in mb.groups())
         w, h = int(round(x1 - x0)), int(round(y1 - y0))
+        rot_m = re.search(rb"/Rotate\s+(-?\d+)", head)
+        rot = (int(rot_m.group(1)) % 360) if rot_m else 0
+        if rot % 90:
+            raise NotImplementedError(f"/Rotate {rot} is not a multiple of 90")
         contents = []
         cm = re.search(rb"/Contents\s+(?:\[(.*?)\]|(\d+)\s+0\s+R)", head, re.DOTALL)
         refs = (
@@ -960,7 +990,15 @@ def parse_pdf(data: bytes) -> list[dict]:
                     )
             elif g["tr"] is not None:  # render mode; 3 = invisible
                 render_mode = int(float(g["tr"]))
-        out.append({"size": (h, w), "words": words, "images": images})
+        if rot and words:
+            raise NotImplementedError(
+                "visible text under page /Rotate is outside the codec subset "
+                "(rotated pages are image-only scans; text layers must be 3 Tr)"
+            )
+        # size is the DISPLAY size; images stay in content space and
+        # rasterize_pdf applies the clockwise /Rotate at the end
+        disp = (w, h) if rot in (90, 270) else (h, w)
+        out.append({"size": disp, "words": words, "images": images, "rotate": rot})
     return out
 
 
@@ -976,6 +1014,9 @@ def rasterize_pdf(data: bytes, vocab: str | None = None) -> list[np.ndarray]:
     pages = []
     for page in parse_pdf(data):
         h, w = page["size"]
+        rot = page["rotate"]
+        if rot in (90, 270):
+            h, w = w, h  # draw in CONTENT space; rotate to display below
         canvas = np.zeros((h, w), dtype=np.uint8)
         # scanned-page construct: composite image XObjects first, then
         # draw visible text over them (invisible 3 Tr layers emit no words)
@@ -1005,5 +1046,7 @@ def rasterize_pdf(data: bytes, vocab: str | None = None) -> list[np.ndarray]:
                 big = np.kron(raster, np.ones((s, s), dtype=raster.dtype))
                 region = canvas[yi : yi + GLYPH_H * s, xi : xi + ww]
                 np.maximum(region, big, out=region)
-        pages.append(canvas)
+        if rot:
+            canvas = np.rot90(canvas, -(rot // 90))  # /Rotate is clockwise
+        pages.append(np.ascontiguousarray(canvas))
     return pages

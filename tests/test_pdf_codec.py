@@ -554,3 +554,32 @@ def test_pdf_scanned_fixture_mode_extracts_exact():
         [[]], (PAGE_H, PAGE_W), images={0: [(_render_canvas(placements), 0, 0)]}
     )
     assert np.array_equal(rasterize_pdf(text_doc)[0], rasterize_pdf(scanned)[0])
+
+
+@pytest.mark.parametrize("rot", [90, 180, 270])
+def test_pdf_rotate_scanned_page_displays_upright(rot):
+    """Page /Rotate: the scan is STORED sideways and displayed upright —
+    write/parse/rasterize round-trips to the identical upright pixels,
+    with the display size reported (content dims swap for 90/270)."""
+    (canvas,) = rasterize_pdf(write_pdf(GRID, (200, 320)))
+    doc = write_pdf(
+        GRID, (200, 320), images={0: [(canvas, 0, 0)]}, render_mode=3, rotate=rot
+    )
+    (page,) = parse_pdf(doc)
+    assert page["rotate"] == rot and page["size"] == (200, 320)
+    assert np.array_equal(rasterize_pdf(doc)[0], canvas)
+    if rot in (90, 270):  # the stored raster really is sideways
+        assert b"/Width 200 /Height 320" in doc
+    else:
+        assert b"/Width 320 /Height 200" in doc
+
+
+def test_pdf_rotate_gates():
+    """Visible text under /Rotate rejects loudly on both sides."""
+    with pytest.raises(ValueError, match="visible text on a rotated page"):
+        write_pdf(GRID, (200, 320), rotate=90)
+    doc = write_pdf(GRID, (200, 320))
+    bad = doc.replace(b"/Type /Page /Parent", b"/Type /Page /Rotate 180 /Parent")
+    assert bad != doc
+    with pytest.raises(NotImplementedError, match="visible text under page /Rotate"):
+        parse_pdf(bad)
