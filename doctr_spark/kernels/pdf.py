@@ -349,6 +349,7 @@ def write_pdf(
     for pi in sorted(images):
         for placement in images[pi]:
             img, x, y_top, *disp = placement
+            bilevel = np.asarray(img).dtype == np.bool_
             img = np.ascontiguousarray(img, dtype=np.uint8)
             if rotate:
                 if disp or (int(x), int(y_top)) != (0, 0) or img.shape != (h, w):
@@ -358,11 +359,15 @@ def write_pdf(
             ih, iw = img.shape
             dw, dh = disp if disp else (iw, ih)
             oid = k + 1 + len(img_objs)
-            data = zlib.compress(img.tobytes())
+            if bilevel:  # bool input -> packed 1-bit rows (byte-aligned)
+                data = zlib.compress(np.packbits(img, axis=1).tobytes())
+            else:
+                data = zlib.compress(img.tobytes())
             img_objs.append(
                 b"<< /Type /XObject /Subtype /Image /Width %d /Height %d "
-                b"/ColorSpace /DeviceGray /BitsPerComponent 8 "
-                b"/Length %d /Filter /FlateDecode >>\nstream\n" % (iw, ih, len(data))
+                b"/ColorSpace /DeviceGray /BitsPerComponent %d "
+                b"/Length %d /Filter /FlateDecode >>\nstream\n"
+                % (iw, ih, 1 if bilevel else 8, len(data))
                 + data
                 + b"\nendstream"
             )
@@ -886,18 +891,30 @@ def parse_pdf(data: bytes) -> list[dict]:
             xhead, xstream = objs[xres[name]]
             if xstream is None or not re.search(rb"/Subtype\s*/Image\b", xhead):
                 raise NotImplementedError("form XObjects are outside the codec subset")
-            if not re.search(rb"/ColorSpace\s*/DeviceGray\b", xhead) or not re.search(
-                rb"/BitsPerComponent\s+8\b", xhead
-            ):
+            bpc_m = re.search(rb"/BitsPerComponent\s+(\d+)", xhead)
+            bpc = int(bpc_m.group(1)) if bpc_m else 0
+            if not re.search(rb"/ColorSpace\s*/DeviceGray\b", xhead) or bpc not in (1, 8):
                 raise NotImplementedError(
-                    "image XObjects outside 8-bit /DeviceGray are outside the codec subset"
+                    "image XObjects outside 1/8-bit /DeviceGray are outside the codec subset"
                 )
             iw = int(re.search(rb"/Width\s+(\d+)", xhead).group(1))
             ih = int(re.search(rb"/Height\s+(\d+)", xhead).group(1))
             pix = _decode_stream(xhead, xstream)
-            if len(pix) != iw * ih:
-                raise ValueError("image data length does not match /Width * /Height")
-            arr = np.frombuffer(pix, dtype=np.uint8).reshape(ih, iw)
+            if bpc == 1:
+                # bilevel scan: rows padded to byte boundaries (§8.9.5.2);
+                # sample 1 = white in /DeviceGray, our canvases are
+                # ink-high on black, so 1 -> 255
+                stride = (iw + 7) // 8
+                if len(pix) != stride * ih:
+                    raise ValueError("image data length does not match 1-bit row stride")
+                bits = np.unpackbits(
+                    np.frombuffer(pix, dtype=np.uint8).reshape(ih, stride), axis=1
+                )[:, :iw]
+                arr = bits * np.uint8(255)
+            else:
+                if len(pix) != iw * ih:
+                    raise ValueError("image data length does not match /Width * /Height")
+                arr = np.frombuffer(pix, dtype=np.uint8).reshape(ih, iw)
             dw, dh = int(round(a)), int(round(d))
             if (dh, dw) != (ih, iw):  # nearest-neighbor resample to display size
                 arr = arr[np.arange(dh) * ih // dh][:, np.arange(dw) * iw // dw]

@@ -583,3 +583,37 @@ def test_pdf_rotate_gates():
     assert bad != doc
     with pytest.raises(NotImplementedError, match="visible text under page /Rotate"):
         parse_pdf(bad)
+
+
+def test_pdf_bilevel_image_roundtrip():
+    """1-bit /DeviceGray images (B/W scans): bool input packs to bit rows
+    with byte-aligned stride (§8.9.5.2) and decodes to 0/255 pixels — so a
+    thresholded scan of a rendered page redetects identically."""
+    (canvas,) = rasterize_pdf(write_pdf(GRID, (200, 320)))
+    bw = canvas > 127  # bilevel scan of the page
+    doc = write_pdf([[]], (200, 320), images={0: [(bw, 0, 0)]})
+    assert b"/BitsPerComponent 1" in doc
+    (page,) = parse_pdf(doc)
+    [(x, y, arr)] = page["images"]
+    assert np.array_equal(arr, bw.astype(np.uint8) * 255)
+    # odd width exercises row padding
+    odd = np.zeros((5, 13), dtype=bool)
+    odd[2, ::3] = True
+    doc2 = write_pdf([[]], (50, 50), images={0: [(odd, 7, 9)]})
+    [(x2, y2, arr2)] = parse_pdf(doc2)[0]["images"]
+    assert arr2.shape == (5, 13) and np.array_equal(arr2 > 0, odd)
+
+
+def test_pdf_bilevel_scan_redetects_words():
+    """Thresholded 1-bit scan -> rasterize -> detection/recognition reads
+    the page exactly (glyph ink is binary already)."""
+    from doctr_spark.kernels.detection import detect_words, extract_crops
+    from doctr_spark.kernels.recognition import recognize_crops_batched
+
+    words = [[(12, 10, "alpha"), (120, 10, "beta"), (12, 48, "gamma7")]]
+    (canvas,) = rasterize_pdf(write_pdf(words, (100, 260)))
+    doc = write_pdf([[]], (100, 260), images={0: [(canvas > 127, 0, 0)]})
+    (scan,) = rasterize_pdf(doc)
+    boxes, _, _ = detect_words(scan)
+    vals = recognize_crops_batched(extract_crops(scan, boxes))
+    assert sorted(v for v, _ in vals) == ["alpha", "beta", "gamma7"]
