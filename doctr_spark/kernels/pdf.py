@@ -19,7 +19,10 @@ Reference):
   CHAINS (array-valued ``/Filter``), and ``/DecodeParms`` predictors for
   Flate/LZW (TIFF 2 + PNG 10-15),
 * image XObjects (§8.9): ``/Subtype /Image`` streams in ``/DeviceGray``
-  at 8 bits/component (raw or any supported filter chain), placed by the
+  at 8 bits/component (raw or any supported filter chain), 1-bit
+  bilevel scans, and ``/DCTDecode`` JPEG payloads (8-bit DeviceGray or
+  DeviceRGB, decoded to the luma plane by the from-scratch baseline
+  T.81 codec in `kernels/jpeg.py`), placed by the
   ``q a 0 0 d e f cm /Name Do Q`` idiom every common writer emits —
   axis-aligned scale+translate CTMs only, nearest-neighbor resample when
   the display size differs from the pixel size. This is the SCANNED-PAGE
@@ -286,6 +289,7 @@ def write_pdf(
     images: dict[int, list[tuple]] | None = None,
     render_mode: int = 0,
     rotate: int = 0,
+    jpeg_quality: int | None = None,
 ) -> bytes:
     """Write a real PDF; ``pages`` holds per-page ``(x, y_top, word)``
     placements in top-down pixel space (at the glyph scale implied by
@@ -361,13 +365,22 @@ def write_pdf(
             oid = k + 1 + len(img_objs)
             if bilevel:  # bool input -> packed 1-bit rows (byte-aligned)
                 data = zlib.compress(np.packbits(img, axis=1).tobytes())
+                img_filter = b"/FlateDecode"
+            elif jpeg_quality:
+                # scanned-page JPEG: the stream IS a baseline T.81 file,
+                # declared /DCTDecode (§7.4.8) — the real-scanner layout
+                from .jpeg import encode_jpeg
+
+                data = encode_jpeg(img, quality=jpeg_quality)
+                img_filter = b"/DCTDecode"
             else:
                 data = zlib.compress(img.tobytes())
+                img_filter = b"/FlateDecode"
             img_objs.append(
                 b"<< /Type /XObject /Subtype /Image /Width %d /Height %d "
                 b"/ColorSpace /DeviceGray /BitsPerComponent %d "
-                b"/Length %d /Filter /FlateDecode >>\nstream\n"
-                % (iw, ih, 1 if bilevel else 8, len(data))
+                b"/Length %d /Filter %s >>\nstream\n"
+                % (iw, ih, 1 if bilevel else 8, len(data), img_filter)
                 + data
                 + b"\nendstream"
             )
@@ -727,11 +740,16 @@ def _decode_stream(head: bytes, stream: bytes) -> bytes:
     """Apply the stream's /Filter chain (§7.4) in declared order: none,
     FlateDecode, LZWDecode (both honoring /DecodeParms predictors),
     ASCIIHexDecode, ASCII85Decode, RunLengthDecode; anything else —
-    DCTDecode, JPXDecode, JBIG2Decode, CCITTFaxDecode, Crypt — rejects
-    loudly (those are image/encryption filters the reference rasterizes
-    via pypdfium2)."""
-    data = stream
-    for name, parms in _filters_of(head):
+    JPXDecode, JBIG2Decode, CCITTFaxDecode, Crypt — rejects loudly.
+    DCTDecode is valid only as an image XObject's FINAL filter, where
+    the page assembler strips it and hands the payload to the
+    from-scratch baseline JPEG codec (`kernels.jpeg`); seen here, in a
+    content/general stream position, it rejects like the rest."""
+    return _apply_filters(stream, _filters_of(head))
+
+
+def _apply_filters(data: bytes, chain: list[tuple[bytes, bytes | None]]) -> bytes:
+    for name, parms in chain:
         if name in (b"FlateDecode", b"Fl"):
             data = _unpredict(zlib.decompress(data), parms)
         elif name in (b"LZWDecode", b"LZW"):
@@ -893,28 +911,49 @@ def parse_pdf(data: bytes) -> list[dict]:
                 raise NotImplementedError("form XObjects are outside the codec subset")
             bpc_m = re.search(rb"/BitsPerComponent\s+(\d+)", xhead)
             bpc = int(bpc_m.group(1)) if bpc_m else 0
-            if not re.search(rb"/ColorSpace\s*/DeviceGray\b", xhead) or bpc not in (1, 8):
+            chain = _filters_of(xhead)
+            jpeg_coded = bool(chain) and chain[-1][0] in (b"DCTDecode", b"DCT")
+            gray = re.search(rb"/ColorSpace\s*/DeviceGray\b", xhead) is not None
+            rgb = re.search(rb"/ColorSpace\s*/DeviceRGB\b", xhead) is not None
+            if jpeg_coded:
+                # DCTDecode (§7.4.8): the payload after any preceding
+                # transport filters IS a baseline JPEG; decode with the
+                # from-scratch T.81 codec (luma plane — the grayscale
+                # signal the pipeline consumes, so /DeviceRGB is fine)
+                if not (gray or rgb) or bpc != 8:
+                    raise NotImplementedError(
+                        "DCTDecode images outside 8-bit DeviceGray/DeviceRGB "
+                        "are outside the codec subset"
+                    )
+            elif not gray or bpc not in (1, 8):
                 raise NotImplementedError(
                     "image XObjects outside 1/8-bit /DeviceGray are outside the codec subset"
                 )
             iw = int(re.search(rb"/Width\s+(\d+)", xhead).group(1))
             ih = int(re.search(rb"/Height\s+(\d+)", xhead).group(1))
-            pix = _decode_stream(xhead, xstream)
-            if bpc == 1:
-                # bilevel scan: rows padded to byte boundaries (§8.9.5.2);
-                # sample 1 = white in /DeviceGray, our canvases are
-                # ink-high on black, so 1 -> 255
-                stride = (iw + 7) // 8
-                if len(pix) != stride * ih:
-                    raise ValueError("image data length does not match 1-bit row stride")
-                bits = np.unpackbits(
-                    np.frombuffer(pix, dtype=np.uint8).reshape(ih, stride), axis=1
-                )[:, :iw]
-                arr = bits * np.uint8(255)
+            if jpeg_coded:
+                from .jpeg import decode_jpeg
+
+                arr = decode_jpeg(_apply_filters(xstream, chain[:-1]))
+                if arr.shape != (ih, iw):
+                    raise ValueError("JPEG frame size does not match /Width /Height")
             else:
-                if len(pix) != iw * ih:
-                    raise ValueError("image data length does not match /Width * /Height")
-                arr = np.frombuffer(pix, dtype=np.uint8).reshape(ih, iw)
+                pix = _decode_stream(xhead, xstream)
+                if bpc == 1:
+                    # bilevel scan: rows padded to byte boundaries
+                    # (§8.9.5.2); sample 1 = white in /DeviceGray, our
+                    # canvases are ink-high on black, so 1 -> 255
+                    stride = (iw + 7) // 8
+                    if len(pix) != stride * ih:
+                        raise ValueError("image data length does not match 1-bit row stride")
+                    bits = np.unpackbits(
+                        np.frombuffer(pix, dtype=np.uint8).reshape(ih, stride), axis=1
+                    )[:, :iw]
+                    arr = bits * np.uint8(255)
+                else:
+                    if len(pix) != iw * ih:
+                        raise ValueError("image data length does not match /Width * /Height")
+                    arr = np.frombuffer(pix, dtype=np.uint8).reshape(ih, iw)
             dw, dh = int(round(a)), int(round(d))
             if (dh, dw) != (ih, iw):  # nearest-neighbor resample to display size
                 arr = arr[np.arange(dh) * ih // dh][:, np.arange(dw) * iw // dw]

@@ -3,11 +3,12 @@
 Image/audio/video payloads are carried as `binary` columns with struct
 metadata; decode / feature-extract run as Arrow-batched `mapInPandas`
 kernels. The page-image codec is real (it is the engine's own raster
-format); the generic media decoders (JPEG/PNG/audio) are STUBBED — the
-container has no imaging/audio libraries — behind `NotImplementedError`
-with a deterministic fake used for tests, so the Spark-side schema,
-batching, and partitioning are real and tested while the codec swap-in is
-a one-function change.
+format), as are PNG (`kernels.png`, pure-stdlib) and baseline JPEG
+(`kernels.jpeg`, from-scratch T.81). Remaining media kinds
+(audio/video, progressive JPEG) stay STUBBED behind
+`NotImplementedError` — the container has no AV libraries — so the
+Spark-side schema, batching, and partitioning are real and tested while
+the codec swap-in is a one-function change.
 """
 
 from __future__ import annotations
@@ -47,6 +48,10 @@ def decode_media(blob: bytes, kind: str) -> np.ndarray:
         from ..kernels.png import decode_png
 
         return decode_png(blob)
+    if kind in ("jpeg", "jpg", "image/jpeg"):
+        from ..kernels.jpeg import decode_jpeg
+
+        return decode_jpeg(blob)
     raise NotImplementedError(
         f"media kind {kind!r}: no codec in this container (stub per SURVEY.md §2.1)"
     )

@@ -16,7 +16,18 @@ def test_decode_media_page_kind():
 
 def test_decode_media_unknown_kind_is_stubbed():
     with pytest.raises(NotImplementedError):
-        decode_media(b"\x00", "jpeg")
+        decode_media(b"\x00", "audio/wav")
+
+
+def test_decode_media_jpeg_kind_is_real():
+    """The T.81 codec backs the 'jpeg' media kind: a q95 round trip of a
+    glyph canvas thresholds back to the exact ink mask."""
+    from doctr_spark.kernels.jpeg import encode_jpeg
+
+    img = layout_paragraphs([["hello"]])[0].canvas
+    dec = decode_media(encode_jpeg(img, quality=95), "image/jpeg")
+    assert dec.shape == img.shape
+    assert np.array_equal(dec > 127, img > 127)
 
 
 def test_extract_features_deterministic():

@@ -617,3 +617,56 @@ def test_pdf_bilevel_scan_redetects_words():
     boxes, _, _ = detect_words(scan)
     vals = recognize_crops_batched(extract_crops(scan, boxes))
     assert sorted(v for v, _ in vals) == ["alpha", "beta", "gamma7"]
+
+
+def test_pdf_jpeg_xobject_roundtrip():
+    """/DCTDecode image XObject (§7.4.8): the stream is a baseline JPEG,
+    decoded by the from-scratch T.81 codec to its luma plane."""
+    rng = np.random.default_rng(11)
+    # smooth per-block field so q95 is near-lossless
+    img = np.repeat(np.repeat(rng.integers(0, 256, (5, 8)), 8, 0), 8, 1).astype(np.uint8)
+    doc = write_pdf([[]], (200, 320), images={0: [(img, 25, 30)]}, jpeg_quality=95)
+    assert b"/DCTDecode" in doc and b"\xff\xd8" in doc
+    (page,) = parse_pdf(doc)
+    [(x, y, arr)] = page["images"]
+    assert (round(x), round(y)) == (25, 30)
+    assert arr.shape == img.shape
+    assert np.abs(arr.astype(int) - img.astype(int)).max() <= 1
+
+
+def test_pdf_jpeg_scan_redetects_words():
+    """The real-scanner layout end to end: render a page, JPEG it at q95,
+    embed as a /DCTDecode scan, rasterize, and detection/recognition
+    reads back the exact words."""
+    from doctr_spark.kernels.detection import detect_words, extract_crops
+    from doctr_spark.kernels.recognition import recognize_crops_batched
+
+    words = [[(12, 10, "alpha"), (120, 10, "beta"), (12, 48, "gamma7")]]
+    (canvas,) = rasterize_pdf(write_pdf(words, (100, 260)))
+    doc = write_pdf([[]], (100, 260), images={0: [(canvas, 0, 0)]}, jpeg_quality=95)
+    (scan,) = rasterize_pdf(doc)
+    boxes, _, _ = detect_words(scan)
+    vals = recognize_crops_batched(extract_crops(scan, boxes))
+    assert sorted(v for v, _ in vals) == ["alpha", "beta", "gamma7"]
+
+
+def test_pdf_jpeg_rgb_colorspace_accepted_gray12_rejected():
+    """DCTDecode allows /DeviceRGB (luma is extracted); non-8-bit or
+    exotic colorspaces under DCTDecode reject loudly."""
+    img = np.full((16, 16), 200, np.uint8)
+    doc = write_pdf([[]], (50, 50), images={0: [(img, 0, 0)]}, jpeg_quality=90)
+    rgb_doc = doc.replace(b"/ColorSpace /DeviceGray", b"/ColorSpace /DeviceRGB")
+    [(x, y, arr)] = parse_pdf(rgb_doc)[0]["images"]
+    assert arr.shape == (16, 16)
+    cmyk_doc = doc.replace(b"/ColorSpace /DeviceGray", b"/ColorSpace /DeviceCMYK")
+    with pytest.raises(NotImplementedError, match="DCTDecode"):
+        parse_pdf(cmyk_doc)
+
+
+def test_pdf_dctdecode_outside_image_rejects():
+    """DCTDecode on a CONTENT stream (not an image XObject) still rejects
+    loudly — it is only meaningful as an image's final filter."""
+    doc = write_pdf([[(10, 10, "hi")]], (50, 80))
+    bad = doc.replace(b"<< /Length", b"<< /Filter /DCTDecode /Length", 1)
+    with pytest.raises(NotImplementedError, match="DCTDecode"):
+        parse_pdf(bad)
