@@ -20,9 +20,12 @@ Reference):
   Flate/LZW (TIFF 2 + PNG 10-15),
 * image XObjects (§8.9): ``/Subtype /Image`` streams in ``/DeviceGray``
   at 8 bits/component (raw or any supported filter chain), 1-bit
-  bilevel scans, and ``/DCTDecode`` JPEG payloads (8-bit DeviceGray or
+  bilevel scans, ``/DCTDecode`` JPEG payloads (8-bit DeviceGray or
   DeviceRGB, decoded to the luma plane by the from-scratch baseline
-  T.81 codec in `kernels/jpeg.py`), placed by the
+  T.81 codec in `kernels/jpeg.py`), and ``/CCITTFaxDecode`` Group 3/4
+  fax payloads (the dominant real-scanner filter, decoded by the
+  from-scratch T.4/T.6 codec in `kernels/ccitt.py` honoring /K,
+  /Columns, /Rows, /EncodedByteAlign), placed by the
   ``q a 0 0 d e f cm /Name Do Q`` idiom every common writer emits —
   axis-aligned scale+translate CTMs only, nearest-neighbor resample when
   the display size differs from the pixel size. This is the SCANNED-PAGE
@@ -290,6 +293,7 @@ def write_pdf(
     render_mode: int = 0,
     rotate: int = 0,
     jpeg_quality: int | None = None,
+    ccitt_g4: bool = False,
 ) -> bytes:
     """Write a real PDF; ``pages`` holds per-page ``(x, y_top, word)``
     placements in top-down pixel space (at the glyph scale implied by
@@ -363,7 +367,17 @@ def write_pdf(
             ih, iw = img.shape
             dw, dh = disp if disp else (iw, ih)
             oid = k + 1 + len(img_objs)
-            if bilevel:  # bool input -> packed 1-bit rows (byte-aligned)
+            if bilevel and ccitt_g4:
+                # real-scanner layout: the bool ink mask as a Group 4
+                # fax stream (spec default /BlackIs1 false: black = 0)
+                from .ccitt import encode_g4
+
+                data = encode_g4(img.astype(bool))
+                img_filter = (
+                    b"/CCITTFaxDecode /DecodeParms << /K -1 /Columns %d /Rows %d >>"
+                    % (img.shape[1], img.shape[0])
+                )
+            elif bilevel:  # bool input -> packed 1-bit rows (byte-aligned)
                 data = zlib.compress(np.packbits(img, axis=1).tobytes())
                 img_filter = b"/FlateDecode"
             elif jpeg_quality:
@@ -913,6 +927,7 @@ def parse_pdf(data: bytes) -> list[dict]:
             bpc = int(bpc_m.group(1)) if bpc_m else 0
             chain = _filters_of(xhead)
             jpeg_coded = bool(chain) and chain[-1][0] in (b"DCTDecode", b"DCT")
+            fax_coded = bool(chain) and chain[-1][0] in (b"CCITTFaxDecode", b"CCF")
             gray = re.search(rb"/ColorSpace\s*/DeviceGray\b", xhead) is not None
             rgb = re.search(rb"/ColorSpace\s*/DeviceRGB\b", xhead) is not None
             if jpeg_coded:
@@ -924,6 +939,12 @@ def parse_pdf(data: bytes) -> list[dict]:
                     raise NotImplementedError(
                         "DCTDecode images outside 8-bit DeviceGray/DeviceRGB "
                         "are outside the codec subset"
+                    )
+            elif fax_coded:
+                if not gray or bpc != 1:
+                    raise NotImplementedError(
+                        "CCITTFaxDecode images outside 1-bit /DeviceGray are "
+                        "outside the codec subset"
                     )
             elif not gray or bpc not in (1, 8):
                 raise NotImplementedError(
@@ -937,6 +958,32 @@ def parse_pdf(data: bytes) -> list[dict]:
                 arr = decode_jpeg(_apply_filters(xstream, chain[:-1]))
                 if arr.shape != (ih, iw):
                     raise ValueError("JPEG frame size does not match /Width /Height")
+            elif fax_coded:
+                # CCITTFaxDecode (§7.4.6): G4/G3 fax payload; black runs
+                # map to canvas ink (255) — /BlackIs1 flips the SAMPLE
+                # polarity but DeviceGray's 0=black cancels it, so the
+                # displayed ink is the black runs either way
+                from .ccitt import decode_ccitt
+
+                fp = chain[-1][1] or b""
+
+                def _ip(key: bytes, default: int) -> int:
+                    m2 = re.search(rb"/%s\s+(-?\d+)" % key, fp)
+                    return int(m2.group(1)) if m2 else default
+
+                fax_cols = _ip(b"Columns", 1728)
+                if fax_cols != iw:
+                    raise ValueError("CCITT /Columns does not match /Width")
+                ink = decode_ccitt(
+                    _apply_filters(xstream, chain[:-1]),
+                    columns=fax_cols,
+                    rows=_ip(b"Rows", ih) or ih,
+                    k=_ip(b"K", 0),
+                    byte_align=bool(re.search(rb"/EncodedByteAlign\s+true", fp)),
+                )
+                if ink.shape[0] != ih:
+                    raise ValueError("CCITT row count does not match /Height")
+                arr = ink.astype(np.uint8) * 255
             else:
                 pix = _decode_stream(xhead, xstream)
                 if bpc == 1:

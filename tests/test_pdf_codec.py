@@ -670,3 +670,42 @@ def test_pdf_dctdecode_outside_image_rejects():
     bad = doc.replace(b"<< /Length", b"<< /Filter /DCTDecode /Length", 1)
     with pytest.raises(NotImplementedError, match="DCTDecode"):
         parse_pdf(bad)
+
+
+def test_pdf_ccitt_g4_xobject_roundtrip():
+    """/CCITTFaxDecode image XObject (§7.4.6): the Group 4 fax layout —
+    the construct virtually every real scanned PDF uses — round trips to
+    the exact ink mask."""
+    rng = np.random.default_rng(13)
+    ink = rng.random((40, 60)) < 0.3
+    doc = write_pdf([[]], (200, 320), images={0: [(ink, 25, 30)]}, ccitt_g4=True)
+    assert b"/CCITTFaxDecode" in doc and b"/K -1" in doc
+    (page,) = parse_pdf(doc)
+    [(x, y, arr)] = page["images"]
+    assert (round(x), round(y)) == (25, 30)
+    assert np.array_equal(arr > 0, ink)
+
+
+def test_pdf_ccitt_scan_redetects_words():
+    """G4 fax scan end to end: render -> threshold -> G4-embed ->
+    rasterize -> detection/recognition reads back the exact words."""
+    from doctr_spark.kernels.detection import detect_words, extract_crops
+    from doctr_spark.kernels.recognition import recognize_crops_batched
+
+    words = [[(12, 10, "alpha"), (120, 10, "beta"), (12, 48, "gamma7")]]
+    (canvas,) = rasterize_pdf(write_pdf(words, (100, 260)))
+    doc = write_pdf([[]], (100, 260), images={0: [(canvas > 127, 0, 0)]}, ccitt_g4=True)
+    (scan,) = rasterize_pdf(doc)
+    boxes, _, _ = detect_words(scan)
+    vals = recognize_crops_batched(extract_crops(scan, boxes))
+    assert sorted(v for v, _ in vals) == ["alpha", "beta", "gamma7"]
+
+
+def test_pdf_ccitt_gates():
+    """Mismatched /Columns and non-1-bit CCITT reject loudly."""
+    ink = np.zeros((10, 16), dtype=bool)
+    doc = write_pdf([[]], (50, 50), images={0: [(ink, 0, 0)]}, ccitt_g4=True)
+    with pytest.raises(ValueError, match="Columns"):
+        parse_pdf(doc.replace(b"/Columns 16", b"/Columns 24"))
+    with pytest.raises(NotImplementedError, match="CCITT"):
+        parse_pdf(doc.replace(b"/BitsPerComponent 1", b"/BitsPerComponent 8"))
