@@ -32,8 +32,12 @@ Reference):
   construct: an image-only page (optionally under an invisible ``3 Tr``
   text layer) rasterizes to the embedded pixels and flows through the
   standard detection → recognition path, exactly like the reference's
-  pypdfium2 render. Rotated/skewed CTMs, form XObjects, and inline
-  images (``BI``/``ID``/``EI``) reject loudly. Page ``/Rotate`` (90/180/
+  pypdfium2 render. INLINE images (``BI``/``ID``/``EI``, §8.9.7) under
+  the same placement idiom are supported too (1/8-bit DeviceGray, raw
+  or transport-filtered, abbreviated or full dict keys; length-derived
+  extent so binary data containing "EI" cannot end early). Rotated/
+  skewed CTMs, form XObjects, image masks, and stray ``BI`` outside the
+  idiom reject loudly. Page ``/Rotate`` (90/180/
   270) displays the stored raster rotated upright — supported for pages
   whose content draws no VISIBLE text (image-only scans, optionally
   under a ``3 Tr`` layer, the construct that actually carries /Rotate
@@ -789,6 +793,111 @@ def _apply_filters(data: bytes, chain: list[tuple[bytes, bytes | None]]) -> byte
     return data
 
 
+def _gray_array(pix: bytes, iw: int, ih: int, bpc: int) -> np.ndarray:
+    """Raw /DeviceGray samples -> (ih, iw) uint8. 1-bit rows are padded
+    to byte boundaries (§8.9.5.2); sample 1 = white in /DeviceGray, our
+    canvases are ink-high on black, so 1 -> 255."""
+    if bpc == 1:
+        stride = (iw + 7) // 8
+        if len(pix) != stride * ih:
+            raise ValueError("image data length does not match 1-bit row stride")
+        bits = np.unpackbits(np.frombuffer(pix, dtype=np.uint8).reshape(ih, stride), axis=1)[
+            :, :iw
+        ]
+        return bits * np.uint8(255)
+    if len(pix) != iw * ih:
+        raise ValueError("image data length does not match /Width * /Height")
+    return np.frombuffer(pix, dtype=np.uint8).reshape(ih, iw)
+
+
+# inline image (§8.9.7) under the same placement idiom: the CTM in its
+# own q/Q save, then BI <dict> ID <data> EI. The lookahead pins ID to a
+# following delimiter so a name like /IDx cannot false-trigger.
+_BI_RE = re.compile(
+    rb"q\s+(" + _NUM + rb")\s+(" + _NUM + rb")\s+(" + _NUM + rb")\s+"
+    rb"(" + _NUM + rb")\s+(" + _NUM + rb")\s+(" + _NUM + rb")\s+cm\s*"
+    rb"BI\b(.*?)\bID(?=[\x00\t\n\f\r ])",
+    re.DOTALL,
+)
+_EI_RE = re.compile(rb"EI(?=[\x00\t\n\f\r ]|$)")
+
+
+def _inline_dict_get(head: bytes, *names: bytes) -> bytes | None:
+    """First match among abbreviated/full key spellings in a BI dict."""
+    for n in names:
+        m = re.search(rb"/%s\s+(/?[\w.]+|\[[^\]]*\])" % n, head)
+        if m:
+            return m.group(1)
+    return None
+
+
+def _extract_inline_images(
+    full: bytes, page_h: float
+) -> tuple[list[tuple[float, float, np.ndarray]], bytes]:
+    """Pull every placed inline image out of a content stream; returns
+    the placements and the stream with those spans blanked (spaces), so
+    the text pass and the leftover-BI gate see neither dict keys nor
+    binary bytes. Strings are masked for STRUCTURE search only — data
+    offsets index the original bytes."""
+    masked = _SOBJ_RE.sub(lambda m: b" " * len(m.group(0)), full)
+    images: list[tuple[float, float, np.ndarray]] = []
+    out = bytearray(full)
+    for m in _BI_RE.finditer(masked):
+        a, b_, c, d = (float(v) for v in m.groups()[:4])
+        e, f = float(m.group(5)), float(m.group(6))
+        if b_ or c or a <= 0 or d <= 0:
+            raise NotImplementedError(
+                "inline image CTM with rotation/skew/reflection is outside the codec subset"
+            )
+        head = m.group(7)
+        iw = int(_inline_dict_get(head, b"W", b"Width") or 0)
+        ih = int(_inline_dict_get(head, b"H", b"Height") or 0)
+        bpc = int(_inline_dict_get(head, b"BPC", b"BitsPerComponent") or 8)
+        cs = _inline_dict_get(head, b"CS", b"ColorSpace") or b"/G"
+        if _inline_dict_get(head, b"IM", b"ImageMask") == b"true":
+            raise NotImplementedError("inline image masks are outside the codec subset")
+        if cs not in (b"/G", b"/DeviceGray") or bpc not in (1, 8) or not iw or not ih:
+            raise NotImplementedError(
+                "inline images outside 1/8-bit DeviceGray are outside the codec subset"
+            )
+        fval = _inline_dict_get(head, b"F", b"Filter")
+        names = _NAME_RE.findall(fval) if fval else []
+        if any(n in (b"DCTDecode", b"DCT", b"CCITTFaxDecode", b"CCF") for n in names):
+            raise NotImplementedError(
+                "DCT/CCITT inline images are outside the codec subset (use XObjects)"
+            )
+        chain = [(n, None) for n in names]
+        stride = (iw + 7) // 8 if bpc == 1 else iw
+        start = m.end() + 1  # one whitespace byte after ID (§8.9.7)
+        if not chain:
+            end = start + stride * ih
+            tail = _EI_RE.match(full, end) or _EI_RE.match(full, end + 1)
+            if tail is None:
+                # either a wrong length or non-subset layout: reject
+                raise ValueError("inline image data does not land on EI")
+            pix = full[start : start + stride * ih]
+            ei_end = tail.end()
+        else:
+            for cand in _EI_RE.finditer(full, start):
+                try:
+                    pix = _apply_filters(full[start : cand.start()].rstrip(), chain)
+                except Exception:
+                    continue
+                if len(pix) == stride * ih:
+                    ei_end = cand.end()
+                    break
+            else:
+                raise ValueError("inline image data does not decode to its declared size")
+        arr = _gray_array(pix, iw, ih, bpc)
+        dw, dh = int(round(a)), int(round(d))
+        if (dh, dw) != (ih, iw):
+            arr = arr[np.arange(dh) * ih // dh][:, np.arange(dw) * iw // dw]
+        images.append((e, page_h - f - d, arr))
+        # blank from the q save through EI (the trailing Q stays: balanced)
+        out[m.start() : ei_end] = b" " * (ei_end - m.start())
+    return images, bytes(out)
+
+
 def parse_pdf(data: bytes) -> list[dict]:
     """Parse a PDF into per-page ``{"size": (h, w), "words": [(x, y_top,
     text, font_size)]}``. Raises NotImplementedError for constructs
@@ -910,7 +1019,9 @@ def parse_pdf(data: bytes) -> list[dict]:
             if xm
             else {}
         )
-        images: list[tuple[float, float, np.ndarray]] = []
+        # inline images first: their binary payloads must be blanked out
+        # before any other pass scans the stream
+        images, full = _extract_inline_images(full, h)
         for im in _IMG_DO_RE.finditer(full):
             a, b_, c, d, e, f = (float(v) for v in im.groups()[:6])
             if b_ or c or a <= 0 or d <= 0:
@@ -985,22 +1096,7 @@ def parse_pdf(data: bytes) -> list[dict]:
                     raise ValueError("CCITT row count does not match /Height")
                 arr = ink.astype(np.uint8) * 255
             else:
-                pix = _decode_stream(xhead, xstream)
-                if bpc == 1:
-                    # bilevel scan: rows padded to byte boundaries
-                    # (§8.9.5.2); sample 1 = white in /DeviceGray, our
-                    # canvases are ink-high on black, so 1 -> 255
-                    stride = (iw + 7) // 8
-                    if len(pix) != stride * ih:
-                        raise ValueError("image data length does not match 1-bit row stride")
-                    bits = np.unpackbits(
-                        np.frombuffer(pix, dtype=np.uint8).reshape(ih, stride), axis=1
-                    )[:, :iw]
-                    arr = bits * np.uint8(255)
-                else:
-                    if len(pix) != iw * ih:
-                        raise ValueError("image data length does not match /Width * /Height")
-                    arr = np.frombuffer(pix, dtype=np.uint8).reshape(ih, iw)
+                arr = _gray_array(_decode_stream(xhead, xstream), iw, ih, bpc)
             dw, dh = int(round(a)), int(round(d))
             if (dh, dw) != (ih, iw):  # nearest-neighbor resample to display size
                 arr = arr[np.arange(dh) * ih // dh][:, np.arange(dw) * iw // dw]

@@ -709,3 +709,84 @@ def test_pdf_ccitt_gates():
         parse_pdf(doc.replace(b"/Columns 16", b"/Columns 24"))
     with pytest.raises(NotImplementedError, match="CCITT"):
         parse_pdf(doc.replace(b"/BitsPerComponent 1", b"/BitsPerComponent 8"))
+
+
+def _bi(content_img: np.ndarray, x: int, y_top: int, page=(200, 320), filt=b"") -> bytes:
+    """Inline-image content stream: q/cm + BI dict + raw or filtered data."""
+    ih, iw = content_img.shape
+    h, _ = page
+    if content_img.dtype == bool:
+        data, bpc = np.packbits(content_img, axis=1).tobytes(), 1
+    else:
+        data, bpc = content_img.tobytes(), 8
+    if filt == b"/Fl":
+        import zlib
+
+        data = zlib.compress(data)
+    return (
+        b"q %d 0 0 %d %d %d cm BI /W %d /H %d /BPC %d /CS /G%s ID " % (
+            iw, ih, x, h - y_top - ih, iw, ih, bpc,
+            b" /F " + filt if filt else b"",
+        )
+        + data
+        + b" EI Q"
+    )
+
+
+def test_pdf_inline_image_raw_roundtrip():
+    """§8.9.7 raw inline image: length-derived extent — binary data
+    containing the bytes 'EI ' must not end it early."""
+    rng = np.random.default_rng(17)
+    img = rng.integers(0, 256, (10, 30), dtype=np.uint8)
+    img[3, 5:8] = [0x45, 0x49, 0x20]  # 'EI ' inside the pixel data
+    (page,) = parse_pdf(_splice(_bi(img, 25, 30)))
+    [(x, y, arr)] = page["images"]
+    assert (round(x), round(y)) == (25, 30)
+    assert np.array_equal(arr, img)
+
+
+def test_pdf_inline_image_1bit_and_flate():
+    ink = np.tri(8, 21, dtype=bool)
+    [(x, y, arr)] = parse_pdf(_splice(_bi(ink, 0, 0)))[0]["images"]
+    assert np.array_equal(arr > 0, ink)
+    img = np.arange(200, dtype=np.uint8).reshape(10, 20)
+    [(x2, y2, arr2)] = parse_pdf(_splice(_bi(img, 4, 6, filt=b"/Fl")))[0]["images"]
+    assert np.array_equal(arr2, img)
+
+
+def test_pdf_inline_image_text_coexists():
+    """Inline image + text on the same page: both extracted, and the
+    blanked binary bytes never reach the text pass."""
+    img = np.full((5, 9), 7, np.uint8)
+    content = _bi(img, 10, 60) + b"\nBT /F1 12 Tf 1 0 0 1 10 50 Tm (BI works) Tj ET"
+    (page,) = parse_pdf(_splice(content))
+    assert [w[2] for w in page["words"]] == ["BI works"]
+    assert len(page["images"]) == 1
+
+
+def test_pdf_inline_image_redetects_words():
+    """Scanned-page-as-inline-image end to end through detection and
+    recognition."""
+    from doctr_spark.kernels.detection import detect_words, extract_crops
+    from doctr_spark.kernels.recognition import recognize_crops_batched
+
+    words = [[(12, 10, "alpha"), (120, 10, "beta")]]
+    (canvas,) = rasterize_pdf(write_pdf(words, (100, 260)))
+    doc = _splice(_bi(canvas, 0, 0, page=(200, 320)))
+    (scan,) = rasterize_pdf(doc)
+    boxes, _, _ = detect_words(scan)
+    vals = recognize_crops_batched(extract_crops(scan, boxes))
+    assert sorted(v for v, _ in vals) == ["alpha", "beta"]
+
+
+def test_pdf_inline_image_gates_still_loud():
+    """Stray BI outside the placement idiom still rejects; image masks
+    and color inline images reject."""
+    with pytest.raises(NotImplementedError, match="inline image"):
+        parse_pdf(_splice(b"BI /W 1 /H 1 ID x EI"))
+    bad = b"q 9 0 0 5 0 0 cm BI /W 9 /H 5 /BPC 8 /CS /RGB ID " + b"\x00" * 135 + b" EI Q"
+    with pytest.raises(NotImplementedError, match="DeviceGray"):
+        parse_pdf(_splice(bad))
+    mask = b"q 8 0 0 1 0 0 cm BI /W 8 /H 1 /IM true ID \x00 EI Q"
+    with pytest.raises(NotImplementedError, match="mask"):
+        parse_pdf(_splice(mask))
