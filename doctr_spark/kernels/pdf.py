@@ -54,9 +54,9 @@ Reference):
   both show operators advance the position by the shown width.
 
 Everything else is either ignored (graphics state the rasterizer does not
-need) or rejected LOUDLY (image/encryption filters — DCT, JPX, JBIG2,
-CCITTFax, Crypt — plus encryption and non-integer glyph scales),
-preserving the disclosed-gate contract for PDFs beyond the subset.
+need) or rejected LOUDLY (JPX/JBIG2/Crypt filters, encryption,
+non-integer glyph scales), preserving the disclosed-gate contract for
+PDFs beyond the subset.
 
 Rasterization draws each extracted word in the deterministic glyph font,
 so a parsed page flows through the standard detection → recognition
@@ -1019,176 +1019,7 @@ def parse_pdf(data: bytes) -> list[dict]:
             if xm
             else {}
         )
-        # inline images first: their binary payloads must be blanked out
-        # before any other pass scans the stream
-        images, full = _extract_inline_images(full, h)
-        for im in _IMG_DO_RE.finditer(full):
-            a, b_, c, d, e, f = (float(v) for v in im.groups()[:6])
-            if b_ or c or a <= 0 or d <= 0:
-                raise NotImplementedError(
-                    "image CTM with rotation/skew/reflection is outside the codec subset"
-                )
-            name = im.group(7)
-            if name not in xres:
-                raise ValueError(f"Do references unknown XObject /{name.decode()}")
-            xhead, xstream = objs[xres[name]]
-            if xstream is None or not re.search(rb"/Subtype\s*/Image\b", xhead):
-                raise NotImplementedError("form XObjects are outside the codec subset")
-            bpc_m = re.search(rb"/BitsPerComponent\s+(\d+)", xhead)
-            bpc = int(bpc_m.group(1)) if bpc_m else 0
-            chain = _filters_of(xhead)
-            jpeg_coded = bool(chain) and chain[-1][0] in (b"DCTDecode", b"DCT")
-            fax_coded = bool(chain) and chain[-1][0] in (b"CCITTFaxDecode", b"CCF")
-            gray = re.search(rb"/ColorSpace\s*/DeviceGray\b", xhead) is not None
-            rgb = re.search(rb"/ColorSpace\s*/DeviceRGB\b", xhead) is not None
-            if jpeg_coded:
-                # DCTDecode (§7.4.8): the payload after any preceding
-                # transport filters IS a baseline JPEG; decode with the
-                # from-scratch T.81 codec (luma plane — the grayscale
-                # signal the pipeline consumes, so /DeviceRGB is fine)
-                if not (gray or rgb) or bpc != 8:
-                    raise NotImplementedError(
-                        "DCTDecode images outside 8-bit DeviceGray/DeviceRGB "
-                        "are outside the codec subset"
-                    )
-            elif fax_coded:
-                if not gray or bpc != 1:
-                    raise NotImplementedError(
-                        "CCITTFaxDecode images outside 1-bit /DeviceGray are "
-                        "outside the codec subset"
-                    )
-            elif not gray or bpc not in (1, 8):
-                raise NotImplementedError(
-                    "image XObjects outside 1/8-bit /DeviceGray are outside the codec subset"
-                )
-            iw = int(re.search(rb"/Width\s+(\d+)", xhead).group(1))
-            ih = int(re.search(rb"/Height\s+(\d+)", xhead).group(1))
-            if jpeg_coded:
-                from .jpeg import decode_jpeg
-
-                arr = decode_jpeg(_apply_filters(xstream, chain[:-1]))
-                if arr.shape != (ih, iw):
-                    raise ValueError("JPEG frame size does not match /Width /Height")
-            elif fax_coded:
-                # CCITTFaxDecode (§7.4.6): G4/G3 fax payload; black runs
-                # map to canvas ink (255) — /BlackIs1 flips the SAMPLE
-                # polarity but DeviceGray's 0=black cancels it, so the
-                # displayed ink is the black runs either way
-                from .ccitt import decode_ccitt
-
-                fp = chain[-1][1] or b""
-
-                def _ip(key: bytes, default: int) -> int:
-                    m2 = re.search(rb"/%s\s+(-?\d+)" % key, fp)
-                    return int(m2.group(1)) if m2 else default
-
-                fax_cols = _ip(b"Columns", 1728)
-                if fax_cols != iw:
-                    raise ValueError("CCITT /Columns does not match /Width")
-                ink = decode_ccitt(
-                    _apply_filters(xstream, chain[:-1]),
-                    columns=fax_cols,
-                    rows=_ip(b"Rows", ih) or ih,
-                    k=_ip(b"K", 0),
-                    byte_align=bool(re.search(rb"/EncodedByteAlign\s+true", fp)),
-                )
-                if ink.shape[0] != ih:
-                    raise ValueError("CCITT row count does not match /Height")
-                arr = ink.astype(np.uint8) * 255
-            else:
-                arr = _gray_array(_decode_stream(xhead, xstream), iw, ih, bpc)
-            dw, dh = int(round(a)), int(round(d))
-            if (dh, dw) != (ih, iw):  # nearest-neighbor resample to display size
-                arr = arr[np.arange(dh) * ih // dh][:, np.arange(dw) * iw // dw]
-            # CTM maps the unit square to [e, e+a] x [f, f+d]: top-down
-            # y_top = page_h - (bottom + height)
-            images.append((e, h - f - d, arr))
-        leftover = _SOBJ_RE.sub(b" ", _IMG_DO_RE.sub(b" ", full))
-        if _ANY_DO_RE.search(leftover):
-            raise NotImplementedError(
-                "XObject Do outside the q/cm/Do image idiom is outside the codec subset"
-            )
-        if re.search(rb"\bBI\b", leftover):
-            raise NotImplementedError("inline images (BI/ID/EI) are outside the codec subset")
-
-        words: list[tuple[float, float, str, float]] = []
-        # text-line matrix origin (lx, ly) vs current point x: Td/TD/T*
-        # displace the LINE start (§9.4.2), while Tj/TJ/'/" advance only
-        # the current point within the line. Tc/Tw/TL/Tr are text-state
-        # parameters that PERSIST across BT/ET (§9.3.1) — only the
-        # matrices reset at BT.
-        lx = ly = x = y = 0.0
-        size = float(BASE_FONT_SIZE)
-        leading = tc = tw = 0.0
-        render_mode = 0
-
-        def show(tok: bytes) -> None:
-            """Show a string token at the current position, then advance
-            by the shown width (glyph metrics at scale = size/12) plus
-            the §9.3.2-9.3.3 spacing terms: +Tc per glyph, +Tw per space
-            glyph. Render mode 3 (invisible — the OCR-layer construct)
-            advances without emitting: the raster path the reference
-            feeds to detection would not contain those pixels either."""
-            nonlocal x
-            from .glyphs import word_width
-
-            text = _str_token(tok)
-            scale = size / BASE_FONT_SIZE
-            if render_mode != 3:
-                words.append((x, h - y - GLYPH_H * scale, text, size))
-            x += word_width(text) * scale + len(text) * tc + text.count(" ") * tw
-
-        def next_line() -> None:
-            nonlocal lx, ly, x, y
-            ly -= leading
-            x, y = lx, ly
-
-        for m in _TEXT_OP_RE.finditer(full):
-            g = m.groupdict()
-            if m.group(1) is not None:  # Tm: take the translation part
-                lx, ly = float(m.group(5)), float(m.group(6))
-                x, y = lx, ly
-            elif m.group(7) is not None:  # Td / TD (TD also sets TL=-ty)
-                ty = float(m.group(8))
-                if m.group(9) == b"TD":
-                    leading = -ty
-                lx, ly = lx + float(m.group(7)), ly + ty
-                x, y = lx, ly
-            elif g["tj"] is not None:
-                show(g["tj"])
-            elif g["bt"] is not None:  # BT resets the text matrices
-                lx = ly = x = y = 0.0
-            elif g["tf"] is not None:  # Tf: font size (Tf persists)
-                size = float(g["tf"])
-            elif g["tjarr"] is not None:  # TJ array (§9.4.3)
-                for em in _TJ_ELEM_RE.finditer(g["tjarr"]):
-                    if em.group(1) is not None:
-                        show(em.group(1))
-                    else:  # kern number: tx = -n/1000 * size
-                        x -= float(em.group(2)) / 1000.0 * size
-            elif g["tl"] is not None:
-                leading = float(g["tl"])
-            elif g["tstar"] is not None:
-                next_line()
-            elif g["quote"] is not None:  # ': T* then show
-                next_line()
-                show(g["quote"])
-            elif g["dquote"] is not None:  # ": aw Tw, ac Tc, T*, show
-                tw, tc = float(g["dqw"]), float(g["dqc"])
-                next_line()
-                show(g["dquote"])
-            elif g["tc"] is not None:
-                tc = float(g["tc"])
-            elif g["tw"] is not None:
-                tw = float(g["tw"])
-            elif g["tz"] is not None:  # horizontal scaling: only 100 (=1.0)
-                if abs(float(g["tz"]) - 100.0) > 1e-9:
-                    raise NotImplementedError(
-                        f"Tz horizontal scaling {float(g['tz'])} is outside the "
-                        "from-scratch codec subset (100 only)"
-                    )
-            elif g["tr"] is not None:  # render mode; 3 = invisible
-                render_mode = int(float(g["tr"]))
+        words, images = _parse_content(full, h, xres, objs)
         if rot and words:
             raise NotImplementedError(
                 "visible text under page /Rotate is outside the codec subset "
@@ -1199,6 +1030,234 @@ def parse_pdf(data: bytes) -> list[dict]:
         disp = (w, h) if rot in (90, 270) else (h, w)
         out.append({"size": disp, "words": words, "images": images, "rotate": rot})
     return out
+
+
+def _parse_form(
+    fhead: bytes,
+    fstream: bytes,
+    h: float,
+    parent_xres: dict[bytes, int],
+    objs: dict,
+    depth: int,
+    ex: float,
+    fy: float,
+) -> tuple[list, list]:
+    """Recurse into a form XObject (§8.10) placed at translation
+    (ex, fy): parse its content in form space, then shift. /Matrix must
+    be identity or a pure translation (composed in); /BBox clipping is
+    not applied — the engine's writers never draw outside it."""
+    if depth >= 8:
+        raise NotImplementedError("form XObject nesting deeper than 8")
+    mm = re.search(
+        rb"/Matrix\s*\[\s*(" + _NUM + rb")\s+(" + _NUM + rb")\s+(" + _NUM + rb")\s+("
+        + _NUM + rb")\s+(" + _NUM + rb")\s+(" + _NUM + rb")\s*\]",
+        fhead,
+    )
+    if mm:
+        ma, mb, mc, md, me, mf = (float(v) for v in mm.groups())
+        if (ma, mb, mc, md) != (1.0, 0.0, 0.0, 1.0):
+            raise NotImplementedError(
+                "form /Matrix beyond pure translation is outside the codec subset"
+            )
+        ex, fy = ex + me, fy + mf
+    fxm = re.search(rb"/XObject\s*<<(.*?)>>", fhead, re.DOTALL)
+    xres = dict(parent_xres)
+    if fxm:
+        xres.update(
+            {r.group(1): int(r.group(2)) for r in re.finditer(rb"/(\w+)\s+(\d+)\s+0\s+R", fxm.group(1))}
+        )
+    fwords, fimages = _parse_content(_decode_stream(fhead, fstream), h, xres, objs, depth + 1)
+    return (
+        [(x + ex, y - fy, t, s) for x, y, t, s in fwords],
+        [(x + ex, y - fy, arr) for x, y, arr in fimages],
+    )
+
+
+def _parse_content(
+    full: bytes, h: float, xres: dict[bytes, int], objs: dict, depth: int = 0
+) -> tuple[list, list]:
+    """One content stream (a page's, or a form's) -> (words, images) in
+    its own coordinate space."""
+    # inline images first: their binary payloads must be blanked out
+    # before any other pass scans the stream
+    images, full = _extract_inline_images(full, h)
+    words: list[tuple[float, float, str, float]] = []
+    for im in _IMG_DO_RE.finditer(full):
+        a, b_, c, d, e, f = (float(v) for v in im.groups()[:6])
+        name = im.group(7)
+        if name not in xres:
+            raise ValueError(f"Do references unknown XObject /{name.decode()}")
+        xhead, xstream = objs[xres[name]]
+        if xstream is not None and re.search(rb"/Subtype\s*/Form\b", xhead):
+            if (a, b_, c, d) != (1.0, 0.0, 0.0, 1.0):
+                raise NotImplementedError(
+                    "form XObject CTMs beyond pure translation are outside the codec subset"
+                )
+            fw, fi = _parse_form(xhead, xstream, h, xres, objs, depth, e, f)
+            words += fw
+            images += fi
+            continue
+        if b_ or c or a <= 0 or d <= 0:
+            raise NotImplementedError(
+                "image CTM with rotation/skew/reflection is outside the codec subset"
+            )
+        if xstream is None or not re.search(rb"/Subtype\s*/Image\b", xhead):
+            raise NotImplementedError("Do target is neither an image nor a form XObject")
+        bpc_m = re.search(rb"/BitsPerComponent\s+(\d+)", xhead)
+        bpc = int(bpc_m.group(1)) if bpc_m else 0
+        chain = _filters_of(xhead)
+        jpeg_coded = bool(chain) and chain[-1][0] in (b"DCTDecode", b"DCT")
+        fax_coded = bool(chain) and chain[-1][0] in (b"CCITTFaxDecode", b"CCF")
+        gray = re.search(rb"/ColorSpace\s*/DeviceGray\b", xhead) is not None
+        rgb = re.search(rb"/ColorSpace\s*/DeviceRGB\b", xhead) is not None
+        if jpeg_coded:
+            # DCTDecode (§7.4.8): the payload after any preceding
+            # transport filters IS a baseline JPEG; decode with the
+            # from-scratch T.81 codec (luma plane — the grayscale
+            # signal the pipeline consumes, so /DeviceRGB is fine)
+            if not (gray or rgb) or bpc != 8:
+                raise NotImplementedError(
+                    "DCTDecode images outside 8-bit DeviceGray/DeviceRGB "
+                    "are outside the codec subset"
+                )
+        elif fax_coded:
+            if not gray or bpc != 1:
+                raise NotImplementedError(
+                    "CCITTFaxDecode images outside 1-bit /DeviceGray are "
+                    "outside the codec subset"
+                )
+        elif not gray or bpc not in (1, 8):
+            raise NotImplementedError(
+                "image XObjects outside 1/8-bit /DeviceGray are outside the codec subset"
+            )
+        iw = int(re.search(rb"/Width\s+(\d+)", xhead).group(1))
+        ih = int(re.search(rb"/Height\s+(\d+)", xhead).group(1))
+        if jpeg_coded:
+            from .jpeg import decode_jpeg
+
+            arr = decode_jpeg(_apply_filters(xstream, chain[:-1]))
+            if arr.shape != (ih, iw):
+                raise ValueError("JPEG frame size does not match /Width /Height")
+        elif fax_coded:
+            # CCITTFaxDecode (§7.4.6): G4/G3 fax payload; black runs
+            # map to canvas ink (255) — /BlackIs1 flips the SAMPLE
+            # polarity but DeviceGray's 0=black cancels it, so the
+            # displayed ink is the black runs either way
+            from .ccitt import decode_ccitt
+
+            fp = chain[-1][1] or b""
+
+            def _ip(key: bytes, default: int) -> int:
+                m2 = re.search(rb"/%s\s+(-?\d+)" % key, fp)
+                return int(m2.group(1)) if m2 else default
+
+            fax_cols = _ip(b"Columns", 1728)
+            if fax_cols != iw:
+                raise ValueError("CCITT /Columns does not match /Width")
+            ink = decode_ccitt(
+                _apply_filters(xstream, chain[:-1]),
+                columns=fax_cols,
+                rows=_ip(b"Rows", ih) or ih,
+                k=_ip(b"K", 0),
+                byte_align=bool(re.search(rb"/EncodedByteAlign\s+true", fp)),
+            )
+            if ink.shape[0] != ih:
+                raise ValueError("CCITT row count does not match /Height")
+            arr = ink.astype(np.uint8) * 255
+        else:
+            arr = _gray_array(_decode_stream(xhead, xstream), iw, ih, bpc)
+        dw, dh = int(round(a)), int(round(d))
+        if (dh, dw) != (ih, iw):  # nearest-neighbor resample to display size
+            arr = arr[np.arange(dh) * ih // dh][:, np.arange(dw) * iw // dw]
+        # CTM maps the unit square to [e, e+a] x [f, f+d]: top-down
+        # y_top = page_h - (bottom + height)
+        images.append((e, h - f - d, arr))
+    leftover = _SOBJ_RE.sub(b" ", _IMG_DO_RE.sub(b" ", full))
+    if _ANY_DO_RE.search(leftover):
+        raise NotImplementedError(
+            "XObject Do outside the q/cm/Do image idiom is outside the codec subset"
+        )
+    if re.search(rb"\bBI\b", leftover):
+        raise NotImplementedError("inline images (BI/ID/EI) are outside the codec subset")
+
+    # text-line matrix origin (lx, ly) vs current point x: Td/TD/T*
+    # displace the LINE start (§9.4.2), while Tj/TJ/'/" advance only
+    # the current point within the line. Tc/Tw/TL/Tr are text-state
+    # parameters that PERSIST across BT/ET (§9.3.1) — only the
+    # matrices reset at BT.
+    lx = ly = x = y = 0.0
+    size = float(BASE_FONT_SIZE)
+    leading = tc = tw = 0.0
+    render_mode = 0
+
+    def show(tok: bytes) -> None:
+        """Show a string token at the current position, then advance
+        by the shown width (glyph metrics at scale = size/12) plus
+        the §9.3.2-9.3.3 spacing terms: +Tc per glyph, +Tw per space
+        glyph. Render mode 3 (invisible — the OCR-layer construct)
+        advances without emitting: the raster path the reference
+        feeds to detection would not contain those pixels either."""
+        nonlocal x
+        from .glyphs import word_width
+
+        text = _str_token(tok)
+        scale = size / BASE_FONT_SIZE
+        if render_mode != 3:
+            words.append((x, h - y - GLYPH_H * scale, text, size))
+        x += word_width(text) * scale + len(text) * tc + text.count(" ") * tw
+
+    def next_line() -> None:
+        nonlocal lx, ly, x, y
+        ly -= leading
+        x, y = lx, ly
+
+    for m in _TEXT_OP_RE.finditer(full):
+        g = m.groupdict()
+        if m.group(1) is not None:  # Tm: take the translation part
+            lx, ly = float(m.group(5)), float(m.group(6))
+            x, y = lx, ly
+        elif m.group(7) is not None:  # Td / TD (TD also sets TL=-ty)
+            ty = float(m.group(8))
+            if m.group(9) == b"TD":
+                leading = -ty
+            lx, ly = lx + float(m.group(7)), ly + ty
+            x, y = lx, ly
+        elif g["tj"] is not None:
+            show(g["tj"])
+        elif g["bt"] is not None:  # BT resets the text matrices
+            lx = ly = x = y = 0.0
+        elif g["tf"] is not None:  # Tf: font size (Tf persists)
+            size = float(g["tf"])
+        elif g["tjarr"] is not None:  # TJ array (§9.4.3)
+            for em in _TJ_ELEM_RE.finditer(g["tjarr"]):
+                if em.group(1) is not None:
+                    show(em.group(1))
+                else:  # kern number: tx = -n/1000 * size
+                    x -= float(em.group(2)) / 1000.0 * size
+        elif g["tl"] is not None:
+            leading = float(g["tl"])
+        elif g["tstar"] is not None:
+            next_line()
+        elif g["quote"] is not None:  # ': T* then show
+            next_line()
+            show(g["quote"])
+        elif g["dquote"] is not None:  # ": aw Tw, ac Tc, T*, show
+            tw, tc = float(g["dqw"]), float(g["dqc"])
+            next_line()
+            show(g["dquote"])
+        elif g["tc"] is not None:
+            tc = float(g["tc"])
+        elif g["tw"] is not None:
+            tw = float(g["tw"])
+        elif g["tz"] is not None:  # horizontal scaling: only 100 (=1.0)
+            if abs(float(g["tz"]) - 100.0) > 1e-9:
+                raise NotImplementedError(
+                    f"Tz horizontal scaling {float(g['tz'])} is outside the "
+                    "from-scratch codec subset (100 only)"
+                )
+        elif g["tr"] is not None:  # render mode; 3 = invisible
+            render_mode = int(float(g["tr"]))
+    return words, images
 
 
 def rasterize_pdf(data: bytes, vocab: str | None = None) -> list[np.ndarray]:

@@ -790,3 +790,92 @@ def test_pdf_inline_image_gates_still_loud():
     mask = b"q 8 0 0 1 0 0 cm BI /W 8 /H 1 /IM true ID \x00 EI Q"
     with pytest.raises(NotImplementedError, match="mask"):
         parse_pdf(_splice(mask))
+
+
+def _form_pdf(page_content: bytes, forms: dict[bytes, bytes], extras: dict[bytes, bytes] = {}) -> bytes:
+    """Minimal hand-built PDF with form XObjects. ``forms`` maps resource
+    name -> form content stream; ``extras`` maps name -> extra dict
+    entries spliced into that form's header (e.g. /Matrix)."""
+    objs = [b"<< /Length %d >>\nstream\n%s\nendstream" % (len(page_content), page_content)]
+    res_names = []
+    for i, (name, fc) in enumerate(forms.items()):
+        oid = 2 + i
+        head = b"<< /Type /XObject /Subtype /Form %s/Length %d >>" % (
+            extras.get(name, b""), len(fc),
+        )
+        objs.append(head + b"\nstream\n" + fc + b"\nendstream")
+        res_names.append(b"/%s %d 0 R" % (name, oid))
+    nf = len(forms)
+    font, pages, cat, page = 2 + nf, 3 + nf, 4 + nf, 5 + nf
+    objs += [
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        b"<< /Type /Pages /Kids [%d 0 R] /Count 1 >>" % page,
+        b"<< /Type /Catalog /Pages %d 0 R >>" % pages,
+        b"<< /Type /Page /Parent %d 0 R /MediaBox [0 0 320 200] /Contents 1 0 R "
+        b"/Resources << /Font << /F1 %d 0 R >> /XObject << %s >> >> >>"
+        % (pages, font, b" ".join(res_names)),
+    ]
+    out = b"%PDF-1.4\n"
+    for i, body in enumerate(objs, start=1):
+        out += b"%d 0 obj\n%s\nendobj\n" % (i, body)
+    return out + b"trailer << /Root %d 0 R >>\n%%%%EOF" % cat
+
+
+def test_pdf_form_xobject_text_translates():
+    """§8.10 form placed at a translation: its text lands shifted into
+    page space, identical to drawing it directly."""
+    form = b"BT /F1 12 Tf 1 0 0 1 10 20 Tm (stamp) Tj ET"
+    doc = _form_pdf(b"q 1 0 0 1 30 40 cm /Fm1 Do Q", {b"Fm1": form})
+    direct = _splice(b"BT /F1 12 Tf 1 0 0 1 40 60 Tm (stamp) Tj ET")
+    assert parse_pdf(doc)[0]["words"] == parse_pdf(direct)[0]["words"]
+
+
+def test_pdf_form_matrix_translation_composes():
+    form = b"BT /F1 12 Tf 1 0 0 1 0 0 Tm (hi) Tj ET"
+    doc = _form_pdf(
+        b"q 1 0 0 1 30 40 cm /Fm1 Do Q",
+        {b"Fm1": form},
+        {b"Fm1": b"/Matrix [1 0 0 1 5 7] "},
+    )
+    direct = _splice(b"BT /F1 12 Tf 1 0 0 1 35 47 Tm (hi) Tj ET")
+    assert parse_pdf(doc)[0]["words"] == parse_pdf(direct)[0]["words"]
+
+
+def test_pdf_form_nested_and_page_text_coexist():
+    """A form invoking another form (letterhead-in-template nesting) plus
+    page-level text: every layer lands where a direct draw would."""
+    inner = b"BT /F1 12 Tf 1 0 0 1 1 2 Tm (deep) Tj ET"
+    outer = b"BT /F1 12 Tf 1 0 0 1 10 20 Tm (outer) Tj ET q 1 0 0 1 100 0 cm /Fm2 Do Q"
+    page = b"BT /F1 12 Tf 1 0 0 1 5 150 Tm (page) Tj ET q 1 0 0 1 30 40 cm /Fm1 Do Q"
+    doc = _form_pdf(page, {b"Fm1": outer, b"Fm2": inner})
+    direct = _splice(
+        b"BT /F1 12 Tf 1 0 0 1 5 150 Tm (page) Tj ET"
+        b" BT /F1 12 Tf 1 0 0 1 40 60 Tm (outer) Tj ET"
+        b" BT /F1 12 Tf 1 0 0 1 131 42 Tm (deep) Tj ET"
+    )
+    assert sorted(parse_pdf(doc)[0]["words"]) == sorted(parse_pdf(direct)[0]["words"])
+
+
+def test_pdf_form_with_inline_image_shifts():
+    img = np.arange(50, dtype=np.uint8).reshape(5, 10)
+    # inline image at (3, bottom 100) inside a form translated by (20, 30)
+    form = b"q 10 0 0 5 3 100 cm BI /W 10 /H 5 /BPC 8 /CS /G ID " + img.tobytes() + b" EI Q"
+    doc = _form_pdf(b"q 1 0 0 1 20 30 cm /Fm1 Do Q", {b"Fm1": form})
+    [(x, y, arr)] = parse_pdf(doc)[0]["images"]
+    assert (round(x), round(y)) == (23, 200 - 130 - 5)
+    assert np.array_equal(arr, img)
+
+
+def test_pdf_form_gates():
+    """Scaled form placement and non-translation /Matrix reject loudly."""
+    form = b"BT /F1 12 Tf (x) Tj ET"
+    with pytest.raises(NotImplementedError, match="pure translation"):
+        parse_pdf(_form_pdf(b"q 2 0 0 2 0 0 cm /Fm1 Do Q", {b"Fm1": form}))
+    with pytest.raises(NotImplementedError, match="Matrix"):
+        parse_pdf(
+            _form_pdf(
+                b"q 1 0 0 1 0 0 cm /Fm1 Do Q",
+                {b"Fm1": form},
+                {b"Fm1": b"/Matrix [2 0 0 2 0 0] "},
+            )
+        )
