@@ -80,9 +80,13 @@ def gen_pdf_conversation(conv_no: int, seed: int = 42) -> tuple[list[dict], list
         # ASCIIHexDecode, PDF 1.5 object+xref streams, Tf 24 (glyph
         # scale 2 through the crop normalizer), SCANNED pages (§8.9
         # image XObjects carrying the rendered pixels under an invisible
-        # 3 Tr OCR text layer — extraction must read the IMAGE), and
-        # ROTATED scans (stored sideways, /Rotate displays upright)
-        mode = (conv_no + t) % 8
+        # 3 Tr OCR text layer — extraction must read the IMAGE),
+        # ROTATED scans (stored sideways, /Rotate displays upright),
+        # CCITT Group 4 fax scans (the dominant real-scanner filter),
+        # baseline-JPEG (/DCTDecode) scans, INLINE-image (§8.9.7) scans,
+        # and form-XObject-wrapped (§8.10) text layers
+        mode = (conv_no + t) % 12
+        scan = mode in (6, 7, 8, 9, 10)
         scale = 2 if mode == 5 else 1
         rotate = (90, 180, 270)[conv_no % 3] if mode == 7 else 0
         page_words, gt_pages, n_words = [], [], 0
@@ -94,16 +98,30 @@ def gen_pdf_conversation(conv_no: int, seed: int = 42) -> tuple[list[dict], list
         blob = write_pdf(
             page_words,
             (PAGE_H, PAGE_W),
-            compress=mode in (1, 4, 5),
+            compress=mode in (1, 4, 5, 11),
             use_tj=mode in (2, 4),
             ascii_hex=mode == 3,
             pdf15=mode == 4,
             font_size=12 * scale,
-            images={i: [(_render_canvas(pw), 0, 0)] for i, pw in enumerate(page_words)}
-            if mode in (6, 7)
+            images={
+                i: [
+                    (
+                        # mode 8: bilevel ink mask -> Group 4 stream
+                        _render_canvas(pw) > 127 if mode == 8 else _render_canvas(pw),
+                        0,
+                        0,
+                    )
+                ]
+                for i, pw in enumerate(page_words)
+            }
+            if scan
             else None,
-            render_mode=3 if mode in (6, 7) else 0,
+            render_mode=3 if scan else 0,
             rotate=rotate,
+            ccitt_g4=mode == 8,
+            jpeg_quality=95 if mode == 9 else None,
+            inline_images=mode == 10,
+            form_wrap=mode == 11,
         )
         rows.append(
             {

@@ -298,6 +298,8 @@ def write_pdf(
     rotate: int = 0,
     jpeg_quality: int | None = None,
     ccitt_g4: bool = False,
+    inline_images: bool = False,
+    form_wrap: bool = False,
 ) -> bytes:
     """Write a real PDF; ``pages`` holds per-page ``(x, y_top, word)``
     placements in top-down pixel space (at the glyph scale implied by
@@ -370,6 +372,20 @@ def write_pdf(
                 img = np.ascontiguousarray(np.rot90(img, rotate // 90))
             ih, iw = img.shape
             dw, dh = disp if disp else (iw, ih)
+            if inline_images:
+                # §8.9.7 inline image instead of an XObject: the common
+                # small-image layout (abbreviated keys, Flate data)
+                if bilevel:
+                    raw_pix, bpc = np.packbits(img.astype(bool), axis=1).tobytes(), 1
+                else:
+                    raw_pix, bpc = img.tobytes(), 8
+                img_ops.setdefault(pi, []).append(
+                    b"q %d 0 0 %d %d %d cm BI /W %d /H %d /BPC %d /CS /G /F /Fl ID "
+                    % (dw, dh, int(x), ch - int(y_top) - dh, iw, ih, bpc)
+                    + zlib.compress(raw_pix)
+                    + b" EI Q"
+                )
+                continue
             oid = k + 1 + len(img_objs)
             if bilevel and ccitt_g4:
                 # real-scanner layout: the bool ink mask as a Group 4
@@ -407,6 +423,29 @@ def write_pdf(
                 b"q %d 0 0 %d %d %d cm /Im%d Do Q"
                 % (dw, dh, int(x), ch - int(y_top) - dh, oid)
             )
+    if form_wrap:
+        # each page's text layer inside a form XObject (§8.10) invoked
+        # from the page content — the OCR-overlay layout some writers
+        # emit. Forms are stream objects, so they live beside the images.
+        for i, words_i in enumerate(pages):
+            raw_txt = _content_ops(
+                words_i,
+                ch,
+                use_tj,
+                font_size,
+                line_ops=line_ops,
+                hex_strings=hex_strings,
+                char_spacing=char_spacing,
+                render_mode=render_mode,
+            )
+            oid = k + 1 + len(img_objs)
+            img_objs.append(
+                b"<< /Type /XObject /Subtype /Form /Matrix [1 0 0 1 0 0] "
+                b"/BBox [0 0 %d %d] /Length %d >>\nstream\n" % (cw, ch, len(raw_txt))
+                + raw_txt
+                + b"\nendstream"
+            )
+            img_res.setdefault(i, []).append(b"/Fm%d %d 0 R" % (oid, oid))
     m = len(img_objs)
     contents: list[bytes] = []  # full stream objects, numbered 1..K
     # dict-only objects occupy K+M+1..K+M+3+pages; indirect length
@@ -414,16 +453,20 @@ def write_pdf(
     len_ids = list(range(k + m + 4 + len(pages), k + m + 4 + 2 * len(pages)))
     length_objs: dict[int, bytes] = {}
     for i, words in enumerate(pages):
-        raw = _content_ops(
-            words,
-            ch,
-            use_tj,
-            font_size,
-            line_ops=line_ops,
-            hex_strings=hex_strings,
-            char_spacing=char_spacing,
-            render_mode=render_mode,
-        )
+        if form_wrap:
+            fm = img_res[i][-1].split(b" ")[0]  # /FmN
+            raw = b"q 1 0 0 1 0 0 cm %s Do Q" % fm
+        else:
+            raw = _content_ops(
+                words,
+                ch,
+                use_tj,
+                font_size,
+                line_ops=line_ops,
+                hex_strings=hex_strings,
+                char_spacing=char_spacing,
+                render_mode=render_mode,
+            )
         if i in img_ops:
             raw = b"\n".join(img_ops[i] + [raw])
         data, filt = _encode_stream(raw, filters)
