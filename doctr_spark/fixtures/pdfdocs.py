@@ -84,9 +84,10 @@ def gen_pdf_conversation(conv_no: int, seed: int = 42) -> tuple[list[dict], list
         # ROTATED scans (stored sideways, /Rotate displays upright),
         # CCITT Group 4 fax scans (the dominant real-scanner filter),
         # baseline-JPEG (/DCTDecode) scans, INLINE-image (§8.9.7) scans,
-        # and form-XObject-wrapped (§8.10) text layers
-        mode = (conv_no + t) % 12
-        scan = mode in (6, 7, 8, 9, 10)
+        # form-XObject-wrapped (§8.10) text layers, and PROGRESSIVE-JPEG
+        # (SOF2, Annex G) scans
+        mode = (conv_no + t) % 13
+        scan = mode in (6, 7, 8, 9, 10, 12)
         scale = 2 if mode == 5 else 1
         rotate = (90, 180, 270)[conv_no % 3] if mode == 7 else 0
         page_words, gt_pages, n_words = [], [], 0
@@ -119,7 +120,8 @@ def gen_pdf_conversation(conv_no: int, seed: int = 42) -> tuple[list[dict], list
             render_mode=3 if scan else 0,
             rotate=rotate,
             ccitt_g4=mode == 8,
-            jpeg_quality=95 if mode == 9 else None,
+            jpeg_quality=95 if mode in (9, 12) else None,
+            jpeg_progressive=mode == 12,
             inline_images=mode == 10,
             form_wrap=mode == 11,
         )

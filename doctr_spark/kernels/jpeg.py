@@ -16,10 +16,17 @@ the needed subset of the PUBLIC spec is implemented from scratch:
   the decoder reconstructs the LUMA channel only (chroma blocks are
   entropy-decoded to stay in sync, then discarded) — the exact signal
   detection/recognition consume.
-* Progressive (SOF2), arithmetic coding (SOF9+), lossless, hierarchical
-  and 12-bit precision reject LOUDLY — the disclosed-gate contract; the
-  swap-in seam for a full library remains `operators.multimodal.
-  decode_media` / the PDF ``DCTDecode`` branch.
+* PROGRESSIVE (SOF2) decode per T.81 Annex G: spectral selection +
+  successive approximation, DC/AC first and refinement passes, EOBRUN,
+  restart markers, any Al/Ah script — coefficients accumulate in a
+  per-component store and reconstruct at EOI. The encoder can emit a
+  progressive stream too (``progressive=True``, 4:4:4/gray, classic
+  successive-approximation scan script) so round trips exercise every
+  Annex G decode path against the baseline pipeline bit-for-bit.
+* Arithmetic coding (SOF9+), lossless, hierarchical and 12-bit
+  precision reject LOUDLY — the disclosed-gate contract; the swap-in
+  seam for a full library remains `operators.multimodal.decode_media` /
+  the PDF ``DCTDecode`` branch.
 
 At 100 TB these decodes run inside Arrow-batched ``mapInPandas`` workers
 (one image per row, no driver involvement); the per-image pure-Python
@@ -239,9 +246,12 @@ def encode_jpeg(
     quality: int = 90,
     subsampling: str = "4:4:4",
     restart_interval: int = 0,
+    progressive: bool = False,
 ) -> bytes:
     """Encode a 2-D uint8 grayscale image (or an (H, W, 3) RGB image via
-    the JFIF YCbCr transform) as a baseline sequential JPEG."""
+    the JFIF YCbCr transform) as a baseline sequential JPEG — or, with
+    ``progressive=True``, as a progressive (SOF2) stream using the
+    classic successive-approximation scan script (4:4:4/gray only)."""
     img = np.asarray(img)
     color = img.ndim == 3
     if color:
@@ -270,11 +280,18 @@ def encode_jpeg(
     else:
         raise ValueError("subsampling must be 4:4:4 or 4:2:0")
     ncomp = 3 if color else 1
+    if progressive and (restart_interval or (color and hs != 1)):
+        raise ValueError("progressive encoding is 4:4:4/gray, no restart intervals")
     sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([ncomp])
     sof += bytes([1, (hs << 4) | vs, 0])
     if color:
         sof += bytes([2, 0x11, 1, 3, 0x11, 1])
-    out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
+    out += (b"\xff\xc2" if progressive else b"\xff\xc0") + struct.pack(">H", len(sof) + 2) + sof
+    if progressive:
+        planes_q = [(y, ql)] + ([(cb, qc), (cr, qc)] if color else [])
+        _encode_progressive(planes_q, out)
+        out += b"\xff\xd9"
+        return bytes(out)
     out += _dht_segment(0x00, DC_LUMA) + _dht_segment(0x10, AC_LUMA)
     if color:
         out += _dht_segment(0x01, DC_CHROMA) + _dht_segment(0x11, AC_CHROMA)
@@ -452,10 +469,375 @@ def _decode_block(br: _BitReader, dc_tab: dict, ac_tab: dict, quant: np.ndarray,
     return block, pred
 
 
+# ------------------------------------------------------- progressive (G)
+# flat Huffman tables for the progressive ENCODER: 255 AC symbols get an
+# 8-bit code and the last a 9-bit one (BITS bytes cap at 255 and the
+# all-ones code of each length is reserved, C.2), so EOBn run codes
+# 0x10..0xE0 — absent from the Annex K baseline tables — are codable
+# without per-scan table optimization. Compression is worse than
+# libjpeg's optimized tables; the bitstream is equally valid.
+_FLAT_AC = ([0, 0, 0, 0, 0, 0, 0, 255, 1, 0, 0, 0, 0, 0, 0, 0], list(range(256)))
+_FLAT_DC = ([0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0], list(range(12)))
+
+
+def _pt(v: int, al: int) -> int:
+    """AC point transform (G.1.2.2): magnitude shift, sign kept."""
+    return v >> al if v >= 0 else -((-v) >> al)
+
+
+class _ProgEncoder:
+    """One component-band scan emitter with EOBRUN + buffered correction
+    bits, mirroring T.81 G.1.2.2-G.1.2.3 (the IJG structure)."""
+
+    def __init__(self, bw: _BitWriter, ac_codes: dict) -> None:
+        self.bw = bw
+        self.ac = ac_codes
+        self.eobrun = 0
+        self.pending: list[int] = []  # buffered correction bits
+
+    def flush_eobrun(self) -> None:
+        if self.eobrun > 0:
+            nbits = self.eobrun.bit_length() - 1
+            code, length = self.ac[nbits << 4]
+            self.bw.put(code, length)
+            if nbits:
+                self.bw.put(self.eobrun - (1 << nbits), nbits)
+            self.eobrun = 0
+        for b in self.pending:
+            self.bw.put(b, 1)
+        self.pending = []
+
+    def ac_first_block(self, zz: np.ndarray, ss: int, se: int, al: int) -> None:
+        r = 0
+        for k in range(ss, se + 1):
+            t = _pt(int(zz[k]), al)
+            if t == 0:
+                r += 1
+                continue
+            self.flush_eobrun()
+            while r > 15:
+                code, length = self.ac[0xF0]
+                self.bw.put(code, length)
+                r -= 16
+            cat, bits = _magnitude(t)
+            code, length = self.ac[(r << 4) | cat]
+            self.bw.put(code, length)
+            self.bw.put(bits, cat)
+            r = 0
+        if r:
+            self.eobrun += 1
+            if self.eobrun == 0x7FFF:
+                self.flush_eobrun()
+
+    def ac_refine_block(self, zz: np.ndarray, ss: int, se: int, al: int) -> None:
+        absv = [abs(_pt(int(zz[k]), al)) for k in range(ss, se + 1)]
+        eob = 0  # band index just past the last NEWLY-nonzero coefficient
+        for i, t in enumerate(absv):
+            if t == 1:
+                eob = i + 1
+        r = 0
+        br: list[int] = []
+        for i, t in enumerate(absv):
+            if t == 0:
+                r += 1
+                continue
+            # emit required ZRLs BEFORE branching on history vs new — a
+            # history coefficient met while r > 15 must see its correction
+            # bit land after the ZRL covering its span (jcphuff.c order)
+            while r > 15 and i < eob:
+                self.flush_eobrun()
+                code, length = self.ac[0xF0]
+                self.bw.put(code, length)
+                r -= 16
+                for b in br:
+                    self.bw.put(b, 1)
+                br = []
+            if t > 1:  # history coefficient: correction bit
+                br.append(t & 1)
+                continue
+            # newly nonzero (t == 1)
+            self.flush_eobrun()
+            code, length = self.ac[(r << 4) | 1]
+            self.bw.put(code, length)
+            self.bw.put(1 if zz[ss + i] > 0 else 0, 1)
+            for b in br:
+                self.bw.put(b, 1)
+            br = []
+            r = 0
+        if r > 0 or br:
+            self.eobrun += 1
+            self.pending += br
+            if self.eobrun == 0x7FFF or len(self.pending) > 900:
+                self.flush_eobrun()
+
+
+def _encode_progressive(
+    planes: list[tuple[np.ndarray, np.ndarray]], out: bytearray
+) -> None:
+    """Append the scan script + entropy data for progressive components
+    ``[(plane, quant), ...]`` (already subsampled): DC first (Al=1),
+    per-component AC 1..5 then 6..63 at Al=2, AC refine passes Al=1 and
+    Al=0, DC refine — the classic successive-approximation script, so a
+    round trip exercises every Annex G decode path."""
+    dc_codes = _build_codes(*_FLAT_DC)
+    ac_codes = _build_codes(*_FLAT_AC)
+    out += _dht_segment(0x00, _FLAT_DC) + _dht_segment(0x10, _FLAT_AC)
+    ncomp = len(planes)
+    coefs = []
+    for plane, quant in planes:
+        blocks = _blocks_of(plane)
+        bh, bw_ = blocks.shape[:2]
+        zz = np.zeros((bh, bw_, 64), dtype=np.int64)
+        for by in range(bh):
+            for bx in range(bw_):
+                c = _C @ (blocks[by, bx].astype(np.float64) - 128.0) @ _C.T
+                zz[by, bx] = np.round(c / quant).astype(np.int64).flat[ZIGZAG]
+        coefs.append(zz)
+
+    def sos(comps: list[int], ss: int, se: int, ah: int, al: int) -> None:
+        seg = bytes([len(comps)])
+        for ci in comps:
+            seg += bytes([ci + 1, 0x00])  # table 0 for both classes
+        seg += bytes([ss, se, (ah << 4) | al])
+        out.extend(b"\xff\xda" + struct.pack(">H", len(seg) + 2) + seg)
+
+    # scan 1: DC first, Al=1, all components (interleaved when ncomp > 1)
+    sos(list(range(ncomp)), 0, 0, 0, 1)
+    bw = _BitWriter()
+    preds = [0] * ncomp
+    if ncomp == 1:
+        zz = coefs[0]
+        for by in range(zz.shape[0]):
+            for bx in range(zz.shape[1]):
+                dc = int(zz[by, bx, 0]) >> 1
+                cat, bits = _magnitude(dc - preds[0])
+                code, length = dc_codes[cat]
+                bw.put(code, length)
+                if cat:
+                    bw.put(bits, cat)
+                preds[0] = dc
+    else:
+        # all components share the MCU grid here (4:4:4 progressive)
+        for by in range(coefs[0].shape[0]):
+            for bx in range(coefs[0].shape[1]):
+                for ci in range(ncomp):
+                    dc = int(coefs[ci][by, bx, 0]) >> 1
+                    cat, bits = _magnitude(dc - preds[ci])
+                    code, length = dc_codes[cat]
+                    bw.put(code, length)
+                    if cat:
+                        bw.put(bits, cat)
+                    preds[ci] = dc
+    bw.flush()
+    out += bw.out
+
+    # per-component AC scans: first passes at Al=2, refines at 1 then 0
+    for ss, se in ((1, 5), (6, 63)):
+        for ci in range(ncomp):
+            sos([ci], ss, se, 0, 2)
+            bw = _BitWriter()
+            enc = _ProgEncoder(bw, ac_codes)
+            zz = coefs[ci]
+            for by in range(zz.shape[0]):
+                for bx in range(zz.shape[1]):
+                    enc.ac_first_block(zz[by, bx], ss, se, 2)
+            enc.flush_eobrun()
+            bw.flush()
+            out += bw.out
+    for al in (1, 0):
+        for ci in range(ncomp):
+            sos([ci], 1, 63, al + 1, al)
+            bw = _BitWriter()
+            enc = _ProgEncoder(bw, ac_codes)
+            zz = coefs[ci]
+            for by in range(zz.shape[0]):
+                for bx in range(zz.shape[1]):
+                    enc.ac_refine_block(zz[by, bx], 1, 63, al)
+            enc.flush_eobrun()
+            bw.flush()
+            out += bw.out
+    # final scan: DC refine to Al=0 (raw bits, no Huffman)
+    sos(list(range(ncomp)), 0, 0, 1, 0)
+    bw = _BitWriter()
+    if ncomp == 1:
+        zz = coefs[0]
+        for by in range(zz.shape[0]):
+            for bx in range(zz.shape[1]):
+                bw.put(int(zz[by, bx, 0]) & 1, 1)
+    else:
+        for by in range(coefs[0].shape[0]):
+            for bx in range(coefs[0].shape[1]):
+                for ci in range(ncomp):
+                    bw.put(int(coefs[ci][by, bx, 0]) & 1, 1)
+    bw.flush()
+    out += bw.out
+
+
+def _prog_scan_decode(
+    data: bytes,
+    pos: int,
+    seg: bytes,
+    frame: tuple,
+    huff: dict,
+    coefs: dict,
+    restart: int,
+) -> int:
+    """Decode ONE progressive scan's entropy data into the coefficient
+    store (T.81 G.2); returns the stream position of the next marker."""
+    fh, fw, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux, mcuy = -(-fw // (8 * hmax)), -(-fh // (8 * vmax))
+    ns = seg[0]
+    scan = []
+    for ci in range(ns):
+        cs, tt = seg[1 + 2 * ci : 3 + 2 * ci]
+        scan.append((cs, tt >> 4, tt & 0xF))
+    ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+    ah, al = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 0xF
+    br = _BitReader(data, pos)
+    eobrun = 0
+    preds = {cid: 0 for cid, _, _ in scan}
+
+    def maybe_restart(n_units: int) -> None:
+        nonlocal br, eobrun
+        if restart and n_units and n_units % restart == 0:
+            m = br.align_to_marker()
+            if not 0xD0 <= m <= 0xD7:
+                raise ValueError("expected RSTn marker in progressive scan")
+            br = _BitReader(data, br.pos)
+            eobrun = 0
+            for cid in preds:
+                preds[cid] = 0
+
+    if ss == 0:  # DC scan (interleaved over the MCU grid)
+        if se != 0:
+            raise ValueError("progressive DC scan with Se != 0")
+        n = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                maybe_restart(n)
+                for cid, td, _ta in scan:
+                    comp = next(c for c in comps if c[0] == cid)
+                    ch, cv = comp[1], comp[2]
+                    for by in range(cv):
+                        for bx in range(ch):
+                            blk = coefs[cid][my * cv + by, mx * ch + bx]
+                            if ah == 0:
+                                cat = _read_symbol(br, huff[(0, td)])
+                                preds[cid] += _extend(br.bits(cat), cat)
+                                blk[0] = preds[cid] << al
+                            elif br.bit():
+                                blk[0] |= 1 << al
+                n += 1
+        return br.pos
+    # AC scan: exactly one component, its own block grid (G.2.2)
+    if ns != 1:
+        raise ValueError("progressive AC scan with multiple components")
+    cid, _td, ta = scan[0]
+    comp = next(c for c in comps if c[0] == cid)
+    ch, cv = comp[1], comp[2]
+    # non-interleaved block grid: ceil(ceil(f * c / max) / 8) (G.2.2)
+    nbx = ((fw * ch + hmax - 1) // hmax + 7) // 8
+    nby = ((fh * cv + vmax - 1) // vmax + 7) // 8
+    ac_tab = huff[(1, ta)]
+    p1, m1 = 1 << al, -1 << al
+    n = 0
+    for by in range(nby):
+        for bx in range(nbx):
+            maybe_restart(n)
+            n += 1
+            blk = coefs[cid][by, bx]
+            if ah == 0:  # AC first pass (G.2.2.2)
+                if eobrun > 0:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = _read_symbol(br, ac_tab)
+                    r, s = rs >> 4, rs & 0xF
+                    if s == 0:
+                        if r == 15:
+                            k += 16
+                            continue
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += br.bits(r)
+                        break
+                    k += r
+                    if k > se:
+                        raise ValueError("progressive AC run past band end")
+                    blk[k] = _extend(br.bits(s), s) << al
+                    k += 1
+                continue
+            # AC refinement pass (G.2.2.3)
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    rs = _read_symbol(br, ac_tab)
+                    r, s = rs >> 4, rs & 0xF
+                    sval = 0
+                    if s == 0:
+                        if r != 15:
+                            eobrun = 1 << r
+                            if r:
+                                eobrun += br.bits(r)
+                            break
+                        # ZRL: skip 16 zero-history positions
+                    else:
+                        if s != 1:
+                            raise ValueError("AC refinement size != 1")
+                        sval = p1 if br.bit() else m1
+                    while k <= se:
+                        if blk[k] != 0:
+                            if br.bit() and (blk[k] & p1) == 0:
+                                blk[k] += p1 if blk[k] >= 0 else m1
+                        else:
+                            r -= 1
+                            if r < 0:
+                                break
+                        k += 1
+                    if sval and k <= se:
+                        blk[k] = sval
+                    k += 1
+            if eobrun > 0:
+                while k <= se:
+                    if blk[k] != 0 and br.bit() and (blk[k] & p1) == 0:
+                        blk[k] += p1 if blk[k] >= 0 else m1
+                    k += 1
+                eobrun -= 1
+    return br.pos
+
+
+def _prog_reconstruct(frame: tuple, coefs: dict, quant: dict) -> np.ndarray:
+    """Dequantize + IDCT the accumulated progressive coefficient store
+    and return the LUMA plane cropped to frame size (G.2 final step)."""
+    fh, fw, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    cid, ch, cv, tq = comps[0]
+    zz = coefs[cid]
+    nby, nbx = zz.shape[:2]
+    q = quant[tq].flat[ZIGZAG].astype(np.float64)
+    plane = np.zeros((nby * 8, nbx * 8), dtype=np.float64)
+    coef = np.zeros(64, dtype=np.float64)
+    for by in range(nby):
+        for bx in range(nbx):
+            coef[ZIGZAG] = zz[by, bx] * q
+            plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                _C.T @ coef.reshape(8, 8) @ _C + 128.0
+            )
+    ph = -(-fh * cv // vmax)  # luma component dims per A.1.1
+    pw = -(-fw * ch // hmax)
+    return np.clip(plane[:ph, :pw] + 0.5, 0, 255).astype(np.uint8)
+
+
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Decode a baseline JPEG to its 2-D uint8 LUMA plane (the grayscale
-    signal the pipeline consumes; chroma is entropy-decoded and
-    discarded). Raises NotImplementedError for non-baseline modes."""
+    """Decode a baseline OR progressive JPEG to its 2-D uint8 LUMA plane
+    (the grayscale signal the pipeline consumes; chroma is
+    entropy-decoded and discarded — fully, to keep the bitstream in
+    sync). Raises NotImplementedError for arithmetic/lossless/
+    hierarchical modes."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG stream")
     pos = 2
@@ -463,12 +845,16 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     huff: dict[tuple[int, int], dict] = {}
     frame = None
     restart = 0
+    progressive = False
+    coefs: dict[int, np.ndarray] = {}
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError("JPEG marker expected")
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
+            if progressive and frame is not None:
+                return _prog_reconstruct(frame, coefs, quant)
             break
         if marker in (0x01, *range(0xD0, 0xD8)):  # standalone
             continue
@@ -494,7 +880,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 vals = list(seg[o + 17 : o + 17 + nval])
                 huff[(tc, th)] = _build_decode_tree(bits, vals)
                 o += 17 + nval
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             prec, fh, fw, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
             if prec != 8:
                 raise NotImplementedError("JPEG precision != 8")
@@ -503,16 +889,30 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 cid, hv, tq = seg[6 + 3 * ci : 9 + 3 * ci]
                 comps.append((cid, hv >> 4, hv & 0xF, tq))
             frame = (fh, fw, comps)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            if marker == 0xC2:
+                progressive = True
+                hmax = max(c[1] for c in comps)
+                vmax = max(c[2] for c in comps)
+                if hmax > 2 or vmax > 2:
+                    raise NotImplementedError("JPEG sampling factors > 2")
+                mcux, mcuy = -(-fw // (8 * hmax)), -(-fh // (8 * vmax))
+                coefs = {
+                    cid: np.zeros((mcuy * cv, mcux * ch, 64), dtype=np.int64)
+                    for cid, ch, cv, _tq in comps
+                }
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"JPEG SOF{marker - 0xC0} (progressive/arithmetic/lossless) is "
-                "outside the from-scratch baseline codec subset"
+                f"JPEG SOF{marker - 0xC0} (arithmetic/lossless/hierarchical) is "
+                "outside the from-scratch codec subset"
             )
         elif marker == 0xDD:  # DRI
             restart = struct.unpack(">H", seg[:2])[0]
         elif marker == 0xDA:  # SOS -> entropy-coded data follows
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
+            if progressive:
+                pos = _prog_scan_decode(data, pos, seg, frame, huff, coefs, restart)
+                continue
             ns = seg[0]
             scan = []
             for ci in range(ns):

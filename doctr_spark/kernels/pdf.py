@@ -21,8 +21,9 @@ Reference):
 * image XObjects (§8.9): ``/Subtype /Image`` streams in ``/DeviceGray``
   at 8 bits/component (raw or any supported filter chain), 1-bit
   bilevel scans, ``/DCTDecode`` JPEG payloads (8-bit DeviceGray or
-  DeviceRGB, decoded to the luma plane by the from-scratch baseline
-  T.81 codec in `kernels/jpeg.py`), and ``/CCITTFaxDecode`` Group 3/4
+  DeviceRGB, baseline SOF0 or progressive SOF2, decoded to the luma
+  plane by the from-scratch T.81 codec in `kernels/jpeg.py`,
+  Annex G included), and ``/CCITTFaxDecode`` Group 3/4
   fax payloads (the dominant real-scanner filter, decoded by the
   from-scratch T.4/T.6 codec in `kernels/ccitt.py` honoring /K,
   /Columns, /Rows, /EncodedByteAlign), placed by the
@@ -297,6 +298,7 @@ def write_pdf(
     render_mode: int = 0,
     rotate: int = 0,
     jpeg_quality: int | None = None,
+    jpeg_progressive: bool = False,
     ccitt_g4: bool = False,
     inline_images: bool = False,
     form_wrap: bool = False,
@@ -401,11 +403,12 @@ def write_pdf(
                 data = zlib.compress(np.packbits(img, axis=1).tobytes())
                 img_filter = b"/FlateDecode"
             elif jpeg_quality:
-                # scanned-page JPEG: the stream IS a baseline T.81 file,
-                # declared /DCTDecode (§7.4.8) — the real-scanner layout
+                # scanned-page JPEG: the stream IS a T.81 file (baseline
+                # SOF0 or progressive SOF2), declared /DCTDecode (§7.4.8)
+                # — the real-scanner layout
                 from .jpeg import encode_jpeg
 
-                data = encode_jpeg(img, quality=jpeg_quality)
+                data = encode_jpeg(img, quality=jpeg_quality, progressive=jpeg_progressive)
                 img_filter = b"/DCTDecode"
             else:
                 data = zlib.compress(img.tobytes())

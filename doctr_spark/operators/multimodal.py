@@ -3,9 +3,9 @@
 Image/audio/video payloads are carried as `binary` columns with struct
 metadata; decode / feature-extract run as Arrow-batched `mapInPandas`
 kernels. The page-image codec is real (it is the engine's own raster
-format), as are PNG (`kernels.png`, pure-stdlib) and baseline JPEG
-(`kernels.jpeg`, from-scratch T.81). Remaining media kinds
-(audio/video, progressive JPEG) stay STUBBED behind
+format), as are PNG (`kernels.png`, pure-stdlib) and baseline +
+progressive JPEG (`kernels.jpeg`, from-scratch T.81 incl. Annex G).
+Remaining media kinds (audio/video) stay STUBBED behind
 `NotImplementedError` — the container has no AV libraries — so the
 Spark-side schema, batching, and partitioning are real and tested while
 the codec swap-in is a one-function change.

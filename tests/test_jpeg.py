@@ -96,15 +96,54 @@ def test_roundtrip_property_bounded_error(h, w, seed):
     assert np.abs(dec.astype(int) - img.astype(int)).max() <= 1
 
 
+@pytest.mark.parametrize("quality", [25, 75, 95])
+def test_progressive_matches_baseline_gray(quality):
+    """SOF2 decode (Annex G successive approximation) reconstructs the
+    IDENTICAL pixels as the baseline path: same quantized coefficients,
+    different entropy layout."""
+    img = _smooth(41, 57)
+    base = decode_jpeg(encode_jpeg(img, quality=quality))
+    prog_blob = encode_jpeg(img, quality=quality, progressive=True)
+    assert b"\xff\xc2" in prog_blob and b"\xff\xc0" not in prog_blob[2:4]
+    assert np.array_equal(decode_jpeg(prog_blob), base)
+
+
+def test_progressive_matches_baseline_color():
+    img = _smooth(33, 49)
+    rgb = np.stack([img, np.roll(img, 5, axis=1), 255 - img], axis=-1)
+    base = decode_jpeg(encode_jpeg(rgb, quality=80))
+    prog = decode_jpeg(encode_jpeg(rgb, quality=80, progressive=True))
+    assert np.array_equal(prog, base)
+
+
+@given(st.integers(1, 60), st.integers(1, 60), st.integers(1, 100), st.integers(0, 2**32 - 1))
+@settings(max_examples=25, deadline=None)
+def test_progressive_equals_baseline_property(h, w, quality, seed):
+    """Property: for ANY image and quality, progressive and baseline
+    decode to the same plane (exercises EOBRUN, ZRL-with-history-bits,
+    DC/AC refinement)."""
+    rng = np.random.default_rng(seed)
+    img = np.full((h, w), 120, np.uint8)
+    n = max(1, h * w // 40)  # sparse spikes -> long runs + refinements
+    img[rng.integers(0, h, n), rng.integers(0, w, n)] = rng.integers(0, 256, n)
+    base = decode_jpeg(encode_jpeg(img, quality=quality))
+    prog = decode_jpeg(encode_jpeg(img, quality=quality, progressive=True))
+    assert np.array_equal(prog, base)
+
+
 def test_gates_reject_loudly():
     with pytest.raises(ValueError, match="not a JPEG"):
         decode_jpeg(b"nope")
-    # progressive SOF2
-    with pytest.raises(NotImplementedError, match="SOF2"):
-        decode_jpeg(b"\xff\xd8\xff\xc2\x00\x05aaa")
     # arithmetic SOF9
     with pytest.raises(NotImplementedError, match="SOF9"):
         decode_jpeg(b"\xff\xd8\xff\xc9\x00\x05aaa")
+    # lossless SOF3
+    with pytest.raises(NotImplementedError, match="SOF3"):
+        decode_jpeg(b"\xff\xd8\xff\xc3\x00\x05aaa")
+    with pytest.raises(ValueError, match="progressive"):
+        encode_jpeg(np.zeros((8, 8), np.uint8), progressive=True, restart_interval=2)
+    with pytest.raises(ValueError, match="progressive"):
+        encode_jpeg(np.zeros((8, 8, 3), np.uint8), progressive=True, subsampling="4:2:0")
     with pytest.raises(ValueError, match="quality"):
         encode_jpeg(np.zeros((8, 8), np.uint8), quality=0)
     with pytest.raises(ValueError, match="subsampling"):
