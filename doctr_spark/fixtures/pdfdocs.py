@@ -14,7 +14,7 @@ import pandas as pd
 
 from ..config import GLYPH_H, LINE_LEADING, MARGIN, PAGE_H, PAGE_W, WORD_GAP
 from ..kernels.glyphs import word_width
-from ..kernels.pdf import write_pdf
+from ..kernels.pdf import encrypt_pdf, write_pdf
 from .transcripts import GT_SCHEMA, TRANSCRIPTS_SCHEMA
 
 _EPOCH = dt.datetime(2025, 4, 1)
@@ -84,10 +84,12 @@ def gen_pdf_conversation(conv_no: int, seed: int = 42) -> tuple[list[dict], list
         # ROTATED scans (stored sideways, /Rotate displays upright),
         # CCITT Group 4 fax scans (the dominant real-scanner filter),
         # baseline-JPEG (/DCTDecode) scans, INLINE-image (§8.9.7) scans,
-        # form-XObject-wrapped (§8.10) text layers, and PROGRESSIVE-JPEG
-        # (SOF2, Annex G) scans
-        mode = (conv_no + t) % 13
-        scan = mode in (6, 7, 8, 9, 10, 12)
+        # form-XObject-wrapped (§8.10) text layers, PROGRESSIVE-JPEG
+        # (SOF2, Annex G) scans, and ENCRYPTED files (§7.6 standard
+        # security handler: RC4-128 text, AES-128 scans — empty user
+        # password, the mass-produced "protected" layout)
+        mode = (conv_no + t) % 15
+        scan = mode in (6, 7, 8, 9, 10, 12, 14)
         scale = 2 if mode == 5 else 1
         rotate = (90, 180, 270)[conv_no % 3] if mode == 7 else 0
         page_words, gt_pages, n_words = [], [], 0
@@ -125,6 +127,10 @@ def gen_pdf_conversation(conv_no: int, seed: int = 42) -> tuple[list[dict], list
             inline_images=mode == 10,
             form_wrap=mode == 11,
         )
+        if mode == 13:
+            blob = encrypt_pdf(blob, "rc4-128")
+        elif mode == 14:
+            blob = encrypt_pdf(blob, "aes-128")
         rows.append(
             {
                 "conv_id": conv_id,

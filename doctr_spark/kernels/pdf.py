@@ -54,10 +54,17 @@ Reference):
   numbers displace the text position by ``-n/1000 * size`` (§9.4.3) —
   both show operators advance the position by the shown width.
 
+* ENCRYPTION (§7.6 standard security handler, via `kernels/pdfcrypt.py`):
+  RC4 ``/V 1``/``/V 2`` (40..128-bit) and AES-128 ``/V 4 /AESV2`` crypt
+  filters, empty-user-password authentication (Algorithms 2-5), per-
+  object keys, ``/StmF /Identity`` pass-through, ``/EncryptMetadata``;
+  `encrypt_pdf` re-emits any parsed file encrypted (fixture writer).
+
 Everything else is either ignored (graphics state the rasterizer does not
-need) or rejected LOUDLY (JPX/JBIG2/Crypt filters, encryption,
-non-integer glyph scales), preserving the disclosed-gate contract for
-PDFs beyond the subset.
+need) or rejected LOUDLY (JPX/JBIG2/Crypt filters, non-empty passwords,
+AES-256 ``/V 5``, non-Standard security handlers, non-integer glyph
+scales), preserving the disclosed-gate contract for PDFs beyond the
+subset.
 
 Rasterization draws each extracted word in the deterministic glyph font,
 so a parsed page flows through the standard detection → recognition
@@ -944,23 +951,16 @@ def _extract_inline_images(
     return images, bytes(out)
 
 
-def parse_pdf(data: bytes) -> list[dict]:
-    """Parse a PDF into per-page ``{"size": (h, w), "words": [(x, y_top,
-    text, font_size)]}``. Raises NotImplementedError for constructs
-    outside the supported subset (unknown filters, encryption)."""
-    if data[:5] != b"%PDF-":
-        raise ValueError("not a PDF stream")
-    if b"/Encrypt" in data:
-        raise NotImplementedError("encrypted PDFs are outside the from-scratch codec subset")
-    # Sequential object scan honoring /Length: stream payloads are BINARY
-    # and may contain "endobj"/"endstream"/newline bytes, so the stream
-    # extent must come from the declared length, never from delimiter
-    # search inside the payload (PDF 32000 §7.3.8).
-    # plain-integer objects ("N 0 obj M endobj") up front: indirect
-    # /Length refs usually point FORWARD at a length object written after
-    # the stream, so the sequential scan can't have seen them yet. A false
-    # match inside a binary stream payload is caught by the endstream
-    # landing check below.
+def _scan_objects(data: bytes) -> dict[int, tuple[bytes, bytes | None]]:
+    """Sequential object scan honoring /Length: stream payloads are BINARY
+    and may contain "endobj"/"endstream"/newline bytes, so the stream
+    extent must come from the declared length, never from delimiter
+    search inside the payload (PDF 32000 §7.3.8).
+    plain-integer objects ("N 0 obj M endobj") up front: indirect
+    /Length refs usually point FORWARD at a length object written after
+    the stream, so the sequential scan can't have seen them yet. A false
+    match inside a binary stream payload is caught by the endstream
+    landing check below."""
     int_objs = {
         int(m.group(1)): int(m.group(2))
         for m in re.finditer(rb"(\d+)\s+0\s+obj\s*(\d+)\s*endobj", data)
@@ -1004,6 +1004,229 @@ def parse_pdf(data: bytes) -> list[dict]:
                 raise ValueError("truncated PDF: object without endobj")
             objs[num] = (data[m.end() : em], None)
             pos = em + len(b"endobj")
+    return objs
+
+
+# ------------------------------------------------- encryption (§7.6)
+
+_STR_ESC = {
+    ord("n"): 10, ord("r"): 13, ord("t"): 9, ord("b"): 8, ord("f"): 12,
+    ord("("): 40, ord(")"): 41, ord("\\"): 92,
+}  # fmt: skip
+
+
+def _pdf_string_at(buf: bytes, pos: int) -> bytes:
+    """Parse ONE string object starting at/after ``pos`` (skipping
+    whitespace): hex ``<...>`` or literal ``(...)`` with §7.3.4.2
+    escapes and balanced unescaped parentheses."""
+    while pos < len(buf) and buf[pos] in b" \t\r\n":
+        pos += 1
+    if buf[pos : pos + 1] == b"<":
+        end = buf.index(b">", pos)
+        h = re.sub(rb"\s", b"", buf[pos + 1 : end])
+        if len(h) % 2:
+            h += b"0"
+        return binascii.unhexlify(h)
+    if buf[pos : pos + 1] != b"(":
+        raise ValueError("expected a PDF string")
+    out = bytearray()
+    depth = 1
+    i = pos + 1
+    while depth:
+        c = buf[i]
+        if c == 0x5C:  # backslash escape
+            n = buf[i + 1]
+            if 0x30 <= n <= 0x37:  # \ooo octal, 1-3 digits
+                j = i + 1
+                val = 0
+                while j < i + 4 and 0x30 <= buf[j] <= 0x37:
+                    val = val * 8 + (buf[j] - 0x30)
+                    j += 1
+                out.append(val & 0xFF)
+                i = j
+                continue
+            out.append(_STR_ESC.get(n, n))
+            i += 2
+            continue
+        if c == 0x28:
+            depth += 1
+        elif c == 0x29:
+            depth -= 1
+            if depth == 0:
+                break
+        out.append(c)
+        i += 1
+    return bytes(out)
+
+
+def _string_value(head: bytes, name: bytes) -> bytes:
+    m = re.search(rb"/" + name + rb"(?![A-Za-z])\s*", head)
+    if not m:
+        raise NotImplementedError(f"encryption dictionary missing /{name.decode()}")
+    return _pdf_string_at(head, m.end())
+
+
+def _trailer_id0(data: bytes) -> bytes:
+    m = re.search(rb"/ID\s*\[\s*", data)
+    return _pdf_string_at(data, m.end()) if m else b""
+
+
+def _decrypt_objects(data: bytes, objs: dict) -> None:
+    """Resolve the /Encrypt dictionary, authenticate the EMPTY user
+    password, and decrypt every stream in place (strings live inside the
+    streams for content purposes; the XRef stream is never encrypted,
+    §7.5.8.2). Non-Standard handlers, /V 5 (AES-256) and non-empty
+    passwords reject loudly."""
+    from .pdfcrypt import check_user_password, compute_key, decrypt_bytes
+
+    em = re.search(rb"/Encrypt\s+(\d+)\s+(\d+)\s+R", data)
+    if not em:
+        return  # '/Encrypt' matched inside a payload, not a trailer entry
+    enc_num = int(em.group(1))
+    if enc_num not in objs:
+        raise ValueError("/Encrypt reference does not resolve")
+    head = objs[enc_num][0]
+    if not re.search(rb"/Filter\s*/Standard(?![A-Za-z])", head):
+        raise NotImplementedError(
+            "non-Standard PDF security handlers are outside the codec subset"
+        )
+
+    def _int(name: bytes, default: int | None = None) -> int:
+        m = re.search(rb"/" + name + rb"(?![A-Za-z])\s+(-?\d+)", head)
+        if m is None:
+            if default is None:
+                raise NotImplementedError(f"encryption dictionary missing /{name.decode()}")
+            return default
+        return int(m.group(1))
+
+    v, r = _int(b"V", 0), _int(b"R", 2)
+    bits = _int(b"Length", 40)
+    p = _int(b"P")
+    o, u = _string_value(head, b"O"), _string_value(head, b"U")
+    encrypt_metadata = not re.search(rb"/EncryptMetadata\s+false", head)
+    if v in (1, 2):
+        aes = False
+        if v == 1:
+            bits = 40
+    elif v == 4:
+        stmf = re.search(rb"/StmF\s*/(\w+)", head)
+        if stmf and stmf.group(1) == b"Identity":
+            return  # streams pass through unencrypted (§7.6.5)
+        cfm_m = re.search(rb"/CFM\s*/(\w+)", head)
+        cfm = cfm_m.group(1) if cfm_m else b"None"
+        if cfm == b"AESV2":
+            aes = True
+        elif cfm == b"V2":
+            aes = False
+        else:
+            raise NotImplementedError(f"crypt filter /CFM /{cfm.decode()} is outside the subset")
+    else:
+        raise NotImplementedError(
+            f"encryption /V {v} (AES-256 / PDF 2.0 handler) is outside the codec subset"
+        )
+    id0 = _trailer_id0(data)
+    key = compute_key(b"", o, p, id0, r, bits, encrypt_metadata)
+    if not check_user_password(key, u, id0, r):
+        raise NotImplementedError(
+            "password-protected PDF (non-empty user password) is outside the "
+            "batch-engine contract"
+        )
+    for num, (h, s) in list(objs.items()):
+        if s is None or num == enc_num:
+            continue
+        if re.search(rb"/Type\s*/XRef(?![A-Za-z])", h):
+            continue  # the cross-reference stream is never encrypted
+        if not encrypt_metadata and re.search(rb"/Type\s*/Metadata(?![A-Za-z])", h):
+            continue
+        objs[num] = (h, decrypt_bytes(key, s, num, 0, aes))
+
+
+_ENC_VARIANTS = {"rc4-40": (1, 2, 40), "rc4-128": (2, 3, 128), "aes-128": (4, 4, 128)}
+
+
+def encrypt_pdf(
+    blob: bytes,
+    variant: str = "rc4-128",
+    user_pw: bytes = b"",
+    owner_pw: bytes = b"",
+) -> bytes:
+    """Re-emit a PDF encrypted under the standard security handler
+    (§7.6.3): ``rc4-40`` (/V 1 /R 2), ``rc4-128`` (/V 2 /R 3) or
+    ``aes-128`` (/V 4 /R 4 /AESV2). Stream payloads are encrypted with
+    the per-object key; the classic cross-reference table and trailer
+    (/Encrypt + /ID) are regenerated. Deterministic: /ID and AES IVs
+    derive from the input bytes."""
+    import hashlib
+
+    from .pdfcrypt import compute_key, compute_o, compute_u, encrypt_bytes
+
+    if variant not in _ENC_VARIANTS:
+        raise ValueError(f"variant must be one of {sorted(_ENC_VARIANTS)}")
+    v, r, bits = _ENC_VARIANTS[variant]
+    aes = v == 4
+    objs = _scan_objects(blob)
+    root_m = re.search(rb"/Root\s+(\d+)\s+0\s+R", blob)
+    if not root_m:
+        raise ValueError("input PDF has no /Root entry")
+    p = -4  # all permissions (high reserved bits set)
+    id0 = hashlib.md5(b"doctr-spark-id" + blob).digest()
+    o = compute_o(owner_pw, user_pw, r, bits)
+    key = compute_key(user_pw, o, p, id0, r, bits)
+    u = compute_u(key, id0, r)
+    out = bytearray(b"%PDF-1.6\n" if aes else b"%PDF-1.4\n")
+    offsets: dict[int, int] = {}
+    for num in sorted(objs):
+        h, s = objs[num]
+        if s is not None and re.search(rb"/Type\s*/XRef(?![A-Za-z])", h):
+            continue  # regenerated as a classic table below
+        offsets[num] = len(out)
+        if s is None:
+            out += b"%d 0 obj\n" % num + h.strip() + b"\nendobj\n"
+        else:
+            es = encrypt_bytes(key, s, num, 0, aes)
+            h2 = re.sub(rb"/Length\s+\d+(\s+0\s+R)?", b"/Length %d" % len(es), h, count=1)
+            out += b"%d 0 obj\n" % num + h2.strip() + b"\nstream\n" + es + b"\nendstream\nendobj\n"
+    enc_num = max(objs) + 1
+    offsets[enc_num] = len(out)
+    common = b"/O <%s> /U <%s> /P %d" % (o.hex().encode(), u.hex().encode(), p)
+    if v == 1:
+        enc = b"<< /Filter /Standard /V 1 /R 2 %s >>" % common
+    elif v == 2:
+        enc = b"<< /Filter /Standard /V 2 /R 3 /Length %d %s >>" % (bits, common)
+    else:
+        enc = (
+            b"<< /Filter /Standard /V 4 /R 4 /Length 128 "
+            b"/CF << /StdCF << /CFM /AESV2 /Length 16 >> >> "
+            b"/StmF /StdCF /StrF /StdCF %s >>" % common
+        )
+    out += b"%d 0 obj\n" % enc_num + enc + b"\nendobj\n"
+    xref_at = len(out)
+    size = enc_num + 1
+    out += b"xref\n0 %d\n" % size
+    out += b"0000000000 65535 f \n"
+    for i in range(1, size):
+        if i in offsets:
+            out += b"%010d 00000 n \n" % offsets[i]
+        else:
+            out += b"0000000000 65535 f \n"
+    idh = id0.hex().encode()
+    out += (
+        b"trailer\n<< /Size %d /Root %s 0 R /Encrypt %d 0 R /ID [<%s> <%s>] >>\n"
+        b"startxref\n%d\n%%%%EOF\n"
+        % (size, root_m.group(1), enc_num, idh, idh, xref_at)
+    )
+    return bytes(out)
+
+
+def parse_pdf(data: bytes) -> list[dict]:
+    """Parse a PDF into per-page ``{"size": (h, w), "words": [(x, y_top,
+    text, font_size)]}``. Raises NotImplementedError for constructs
+    outside the supported subset (unknown filters, non-empty passwords)."""
+    if data[:5] != b"%PDF-":
+        raise ValueError("not a PDF stream")
+    objs = _scan_objects(data)
+    if b"/Encrypt" in data:
+        _decrypt_objects(data, objs)
 
     # expand object streams (PDF 1.5 §7.5.7): dict-only objects packed in
     # a compressed stream — "N pairs of (objnum, offset)" header, bodies

@@ -66,7 +66,9 @@ def test_pdf_td_relative_positioning():
 
 def test_pdf_loud_gates():
     data = write_pdf([[(1, 1, "w")]], (50, 80), compress=True)
-    with pytest.raises(NotImplementedError, match="Encrypt|encrypted"):
+    # a dangling /Encrypt reference still fails loudly (round 6: resolvable
+    # Standard-handler encryption decrypts; see test_pdf_crypt.py)
+    with pytest.raises(ValueError, match="Encrypt"):
         parse_pdf(data.replace(b"/Root", b"/Encrypt 9 0 R /Root"))
     bad_filter = data.replace(b"/FlateDecode", b"/DCTDecode")
     assert b"/DCTDecode" in bad_filter
