@@ -86,9 +86,10 @@ def gen_pdf_conversation(conv_no: int, seed: int = 42) -> tuple[list[dict], list
         # baseline-JPEG (/DCTDecode) scans, INLINE-image (§8.9.7) scans,
         # form-XObject-wrapped (§8.10) text layers, PROGRESSIVE-JPEG
         # (SOF2, Annex G) scans, and ENCRYPTED files (§7.6 standard
-        # security handler: RC4-128 text, AES-128 scans — empty user
-        # password, the mass-produced "protected" layout)
-        mode = (conv_no + t) % 15
+        # security handler: RC4-128 text, AES-128 scans, AES-256
+        # /V 5 /R 6 — empty user password, the mass-produced
+        # "protected" layouts)
+        mode = (conv_no + t) % 16
         scan = mode in (6, 7, 8, 9, 10, 12, 14)
         scale = 2 if mode == 5 else 1
         rotate = (90, 180, 270)[conv_no % 3] if mode == 7 else 0
@@ -131,6 +132,8 @@ def gen_pdf_conversation(conv_no: int, seed: int = 42) -> tuple[list[dict], list
             blob = encrypt_pdf(blob, "rc4-128")
         elif mode == 14:
             blob = encrypt_pdf(blob, "aes-128")
+        elif mode == 15:
+            blob = encrypt_pdf(blob, "aes-256", owner_pw=b"owner")
         rows.append(
             {
                 "conv_id": conv_id,

@@ -54,16 +54,17 @@ Reference):
   numbers displace the text position by ``-n/1000 * size`` (§9.4.3) —
   both show operators advance the position by the shown width.
 
-* ENCRYPTION (§7.6 standard security handler, via `kernels/pdfcrypt.py`):
-  RC4 ``/V 1``/``/V 2`` (40..128-bit) and AES-128 ``/V 4 /AESV2`` crypt
-  filters, empty-user-password authentication (Algorithms 2-5), per-
-  object keys, ``/StmF /Identity`` pass-through, ``/EncryptMetadata``;
-  `encrypt_pdf` re-emits any parsed file encrypted (fixture writer).
+* ENCRYPTION (standard security handler, via `kernels/pdfcrypt.py`):
+  RC4 ``/V 1``/``/V 2`` (40..128-bit), AES-128 ``/V 4 /AESV2`` (§7.6.3)
+  and AES-256 ``/V 5 /R 5|6 /AESV3`` (ISO 32000-2 §7.6.4, Algorithm 2.B
+  hardened hash) crypt filters, empty-user-password authentication,
+  per-object keys (file key directly for /V 5), ``/StmF /Identity``
+  pass-through, ``/EncryptMetadata``; `encrypt_pdf` re-emits any parsed
+  file encrypted (fixture writer).
 
 Everything else is either ignored (graphics state the rasterizer does not
 need) or rejected LOUDLY (JPX/JBIG2/Crypt filters, non-empty passwords,
-AES-256 ``/V 5``, non-Standard security handlers, non-integer glyph
-scales), preserving the disclosed-gate contract for PDFs beyond the
+non-Standard security handlers, non-integer glyph scales), preserving the disclosed-gate contract for PDFs beyond the
 subset.
 
 Rasterization draws each extracted word in the deterministic glyph font,
@@ -1075,9 +1076,16 @@ def _decrypt_objects(data: bytes, objs: dict) -> None:
     """Resolve the /Encrypt dictionary, authenticate the EMPTY user
     password, and decrypt every stream in place (strings live inside the
     streams for content purposes; the XRef stream is never encrypted,
-    §7.5.8.2). Non-Standard handlers, /V 5 (AES-256) and non-empty
-    passwords reject loudly."""
-    from .pdfcrypt import check_user_password, compute_key, decrypt_bytes
+    §7.5.8.2). Non-Standard handlers and non-empty passwords reject
+    loudly."""
+    from .pdfcrypt import (
+        check_user_password,
+        compute_key,
+        decrypt_bytes,
+        decrypt_bytes_v5,
+        v5_check_user_password,
+        v5_file_key,
+    )
 
     em = re.search(rb"/Encrypt\s+(\d+)\s+(\d+)\s+R", data)
     if not em:
@@ -1104,6 +1112,25 @@ def _decrypt_objects(data: bytes, objs: dict) -> None:
     p = _int(b"P")
     o, u = _string_value(head, b"O"), _string_value(head, b"U")
     encrypt_metadata = not re.search(rb"/EncryptMetadata\s+false", head)
+    if v == 5:  # AES-256 (ISO 32000-2 §7.6.4): file key used directly
+        stmf = re.search(rb"/StmF\s*/(\w+)", head)
+        if stmf and stmf.group(1) == b"Identity":
+            return
+        if not v5_check_user_password(b"", u, r):
+            raise NotImplementedError(
+                "password-protected PDF (non-empty user password) is outside "
+                "the batch-engine contract"
+            )
+        fkey = v5_file_key(b"", u, _string_value(head, b"UE"), r)
+        for num, (h, s) in list(objs.items()):
+            if s is None or num == enc_num:
+                continue
+            if re.search(rb"/Type\s*/XRef(?![A-Za-z])", h):
+                continue
+            if not encrypt_metadata and re.search(rb"/Type\s*/Metadata(?![A-Za-z])", h):
+                continue
+            objs[num] = (h, decrypt_bytes_v5(fkey, s))
+        return
     if v in (1, 2):
         aes = False
         if v == 1:
@@ -1121,9 +1148,7 @@ def _decrypt_objects(data: bytes, objs: dict) -> None:
         else:
             raise NotImplementedError(f"crypt filter /CFM /{cfm.decode()} is outside the subset")
     else:
-        raise NotImplementedError(
-            f"encryption /V {v} (AES-256 / PDF 2.0 handler) is outside the codec subset"
-        )
+        raise NotImplementedError(f"encryption /V {v} is outside the codec subset")
     id0 = _trailer_id0(data)
     key = compute_key(b"", o, p, id0, r, bits, encrypt_metadata)
     if not check_user_password(key, u, id0, r):
@@ -1141,7 +1166,12 @@ def _decrypt_objects(data: bytes, objs: dict) -> None:
         objs[num] = (h, decrypt_bytes(key, s, num, 0, aes))
 
 
-_ENC_VARIANTS = {"rc4-40": (1, 2, 40), "rc4-128": (2, 3, 128), "aes-128": (4, 4, 128)}
+_ENC_VARIANTS = {
+    "rc4-40": (1, 2, 40),
+    "rc4-128": (2, 3, 128),
+    "aes-128": (4, 4, 128),
+    "aes-256": (5, 6, 256),
+}
 
 
 def encrypt_pdf(
@@ -1150,29 +1180,53 @@ def encrypt_pdf(
     user_pw: bytes = b"",
     owner_pw: bytes = b"",
 ) -> bytes:
-    """Re-emit a PDF encrypted under the standard security handler
-    (§7.6.3): ``rc4-40`` (/V 1 /R 2), ``rc4-128`` (/V 2 /R 3) or
-    ``aes-128`` (/V 4 /R 4 /AESV2). Stream payloads are encrypted with
-    the per-object key; the classic cross-reference table and trailer
-    (/Encrypt + /ID) are regenerated. Deterministic: /ID and AES IVs
-    derive from the input bytes."""
+    """Re-emit a PDF encrypted under the standard security handler:
+    ``rc4-40`` (/V 1 /R 2), ``rc4-128`` (/V 2 /R 3), ``aes-128``
+    (/V 4 /R 4 /AESV2, §7.6.3) or ``aes-256`` (/V 5 /R 6 /AESV3,
+    ISO 32000-2 §7.6.4). Stream payloads are encrypted with the
+    per-object key (file key directly for /V 5); the classic
+    cross-reference table and trailer (/Encrypt + /ID) are
+    regenerated. Deterministic: /ID, salts and AES IVs derive from
+    the input bytes."""
     import hashlib
+    import struct as _struct
 
-    from .pdfcrypt import compute_key, compute_o, compute_u, encrypt_bytes
+    from .pdfcrypt import (
+        compute_key,
+        compute_o,
+        compute_u,
+        encrypt_bytes,
+        encrypt_bytes_v5,
+        v5_make_o_oe,
+        v5_make_perms,
+        v5_make_u_ue,
+    )
 
     if variant not in _ENC_VARIANTS:
         raise ValueError(f"variant must be one of {sorted(_ENC_VARIANTS)}")
     v, r, bits = _ENC_VARIANTS[variant]
-    aes = v == 4
+    aes = v >= 4
     objs = _scan_objects(blob)
     root_m = re.search(rb"/Root\s+(\d+)\s+0\s+R", blob)
     if not root_m:
         raise ValueError("input PDF has no /Root entry")
     p = -4  # all permissions (high reserved bits set)
     id0 = hashlib.md5(b"doctr-spark-id" + blob).digest()
-    o = compute_o(owner_pw, user_pw, r, bits)
-    key = compute_key(user_pw, o, p, id0, r, bits)
-    u = compute_u(key, id0, r)
+    enc_extra = b""
+    if v == 5:
+        seed = hashlib.sha256(b"doctr-spark-v5" + blob).digest()
+        fkey = hashlib.sha256(seed + b"filekey").digest()  # 32-byte file key
+        u, ue = v5_make_u_ue(user_pw, fkey, seed[:8], seed[8:16])
+        o, oe = v5_make_o_oe(owner_pw or user_pw, fkey, u, seed[16:24], seed[24:32])
+        enc_extra = b"/OE <%s> /UE <%s> /Perms <%s> " % (
+            oe.hex().encode(),
+            ue.hex().encode(),
+            v5_make_perms(p, fkey).hex().encode(),
+        )
+    else:
+        o = compute_o(owner_pw, user_pw, r, bits)
+        key = compute_key(user_pw, o, p, id0, r, bits)
+        u = compute_u(key, id0, r)
     out = bytearray(b"%PDF-1.6\n" if aes else b"%PDF-1.4\n")
     offsets: dict[int, int] = {}
     for num in sorted(objs):
@@ -1183,7 +1237,11 @@ def encrypt_pdf(
         if s is None:
             out += b"%d 0 obj\n" % num + h.strip() + b"\nendobj\n"
         else:
-            es = encrypt_bytes(key, s, num, 0, aes)
+            if v == 5:
+                iv = hashlib.md5(b"doctr-spark-iv" + _struct.pack("<i", num)).digest()
+                es = encrypt_bytes_v5(fkey, s, iv)
+            else:
+                es = encrypt_bytes(key, s, num, 0, aes)
             h2 = re.sub(rb"/Length\s+\d+(\s+0\s+R)?", b"/Length %d" % len(es), h, count=1)
             out += b"%d 0 obj\n" % num + h2.strip() + b"\nstream\n" + es + b"\nendstream\nendobj\n"
     enc_num = max(objs) + 1
@@ -1193,11 +1251,17 @@ def encrypt_pdf(
         enc = b"<< /Filter /Standard /V 1 /R 2 %s >>" % common
     elif v == 2:
         enc = b"<< /Filter /Standard /V 2 /R 3 /Length %d %s >>" % (bits, common)
-    else:
+    elif v == 4:
         enc = (
             b"<< /Filter /Standard /V 4 /R 4 /Length 128 "
             b"/CF << /StdCF << /CFM /AESV2 /Length 16 >> >> "
             b"/StmF /StdCF /StrF /StdCF %s >>" % common
+        )
+    else:
+        enc = (
+            b"<< /Filter /Standard /V 5 /R 6 /Length 256 "
+            b"/CF << /StdCF << /CFM /AESV3 /Length 32 >> >> "
+            b"/StmF /StdCF /StrF /StdCF %s%s >>" % (enc_extra, common)
         )
     out += b"%d 0 obj\n" % enc_num + enc + b"\nendobj\n"
     xref_at = len(out)

@@ -256,6 +256,78 @@ def object_key(key: bytes, num: int, gen: int, aes: bool) -> bytes:
     return h.digest()[: min(len(key) + 5, 16)]
 
 
+# ------------------------------------- §7.6.4 (ISO 32000-2) AES-256 handler
+
+
+def hash_2b(password: bytes, salt: bytes, udata: bytes = b"") -> bytes:
+    """Algorithm 2.B (R6 hardened hash): SHA-256 seed, then a data-
+    dependent SHA-256/384/512 + AES-128-CBC loop of >= 64 rounds."""
+    k = hashlib.sha256(password + salt + udata).digest()
+    i = 0
+    while True:
+        k1 = (password + k + udata) * 64
+        e = aes_cbc_encrypt(k[:16], k[16:32], k1, pad=False)
+        mod = sum(e[:16]) % 3
+        k = (hashlib.sha256, hashlib.sha384, hashlib.sha512)[mod](e).digest()
+        i += 1
+        if i >= 64 and e[-1] <= i - 32:
+            return k[:32]
+
+
+def _v5_hash(password: bytes, salt: bytes, udata: bytes, r: int) -> bytes:
+    # R5 (the withdrawn Adobe extension) hashes once; R6 uses 2.B
+    if r == 5:
+        return hashlib.sha256(password + salt + udata).digest()
+    return hash_2b(password, salt, udata)
+
+
+def v5_check_user_password(password: bytes, u: bytes, r: int) -> bool:
+    """Algorithm 11: U is 48 bytes = hash(32) + validation salt(8) +
+    key salt(8)."""
+    return _v5_hash(password, u[32:40], b"", r) == u[:32]
+
+
+def v5_file_key(password: bytes, u: bytes, ue: bytes, r: int) -> bytes:
+    """Algorithm 8 step b: the 32-byte file key, AES-256-CBC-decrypted
+    from /UE with the key-salt intermediate hash (zero IV, no padding)."""
+    intermediate = _v5_hash(password, u[40:48], b"", r)
+    return aes_cbc_decrypt(intermediate, bytes(16), ue, unpad=False)
+
+
+def v5_make_u_ue(password: bytes, file_key: bytes, vsalt: bytes, ksalt: bytes) -> tuple[bytes, bytes]:
+    """Writer side of Algorithm 8 (R6): build /U and /UE."""
+    u = hash_2b(password, vsalt, b"") + vsalt + ksalt
+    ue = aes_cbc_encrypt(hash_2b(password, ksalt, b""), bytes(16), file_key, pad=False)
+    return u, ue
+
+
+def v5_make_o_oe(password: bytes, file_key: bytes, u48: bytes, vsalt: bytes, ksalt: bytes) -> tuple[bytes, bytes]:
+    """Writer side of Algorithm 9 (R6): /O and /OE bind to the full /U."""
+    o = hash_2b(password, vsalt, u48) + vsalt + ksalt
+    oe = aes_cbc_encrypt(hash_2b(password, ksalt, u48), bytes(16), file_key, pad=False)
+    return o, oe
+
+
+def v5_make_perms(p: int, file_key: bytes, encrypt_metadata: bool = True) -> bytes:
+    """Algorithm 10: the 16-byte /Perms block, AES-256-ECB-encrypted."""
+    blk = struct.pack("<i", p) + b"\xff\xff\xff\xff"
+    blk += b"T" if encrypt_metadata else b"F"
+    blk += b"adb" + bytes(4)
+    return _enc_block(blk, _expand_key(file_key))
+
+
+def decrypt_bytes_v5(file_key: bytes, data: bytes) -> bytes:
+    """AES-256 content decryption: the FILE key is used directly (no
+    per-object derivation in /V 5), IV leads the stream."""
+    if len(data) < 16:
+        raise ValueError("AES-encrypted PDF stream shorter than its IV")
+    return aes_cbc_decrypt(file_key, data[:16], data[16:])
+
+
+def encrypt_bytes_v5(file_key: bytes, data: bytes, iv: bytes) -> bytes:
+    return iv + aes_cbc_encrypt(file_key, iv, data)
+
+
 def decrypt_bytes(key: bytes, data: bytes, num: int, gen: int, aes: bool) -> bytes:
     ok = object_key(key, num, gen, aes)
     if not aes:

@@ -62,7 +62,27 @@ def test_key_algorithms_self_consistent(r, bits):
     assert not pc.check_user_password(bad, u, id0, r)
 
 
-@pytest.mark.parametrize("variant", ["rc4-40", "rc4-128", "aes-128"])
+def test_hash_2b_loop_structure():
+    """Algorithm 2.B: >= 64 rounds, data-dependent digest choice, 32-byte
+    output; distinct salts/passwords diverge."""
+    a = pc.hash_2b(b"", b"saltsalt")
+    b = pc.hash_2b(b"", b"SALTSALT")
+    c = pc.hash_2b(b"pw", b"saltsalt")
+    assert len(a) == 32 and a != b and a != c
+
+
+def test_v5_algorithms_self_consistent():
+    fkey = bytes(range(32))
+    u, ue = pc.v5_make_u_ue(b"", fkey, b"vsaltvv0", b"ksaltkk0")
+    assert len(u) == 48 and len(ue) == 32
+    assert pc.v5_check_user_password(b"", u, 6)
+    assert not pc.v5_check_user_password(b"wrong", u, 6)
+    assert pc.v5_file_key(b"", u, ue, 6) == fkey
+    data = b"stream payload bytes" * 7
+    assert pc.decrypt_bytes_v5(fkey, pc.encrypt_bytes_v5(fkey, data, bytes(16))) == data
+
+
+@pytest.mark.parametrize("variant", ["rc4-40", "rc4-128", "aes-128", "aes-256"])
 def test_encrypted_pdf_roundtrip(variant):
     """encrypt_pdf -> parse_pdf extracts the identical word layout, and
     the plaintext genuinely isn't in the file."""
@@ -87,10 +107,11 @@ def test_encrypted_pdf15_and_scan():
     assert (x0, y0) == (x1, y1) and np.array_equal(i0, i1)
 
 
-def test_owner_password_only_still_opens():
+@pytest.mark.parametrize("variant", ["aes-128", "aes-256"])
+def test_owner_password_only_still_opens(variant):
     """The mass-produced 'protected' layout: owner password set, user
     password empty — batch extraction must work."""
-    enc = encrypt_pdf(write_pdf(PAGES, (200, 300)), "aes-128", owner_pw=b"owner-secret")
+    enc = encrypt_pdf(write_pdf(PAGES, (200, 300)), variant, owner_pw=b"owner-secret")
     assert parse_pdf(enc) == parse_pdf(write_pdf(PAGES, (200, 300)))
 
 
@@ -100,10 +121,13 @@ def test_gates_reject_loudly():
     enc = encrypt_pdf(plain, "rc4-128", user_pw=b"secret")
     with pytest.raises(NotImplementedError, match="password-protected"):
         parse_pdf(enc)
-    # AES-256 /V 5 rejects loudly
-    v5 = encrypt_pdf(plain, "aes-128").replace(b"/V 4 /R 4", b"/V 5 /R 6")
-    with pytest.raises(NotImplementedError, match="/V 5"):
-        parse_pdf(v5)
+    # an unsupported /V rejects loudly
+    v3 = encrypt_pdf(plain, "aes-128").replace(b"/V 4 /R 4", b"/V 3 /R 3")
+    with pytest.raises(NotImplementedError, match="/V 3"):
+        parse_pdf(v3)
+    # AES-256 with a non-empty user password rejects loudly too
+    with pytest.raises(NotImplementedError, match="password-protected"):
+        parse_pdf(encrypt_pdf(plain, "aes-256", user_pw=b"pw"))
     # non-Standard handler rejects loudly
     ns = encrypt_pdf(plain, "rc4-128").replace(b"/Filter /Standard", b"/Filter /MyCrypt0")
     with pytest.raises(NotImplementedError, match="security handler"):
