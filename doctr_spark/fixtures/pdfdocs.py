@@ -88,9 +88,11 @@ def gen_pdf_conversation(conv_no: int, seed: int = 42) -> tuple[list[dict], list
         # (SOF2, Annex G) scans, and ENCRYPTED files (§7.6 standard
         # security handler: RC4-128 text, AES-128 scans, AES-256
         # /V 5 /R 6 — empty user password, the mass-produced
-        # "protected" layouts)
-        mode = (conv_no + t) % 16
-        scan = mode in (6, 7, 8, 9, 10, 12, 14)
+        # "protected" layouts), and CTM-ROTATED scans (raster stored
+        # sideways, the placement matrix rotates it upright — the
+        # no-/Rotate scanner layout)
+        mode = (conv_no + t) % 17
+        scan = mode in (6, 7, 8, 9, 10, 12, 14, 16)
         scale = 2 if mode == 5 else 1
         rotate = (90, 180, 270)[conv_no % 3] if mode == 7 else 0
         page_words, gt_pages, n_words = [], [], 0
@@ -125,6 +127,7 @@ def gen_pdf_conversation(conv_no: int, seed: int = 42) -> tuple[list[dict], list
             ccitt_g4=mode == 8,
             jpeg_quality=95 if mode in (9, 12) else None,
             jpeg_progressive=mode == 12,
+            ctm_rotate=(90, 180, 270)[conv_no % 3] if mode == 16 else 0,
             inline_images=mode == 10,
             form_wrap=mode == 11,
         )

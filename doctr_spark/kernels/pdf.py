@@ -27,17 +27,18 @@ Reference):
   fax payloads (the dominant real-scanner filter, decoded by the
   from-scratch T.4/T.6 codec in `kernels/ccitt.py` honoring /K,
   /Columns, /Rows, /EncodedByteAlign), placed by the
-  ``q a 0 0 d e f cm /Name Do Q`` idiom every common writer emits —
-  axis-aligned scale+translate CTMs only, nearest-neighbor resample when
-  the display size differs from the pixel size. This is the SCANNED-PAGE
+  ``q a b c d e f cm /Name Do Q`` idiom every common writer emits —
+  axis-aligned scale+translate CTMs plus QUADRANT ROTATIONS (90/180/270,
+  the raster-stored-sideways scanner layout; round 6), nearest-neighbor
+  resample when the display size differs from the pixel size. This is the SCANNED-PAGE
   construct: an image-only page (optionally under an invisible ``3 Tr``
   text layer) rasterizes to the embedded pixels and flows through the
   standard detection → recognition path, exactly like the reference's
   pypdfium2 render. INLINE images (``BI``/``ID``/``EI``, §8.9.7) under
   the same placement idiom are supported too (1/8-bit DeviceGray, raw
   or transport-filtered, abbreviated or full dict keys; length-derived
-  extent so binary data containing "EI" cannot end early). Rotated/
-  skewed CTMs, form XObjects, image masks, and stray ``BI`` outside the
+  extent so binary data containing "EI" cannot end early). Skewed or
+  non-quadrant CTMs, image masks, and stray ``BI`` outside the
   idiom reject loudly. Page ``/Rotate`` (90/180/
   270) displays the stored raster rotated upright — supported for pages
   whose content draws no VISIBLE text (image-only scans, optionally
@@ -307,6 +308,7 @@ def write_pdf(
     rotate: int = 0,
     jpeg_quality: int | None = None,
     jpeg_progressive: bool = False,
+    ctm_rotate: int = 0,
     ccitt_g4: bool = False,
     inline_images: bool = False,
     form_wrap: bool = False,
@@ -380,8 +382,20 @@ def write_pdf(
                     raise ValueError("rotated pages take one full-page display image")
                 # store the scan sideways: inverse of the clockwise /Rotate
                 img = np.ascontiguousarray(np.rot90(img, rotate // 90))
+            if ctm_rotate:
+                if inline_images or rotate:
+                    raise ValueError("ctm_rotate applies to upright XObject pages")
+                # store the raster sideways; the placement CTM (below)
+                # rotates it upright — the rotated-scan layout some
+                # scanners emit instead of /Rotate
+                img = np.ascontiguousarray(np.rot90(img, -(ctm_rotate // 90)))
             ih, iw = img.shape
-            dw, dh = disp if disp else (iw, ih)
+            if disp:
+                dw, dh = disp  # display-space extent
+            elif ctm_rotate in (90, 270):
+                dw, dh = ih, iw  # stored sideways: display extent swaps
+            else:
+                dw, dh = iw, ih
             if inline_images:
                 # §8.9.7 inline image instead of an XObject: the common
                 # small-image layout (abbreviated keys, Flate data)
@@ -430,9 +444,18 @@ def write_pdf(
                 + b"\nendstream"
             )
             img_res.setdefault(pi, []).append(b"/Im%d %d 0 R" % (oid, oid))
+            y_bot = ch - int(y_top) - dh
+            quad = ctm_rotate // 90
+            if quad == 0:
+                ctm = (dw, 0, 0, dh, int(x), y_bot)
+            elif quad == 1:  # viewer turns the stored raster 90 deg CCW
+                ctm = (0, dh, -dw, 0, int(x) + dw, y_bot)
+            elif quad == 2:
+                ctm = (-dw, 0, 0, -dh, int(x) + dw, y_bot + dh)
+            else:  # 270
+                ctm = (0, -dh, dw, 0, int(x), y_bot + dh)
             img_ops.setdefault(pi, []).append(
-                b"q %d 0 0 %d %d %d cm /Im%d Do Q"
-                % (dw, dh, int(x), ch - int(y_top) - dh, oid)
+                b"q %d %d %d %d %d %d cm /Im%d Do Q" % (*ctm, oid)
             )
     if form_wrap:
         # each page's text layer inside a form XObject (§8.10) invoked
@@ -1430,9 +1453,22 @@ def _parse_content(
             words += fw
             images += fi
             continue
-        if b_ or c or a <= 0 or d <= 0:
+        # classify the CTM as a quadrant rotation of the unit square
+        # (§8.3.3): k = number of CCW 90-degree turns the viewer applies
+        # to the STORED raster. Skews, reflections and non-right angles
+        # stay outside the subset.
+        if b_ == 0 and c == 0 and a > 0 and d > 0:
+            quad = 0
+        elif b_ == 0 and c == 0 and a < 0 and d < 0:
+            quad = 2
+        elif a == 0 and d == 0 and b_ > 0 and c < 0:
+            quad = 1
+        elif a == 0 and d == 0 and b_ < 0 and c > 0:
+            quad = 3
+        else:
             raise NotImplementedError(
-                "image CTM with rotation/skew/reflection is outside the codec subset"
+                "image CTM with skew/reflection/non-quadrant rotation is "
+                "outside the codec subset"
             )
         if xstream is None or not re.search(rb"/Subtype\s*/Image\b", xhead):
             raise NotImplementedError("Do target is neither an image nor a form XObject")
@@ -1499,12 +1535,17 @@ def _parse_content(
             arr = ink.astype(np.uint8) * 255
         else:
             arr = _gray_array(_decode_stream(xhead, xstream), iw, ih, bpc)
-        dw, dh = int(round(a)), int(round(d))
-        if (dh, dw) != (ih, iw):  # nearest-neighbor resample to display size
-            arr = arr[np.arange(dh) * ih // dh][:, np.arange(dw) * iw // dw]
-        # CTM maps the unit square to [e, e+a] x [f, f+d]: top-down
-        # y_top = page_h - (bottom + height)
-        images.append((e, h - f - d, arr))
+        if quad:  # bring the stored raster into display orientation
+            arr = np.ascontiguousarray(np.rot90(arr, quad))
+        # display extent: unit-square corners under the CTM
+        dw = int(round(abs(a) + abs(c)))
+        dh = int(round(abs(d) + abs(b_)))
+        ah, aw = arr.shape
+        if (dh, dw) != (ah, aw):  # nearest-neighbor resample to display size
+            arr = arr[np.arange(dh) * ah // dh][:, np.arange(dw) * aw // dw]
+        x_left = e + min(0.0, a) + min(0.0, c)
+        y_bot = f + min(0.0, b_) + min(0.0, d)
+        images.append((x_left, h - y_bot - dh, arr))
     leftover = _SOBJ_RE.sub(b" ", _IMG_DO_RE.sub(b" ", full))
     if _ANY_DO_RE.search(leftover):
         raise NotImplementedError(

@@ -510,7 +510,7 @@ def test_pdf_image_gates_reject_loudly():
     # rotated CTM (b/c nonzero)
     bad = doc.replace(b"q 10 0 0 10", b"q 10 2 2 10")
     assert bad != doc
-    with pytest.raises(NotImplementedError, match="rotation/skew"):
+    with pytest.raises(NotImplementedError, match="skew/reflection"):
         parse_pdf(bad)
 
     # non-gray colorspace
@@ -881,3 +881,41 @@ def test_pdf_form_gates():
                 {b"Fm1": b"/Matrix [2 0 0 2 0 0] "},
             )
         )
+
+
+def test_ctm_quadrant_rotated_images():
+    """§8.3.3 quadrant rotations: a raster stored sideways with a
+    rotating placement CTM displays upright at the same position (the
+    no-/Rotate scanner layout)."""
+    import numpy as np
+
+    img = (np.add.outer(np.arange(50), np.arange(70)) % 256).astype(np.uint8)
+    ref = parse_pdf(write_pdf([[]], (50, 70), images={0: [(img, 0, 0)]}, render_mode=3))[0]
+    for r in (90, 180, 270):
+        got = parse_pdf(
+            write_pdf([[]], (50, 70), images={0: [(img, 0, 0)]}, render_mode=3, ctm_rotate=r)
+        )[0]
+        assert got["size"] == ref["size"]
+        (x0, y0, i0), (x1, y1, i1) = ref["images"][0], got["images"][0]
+        assert (x0, y0) == (x1, y1) and np.array_equal(i0, i1), r
+    # offset non-square placement through each quadrant
+    ink = np.zeros((40, 60), bool)
+    ink[5:12, 8:30] = True
+    ref = parse_pdf(write_pdf([[]], (100, 100), images={0: [(ink, 15, 25)]}, render_mode=3))[0]
+    for r in (90, 180, 270):
+        got = parse_pdf(
+            write_pdf([[]], (100, 100), images={0: [(ink, 15, 25)]}, render_mode=3, ctm_rotate=r)
+        )[0]
+        (x0, y0, i0), (x1, y1, i1) = ref["images"][0], got["images"][0]
+        assert (x0, y0) == (x1, y1) and np.array_equal(i0, i1), r
+
+
+def test_ctm_skew_still_rejects():
+    import numpy as np
+
+    img = np.zeros((16, 16), np.uint8)
+    blob = write_pdf([[]], (16, 16), images={0: [(img, 0, 0)]}, render_mode=3)
+    skewed = blob.replace(b"q 16 0 0 16 0 0 cm", b"q 16 3 0 16 0 0 cm")
+    assert skewed != blob
+    with pytest.raises(NotImplementedError, match="skew|quadrant"):
+        parse_pdf(skewed)
