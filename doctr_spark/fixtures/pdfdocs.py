@@ -88,11 +88,12 @@ def gen_pdf_conversation(conv_no: int, seed: int = 42) -> tuple[list[dict], list
         # (SOF2, Annex G) scans, and ENCRYPTED files (§7.6 standard
         # security handler: RC4-128 text, AES-128 scans, AES-256
         # /V 5 /R 6 — empty user password, the mass-produced
-        # "protected" layouts), and CTM-ROTATED scans (raster stored
+        # "protected" layouts), CTM-ROTATED scans (raster stored
         # sideways, the placement matrix rotates it upright — the
-        # no-/Rotate scanner layout)
-        mode = (conv_no + t) % 17
-        scan = mode in (6, 7, 8, 9, 10, 12, 14, 16)
+        # no-/Rotate scanner layout), and JBIG2 (/JBIG2Decode, T.88)
+        # scans alternating arithmetic and MMR generic regions
+        mode = (conv_no + t) % 18
+        scan = mode in (6, 7, 8, 9, 10, 12, 14, 16, 17)
         scale = 2 if mode == 5 else 1
         rotate = (90, 180, 270)[conv_no % 3] if mode == 7 else 0
         page_words, gt_pages, n_words = [], [], 0
@@ -112,8 +113,10 @@ def gen_pdf_conversation(conv_no: int, seed: int = 42) -> tuple[list[dict], list
             images={
                 i: [
                     (
-                        # mode 8: bilevel ink mask -> Group 4 stream
-                        _render_canvas(pw) > 127 if mode == 8 else _render_canvas(pw),
+                        # modes 8/17: bilevel ink mask -> G4 / JBIG2 stream
+                        _render_canvas(pw) > 127
+                        if mode in (8, 17)
+                        else _render_canvas(pw),
                         0,
                         0,
                     )
@@ -125,6 +128,8 @@ def gen_pdf_conversation(conv_no: int, seed: int = 42) -> tuple[list[dict], list
             render_mode=3 if scan else 0,
             rotate=rotate,
             ccitt_g4=mode == 8,
+            jbig2=mode == 17,
+            jbig2_mmr=conv_no % 2 == 1,
             jpeg_quality=95 if mode in (9, 12) else None,
             jpeg_progressive=mode == 12,
             ctm_rotate=(90, 180, 270)[conv_no % 3] if mode == 16 else 0,

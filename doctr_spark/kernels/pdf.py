@@ -26,7 +26,11 @@ Reference):
   Annex G included), and ``/CCITTFaxDecode`` Group 3/4
   fax payloads (the dominant real-scanner filter, decoded by the
   from-scratch T.4/T.6 codec in `kernels/ccitt.py` honoring /K,
-  /Columns, /Rows, /EncodedByteAlign), placed by the
+  /Columns, /Rows, /EncodedByteAlign), and ``/JBIG2Decode`` embedded
+  T.88 segment streams (page info + generic regions, arithmetic or
+  MMR, decoded by the from-scratch MQ-coder codec in
+  `kernels/jbig2.py`; symbol dictionaries / /JBIG2Globals reject
+  loudly), placed by the
   ``q a b c d e f cm /Name Do Q`` idiom every common writer emits —
   axis-aligned scale+translate CTMs plus QUADRANT ROTATIONS (90/180/270,
   the raster-stored-sideways scanner layout; round 6), nearest-neighbor
@@ -64,7 +68,8 @@ Reference):
   file encrypted (fixture writer).
 
 Everything else is either ignored (graphics state the rasterizer does not
-need) or rejected LOUDLY (JPX/JBIG2/Crypt filters, non-empty passwords,
+need) or rejected LOUDLY (JPX/Crypt filters, JBIG2 symbol/text/halftone
+segments, non-empty passwords,
 non-Standard security handlers, non-integer glyph scales), preserving the disclosed-gate contract for PDFs beyond the
 subset.
 
@@ -310,6 +315,8 @@ def write_pdf(
     jpeg_progressive: bool = False,
     ctm_rotate: int = 0,
     ccitt_g4: bool = False,
+    jbig2: bool = False,
+    jbig2_mmr: bool = False,
     inline_images: bool = False,
     form_wrap: bool = False,
 ) -> bytes:
@@ -411,7 +418,14 @@ def write_pdf(
                 )
                 continue
             oid = k + 1 + len(img_objs)
-            if bilevel and ccitt_g4:
+            if bilevel and jbig2:
+                # real-scanner layout: the bool ink mask as an embedded
+                # JBIG2 generic-region stream (T.88; 1 = black ink)
+                from .jbig2 import encode_jbig2
+
+                data = encode_jbig2(img.astype(np.uint8), mmr=jbig2_mmr)
+                img_filter = b"/JBIG2Decode"
+            elif bilevel and ccitt_g4:
                 # real-scanner layout: the bool ink mask as a Group 4
                 # fax stream (spec default /BlackIs1 false: black = 0)
                 from .ccitt import encode_g4
@@ -836,10 +850,11 @@ def _decode_stream(head: bytes, stream: bytes) -> bytes:
     FlateDecode, LZWDecode (both honoring /DecodeParms predictors),
     ASCIIHexDecode, ASCII85Decode, RunLengthDecode; anything else —
     JPXDecode, JBIG2Decode, CCITTFaxDecode, Crypt — rejects loudly.
-    DCTDecode is valid only as an image XObject's FINAL filter, where
-    the page assembler strips it and hands the payload to the
-    from-scratch baseline JPEG codec (`kernels.jpeg`); seen here, in a
-    content/general stream position, it rejects like the rest."""
+    DCTDecode, CCITTFaxDecode and JBIG2Decode are valid only as an image
+    XObject's FINAL filter, where the page assembler strips them and
+    hands the payload to the from-scratch T.81/T.4-T.6/T.88 codecs
+    (`kernels.jpeg`/`kernels.ccitt`/`kernels.jbig2`); seen here, in a
+    content/general stream position, they reject like the rest."""
     return _apply_filters(stream, _filters_of(head))
 
 
@@ -956,11 +971,26 @@ def _extract_inline_images(
             ei_end = tail.end()
         else:
             for cand in _EI_RE.finditer(full, start):
-                try:
-                    pix = _apply_filters(full[start : cand.start()].rstrip(), chain)
-                except Exception:
-                    continue
-                if len(pix) == stride * ih:
+                # the data-to-EI separator is OPTIONAL whitespace
+                # (§8.9.7) of unknown width, and filtered data may
+                # itself END in whitespace bytes (e.g. a Flate adler32
+                # tail byte of 0x20/0x0A) — so try the raw slice, the
+                # single-separator strip, and the full rstrip
+                raw = full[start : cand.start()]
+                tries = [raw]
+                if raw[-1:] in b"\x00\t\n\f\r ":
+                    tries.append(raw[:-1])
+                tries.append(raw.rstrip())
+                pix = None
+                for t in tries:
+                    try:
+                        p = _apply_filters(t, chain)
+                    except Exception:
+                        continue
+                    if len(p) == stride * ih:
+                        pix = p
+                        break
+                if pix is not None:
                     ei_end = cand.end()
                     break
             else:
@@ -1477,6 +1507,7 @@ def _parse_content(
         chain = _filters_of(xhead)
         jpeg_coded = bool(chain) and chain[-1][0] in (b"DCTDecode", b"DCT")
         fax_coded = bool(chain) and chain[-1][0] in (b"CCITTFaxDecode", b"CCF")
+        jbig2_coded = bool(chain) and chain[-1][0] == b"JBIG2Decode"
         gray = re.search(rb"/ColorSpace\s*/DeviceGray\b", xhead) is not None
         rgb = re.search(rb"/ColorSpace\s*/DeviceRGB\b", xhead) is not None
         if jpeg_coded:
@@ -1493,6 +1524,17 @@ def _parse_content(
             if not gray or bpc != 1:
                 raise NotImplementedError(
                     "CCITTFaxDecode images outside 1-bit /DeviceGray are "
+                    "outside the codec subset"
+                )
+        elif jbig2_coded:
+            if not gray or bpc != 1:
+                raise NotImplementedError(
+                    "JBIG2Decode images outside 1-bit /DeviceGray are "
+                    "outside the codec subset"
+                )
+            if chain[-1][1] and re.search(rb"/JBIG2Globals\b", chain[-1][1]):
+                raise NotImplementedError(
+                    "JBIG2 globals streams (symbol dictionaries) are "
                     "outside the codec subset"
                 )
         elif not gray or bpc not in (1, 8):
@@ -1533,6 +1575,16 @@ def _parse_content(
             if ink.shape[0] != ih:
                 raise ValueError("CCITT row count does not match /Height")
             arr = ink.astype(np.uint8) * 255
+        elif jbig2_coded:
+            # JBIG2Decode (§7.4.7): the payload after any transport
+            # filters IS an embedded T.88 segment stream; 1 bits are
+            # black ink -> canvas ink (255), exactly like the fax branch
+            from .jbig2 import decode_jbig2
+
+            bm = decode_jbig2(_apply_filters(xstream, chain[:-1]))
+            if bm.shape != (ih, iw):
+                raise ValueError("JBIG2 page size does not match /Width /Height")
+            arr = bm * np.uint8(255)
         else:
             arr = _gray_array(_decode_stream(xhead, xstream), iw, ih, bpc)
         if quad:  # bring the stored raster into display orientation

@@ -756,6 +756,19 @@ def test_pdf_inline_image_1bit_and_flate():
     assert np.array_equal(arr2, img)
 
 
+def test_pdf_inline_image_flate_whitespace_tail():
+    """Flate data whose LAST byte is whitespace (adler32 tail) must not
+    be eaten by the data-to-EI separator strip (the conv-27 fixture
+    page regression)."""
+    import zlib
+
+    rng = np.random.default_rng(20)  # seed whose zlib tail byte is \x00
+    img = (rng.random((20, 30)) * 255).astype(np.uint8)
+    assert zlib.compress(img.tobytes())[-1:] in b"\x00\t\n\f\r "
+    [(x, y, arr)] = parse_pdf(_splice(_bi(img, 3, 5, filt=b"/Fl")))[0]["images"]
+    assert np.array_equal(arr, img)
+
+
 def test_pdf_inline_image_text_coexists():
     """Inline image + text on the same page: both extracted, and the
     blanked binary bytes never reach the text pass."""
