@@ -90,9 +90,15 @@ def gen_pdf_conversation(conv_no: int, seed: int = 42) -> tuple[list[dict], list
         # /V 5 /R 6 — empty user password, the mass-produced
         # "protected" layouts), CTM-ROTATED scans (raster stored
         # sideways, the placement matrix rotates it upright — the
-        # no-/Rotate scanner layout), and JBIG2 (/JBIG2Decode, T.88)
-        # scans alternating arithmetic and MMR generic regions
-        mode = (conv_no + t) % 18
+        # no-/Rotate scanner layout), JBIG2 (/JBIG2Decode, T.88)
+        # scans alternating arithmetic and MMR generic regions, and the
+        # three SUBSET-FONT encodings (§9.6-9.10): Type0/Identity-H
+        # two-byte CIDs through a ToUnicode CMap (the Chrome/LibreOffice
+        # layout), /Encoding /Differences glyph-name remaps (the
+        # word-processor layout), and a bare-ToUnicode simple font (the
+        # LaTeX subset layout) — in all three the string bytes are
+        # remapped codes, so only the encoding layer recovers the text
+        mode = (conv_no + t) % 21
         scan = mode in (6, 7, 8, 9, 10, 12, 14, 16, 17)
         scale = 2 if mode == 5 else 1
         rotate = (90, 180, 270)[conv_no % 3] if mode == 7 else 0
@@ -135,6 +141,7 @@ def gen_pdf_conversation(conv_no: int, seed: int = 42) -> tuple[list[dict], list
             ctm_rotate=(90, 180, 270)[conv_no % 3] if mode == 16 else 0,
             inline_images=mode == 10,
             form_wrap=mode == 11,
+            font_kind={18: "type0", 19: "differences", 20: "tounicode"}.get(mode, "type1"),
         )
         if mode == 13:
             blob = encrypt_pdf(blob, "rc4-128")

@@ -105,7 +105,7 @@ _TEXT_OP_RE = re.compile(
     rb"|(?:(" + _NUM + rb")\s+(" + _NUM + rb")\s+(Td|TD))"
     rb"|(?:(?P<tj>" + _SOBJ + rb")\s*Tj)"
     rb"|(?P<bt>BT)"
-    rb"|(?:/\w+\s+(?P<tf>" + _NUM + rb")\s+Tf)"
+    rb"|(?:/(?P<tfname>\w+)\s+(?P<tf>" + _NUM + rb")\s+Tf)"
     rb"|(?:\[(?P<tjarr>(?:" + _SOBJ + rb"|[^\[\]()<>])*)\]\s*TJ)"
     rb"|(?:(?P<tl>" + _NUM + rb")\s+TL)"
     rb"|(?P<tstar>T\*)"
@@ -150,16 +150,23 @@ def _unesc(b: bytes) -> str:
     return _ESC_RE.sub(rep, b).decode("latin-1")
 
 
-def _str_token(tok: bytes) -> str:
-    """Decode a string object token INCLUDING its delimiters: ``(…)``
-    literal (escapes per §7.3.4.2) or ``<…>`` hex (whitespace ignored, an
-    odd final digit is padded with 0, §7.3.4.3)."""
+def _str_raw(tok: bytes) -> bytes:
+    """Raw BYTES of a string object token INCLUDING its delimiters:
+    ``(…)`` literal (escapes per §7.3.4.2) or ``<…>`` hex (whitespace
+    ignored, an odd final digit is padded with 0, §7.3.4.3). What the
+    bytes MEAN is the current font's business (§9.6.6/§9.10)."""
     if tok[:1] == b"(":
-        return _unesc(tok[1:-1])
+        return _unesc(tok[1:-1]).encode("latin-1")
     hx = b"".join(tok[1:-1].split())
     if len(hx) % 2:
         hx += b"0"
-    return binascii.unhexlify(hx).decode("latin-1")
+    return binascii.unhexlify(hx)
+
+
+def _str_token(tok: bytes) -> str:
+    """`_str_raw` under the latin-1 identity — the unencoded-simple-font
+    reading (and the historical default)."""
+    return _str_raw(tok).decode("latin-1")
 
 
 def _fmt_num(v: float) -> str:
@@ -193,6 +200,7 @@ def _content_ops(
     hex_strings: bool = False,
     char_spacing: float = 0.0,
     render_mode: int = 0,
+    tokenizer=None,
 ) -> bytes:
     """One page's text operators. ``use_tj`` groups each baseline run into
     a single ``[…] TJ`` array whose kerning numbers carry the inter-word
@@ -202,9 +210,12 @@ def _content_ops(
     line advances (requires a uniform grid: every line starts at the same
     x and line pitch is constant). ``hex_strings`` emits ``<…>`` string
     objects; ``char_spacing`` emits a ``Tc`` whose per-glyph advance the
-    kerning numbers then compensate."""
+    kerning numbers then compensate. ``tokenizer`` overrides the string
+    tokenization entirely (the subset-font kinds, where text bytes are
+    remapped codes rather than latin-1 characters)."""
     from .glyphs import word_width
 
+    mk = tokenizer if tokenizer is not None else (lambda w: _mk_str(w, hex_strings))
     scale = font_size // BASE_FONT_SIZE
     ops = [b"BT /F1 %d Tf" % font_size]
     if render_mode:
@@ -221,7 +232,7 @@ def _content_ops(
             gap = x - cur
             if gap:
                 elems.append(_fmt_num(-gap * 1000.0 / font_size))
-            elems.append(_mk_str(word, hex_strings))
+            elems.append(mk(word))
             cur = advance(x, word)
         return "[" + " ".join(elems) + "] TJ"
 
@@ -244,7 +255,7 @@ def _content_ops(
             # line advance: exercise ' on line 1, " on line 2, T* after;
             # ' and " show the line's FIRST word (which must sit at x0)
             if i in (1, 2) and int(first_x) == x0:
-                tok = _mk_str(first_w, hex_strings)
+                tok = mk(first_w)
                 # " SETS Tw/Tc — carry char_spacing through its ac operand
                 # or the page's later kern numbers stop compensating
                 dq = f"0 {_fmt_num(char_spacing)} {tok} \""
@@ -259,7 +270,7 @@ def _content_ops(
     elif not use_tj:
         for x, y_top, word in words:
             pdf_y = h - int(y_top) - GLYPH_H * scale
-            tok = _mk_str(word, hex_strings)
+            tok = mk(word)
             ops.append(f"1 0 0 1 {int(x)} {pdf_y} Tm {tok} Tj".encode("latin-1"))
     else:
         for run in _runs_of(words):
@@ -319,6 +330,7 @@ def write_pdf(
     jbig2_mmr: bool = False,
     inline_images: bool = False,
     form_wrap: bool = False,
+    font_kind: str = "type1",
 ) -> bytes:
     """Write a real PDF; ``pages`` holds per-page ``(x, y_top, word)``
     placements in top-down pixel space (at the glyph scale implied by
@@ -351,7 +363,25 @@ def write_pdf(
     ``trailer`` keyword. ``xref_predictor=True`` additionally codes the
     xref stream rows with the PNG Up predictor
     (``/DecodeParms << /Predictor 12 /Columns 7 >>``), the layout most
-    real 1.5+ writers emit."""
+    real 1.5+ writers emit.
+
+    ``font_kind`` selects the font-encoding construct (§9.6-9.10):
+
+    - ``"type1"`` (default): the unencoded Helvetica dict, string bytes
+      are latin-1 characters.
+    - ``"winansi"``: ``/Encoding /WinAnsiEncoding`` on the simple font;
+      bytes encode through the Annex D.2 table (hex string objects).
+    - ``"differences"``: the word-processor subset idiom — byte codes
+      remapped off the characters' own codes via ``/Encoding
+      << /BaseEncoding /WinAnsiEncoding /Differences [...] >>`` with
+      AGL glyph names; only the Differences table recovers the text.
+    - ``"tounicode"``: the LaTeX/Ghostscript subset idiom — a simple
+      font with NO /Encoding whose remapped bytes are only decodable
+      through the attached ``/ToUnicode`` CMap stream.
+    - ``"type0"``: the modern-generator (Chrome/LibreOffice) composite
+      layout — ``/Type0`` + ``/Encoding /Identity-H`` + CIDFontType2
+      descendant; every glyph is a TWO-byte CID (chosen past 0x0100)
+      resolved through the ToUnicode CMap."""
     if font_size % BASE_FONT_SIZE:
         raise ValueError("font_size must be an integer multiple of 12 (glyph scale)")
     if stream_filter is None:
@@ -374,6 +404,27 @@ def write_pdf(
     ch, cw = (w, h) if rotate in (90, 270) else (h, w)
     k = len(pages)
     images = images or {}
+    # -- font-encoding construct: code assignment + string tokenizer
+    from .pdfenc import assign_codes, glyph_name, winansi_table
+
+    if font_kind not in ("type1", "winansi", "differences", "tounicode", "type0"):
+        raise ValueError(f"unknown font_kind {font_kind!r}")
+    charset = sorted({c for pg in pages for _, _, wd in pg for c in wd})
+    code_of: dict[str, int] | None = None
+    tokenizer = None
+    if font_kind == "winansi":
+        inv = {c: i for i, c in enumerate(winansi_table()) if c != "�"}
+        tokenizer = lambda wd: "<" + bytes(inv[c] for c in wd).hex().upper() + ">"  # noqa: E731
+    elif font_kind in ("differences", "tounicode", "type0"):
+        two = font_kind == "type0"
+        code_of = assign_codes(set(charset), two)
+        hexw = 4 if two else 2
+        tokenizer = (  # noqa: E731
+            lambda wd: "<" + "".join("%0*X" % (hexw, code_of[c]) for c in wd) + ">"
+        )
+        if font_kind == "differences":  # names must exist up front
+            for c in charset:
+                glyph_name(c)
     # image XObjects are STREAM objects numbered K+1..K+M — top-level in
     # both layouts (stream objects cannot live inside an ObjStm, §7.5.7)
     img_objs: list[bytes] = []
@@ -485,6 +536,7 @@ def write_pdf(
                 hex_strings=hex_strings,
                 char_spacing=char_spacing,
                 render_mode=render_mode,
+                tokenizer=tokenizer,
             )
             oid = k + 1 + len(img_objs)
             img_objs.append(
@@ -494,6 +546,17 @@ def write_pdf(
                 + b"\nendstream"
             )
             img_res.setdefault(i, []).append(b"/Fm%d %d 0 R" % (oid, oid))
+    cmap_id = None
+    if font_kind in ("tounicode", "type0"):
+        # the ToUnicode CMap is a STREAM object, so it lives beside the
+        # images/forms (stream objects cannot enter an ObjStm, §7.5.7)
+        from .pdfenc import build_tounicode_cmap
+
+        cmap = build_tounicode_cmap(
+            {code: c for c, code in code_of.items()}, font_kind == "type0"
+        )
+        cmap_id = k + 1 + len(img_objs)
+        img_objs.append(b"<< /Length %d >>\nstream\n" % len(cmap) + cmap + b"\nendstream")
     m = len(img_objs)
     contents: list[bytes] = []  # full stream objects, numbered 1..K
     # dict-only objects occupy K+M+1..K+M+3+pages; indirect length
@@ -514,6 +577,7 @@ def write_pdf(
                 hex_strings=hex_strings,
                 char_spacing=char_spacing,
                 render_mode=render_mode,
+                tokenizer=tokenizer,
             )
         if i in img_ops:
             raw = b"\n".join(img_ops[i] + [raw])
@@ -528,12 +592,54 @@ def write_pdf(
     font_id, pages_id = k + m + 1, k + m + 2
     catalog_id = k + m + 3
     page_ids = list(range(k + m + 4, k + m + 4 + len(pages)))
+    # one extra dict-only object id (encoding dict / CID descendant)
+    # placed AFTER every already-allocated id so both xref layouts stay
+    # contiguous; classic files with indirect lengths reserve those first
+    extra_id = k + m + 4 + (2 if indirect_length else 1) * len(pages)
+    if font_kind == "type1":
+        font_obj = b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+    elif font_kind == "winansi":
+        font_obj = (
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+            b"/Encoding /WinAnsiEncoding >>"
+        )
+    elif font_kind == "differences":
+        font_obj = (
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /AAAAAA+Helvetica "
+            b"/Encoding %d 0 R >>" % extra_id
+        )
+    elif font_kind == "tounicode":
+        font_obj = (
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /AAAAAA+Helvetica "
+            b"/ToUnicode %d 0 R >>" % cmap_id
+        )
+    else:  # type0
+        font_obj = (
+            b"<< /Type /Font /Subtype /Type0 /BaseFont /AAAAAA+Helvetica "
+            b"/Encoding /Identity-H /DescendantFonts [%d 0 R] "
+            b"/ToUnicode %d 0 R >>" % (extra_id, cmap_id)
+        )
     dict_objs: dict[int, bytes] = {
-        font_id: b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        font_id: font_obj,
         pages_id: b"<< /Type /Pages /Kids [%s] /Count %d >>"
         % (b" ".join(b"%d 0 R" % p for p in page_ids), len(page_ids)),
         catalog_id: b"<< /Type /Catalog /Pages %d 0 R >>" % pages_id,
     }
+    if font_kind == "differences":
+        names = b" ".join(
+            b"/" + glyph_name(c).encode("ascii")
+            for c, _ in sorted(code_of.items(), key=lambda kv: kv[1])
+        )
+        dict_objs[extra_id] = (
+            b"<< /Type /Encoding /BaseEncoding /WinAnsiEncoding "
+            b"/Differences [ %d %s ] >>" % (min(code_of.values(), default=33), names)
+        )
+    elif font_kind == "type0":
+        dict_objs[extra_id] = (
+            b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /AAAAAA+Helvetica "
+            b"/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) "
+            b"/Supplement 0 >> /DW 1000 >>"
+        )
     for pi, (pid, cid) in enumerate(zip(page_ids, range(1, k + 1))):
         res = b"/Font << /F1 %d 0 R >>" % font_id
         if pi in img_res:
@@ -565,7 +671,7 @@ def write_pdf(
         return bytes(out)
 
     # -- PDF 1.5: object stream + xref stream
-    objstm_id = k + m + 4 + len(pages)
+    objstm_id = max(dict_objs) + 1
     xref_id = objstm_id + 1
     packed_nums = sorted(dict_objs)
     header, body = [], b""
@@ -1335,6 +1441,142 @@ def encrypt_pdf(
     return bytes(out)
 
 
+_UNI_NAME_RE = re.compile(rb"^uni([0-9A-Fa-f]{4})$")
+
+
+def _encoding_body(fhead: bytes, objs: dict) -> tuple[bytes | None, bytes | None]:
+    """A font dict's /Encoding value -> (name, dict_body); either may be
+    None. Handles the name, inline-dict, and indirect-reference forms."""
+    em = re.search(
+        rb"/Encoding\s*(?:/([\w-]+)|(\d+)\s+0\s+R|<<(.*?)>>)", fhead, re.DOTALL
+    )
+    if not em:
+        return None, None
+    if em.group(1):
+        return em.group(1), None
+    body = em.group(3)
+    if body is None:
+        body = objs[int(em.group(2))][0]
+    bm = re.search(rb"/BaseEncoding\s*/([\w-]+)", body)
+    return (bm.group(1) if bm else None), body
+
+
+def _base_table(enc_name: bytes | None) -> list[str]:
+    """Code -> char table for a named simple-font base encoding."""
+    from .pdfenc import winansi_table
+
+    if enc_name is None or enc_name == b"StandardEncoding":
+        # unencoded / standard: ASCII is identical across the standard
+        # encodings; high bytes read as latin-1 (the engine's historical
+        # convention, and what its own writer emits)
+        return [chr(c) for c in range(256)]
+    if enc_name == b"WinAnsiEncoding":
+        return winansi_table()
+    raise NotImplementedError(
+        f"/Encoding /{enc_name.decode()} is outside the codec subset"
+    )
+
+
+def _tounicode_map(fhead: bytes, objs: dict) -> dict[int, str] | None:
+    from .pdfenc import parse_tounicode
+
+    tm = re.search(rb"/ToUnicode\s+(\d+)\s+0\s+R", fhead)
+    if not tm:
+        return None
+    chead, cstream = objs[int(tm.group(1))]
+    if cstream is None:
+        raise ValueError("/ToUnicode target is not a stream object")
+    return parse_tounicode(_decode_stream(chead, cstream))
+
+
+def _make_font_decoder(num: int, objs: dict):
+    """Font object -> ``decode(bytes) -> str`` per §9.6-9.10: composite
+    /Type0 Identity-H fonts read TWO-byte CIDs through their /ToUnicode
+    CMap; simple fonts read one byte at a time through base encoding +
+    /Differences, with /ToUnicode taking precedence where it maps."""
+    from .pdfenc import AGL
+
+    fhead, _ = objs[num]
+    sub = re.search(rb"/Subtype\s*/(\w+)", fhead)
+    subtype = sub.group(1) if sub else b""
+    if subtype == b"Type0":
+        enc_name, _ = _encoding_body(fhead, objs)
+        if enc_name != b"Identity-H":
+            raise NotImplementedError(
+                "Type0 fonts outside /Encoding /Identity-H are outside the codec subset"
+            )
+        cmap = _tounicode_map(fhead, objs)
+        if cmap is None:
+            raise NotImplementedError(
+                "Type0 fonts without /ToUnicode are outside the codec subset "
+                "(CID -> text needs the CMap; glyph outlines are not parsed)"
+            )
+
+        def decode_cid(raw: bytes) -> str:
+            if len(raw) % 2:
+                raise ValueError("odd byte count in an Identity-H string")
+            out = []
+            for i in range(0, len(raw), 2):
+                cid = (raw[i] << 8) | raw[i + 1]
+                try:
+                    out.append(cmap[cid])
+                except KeyError:
+                    raise NotImplementedError(
+                        f"CID {cid} has no /ToUnicode mapping"
+                    ) from None
+            return "".join(out)
+
+        return decode_cid
+    if subtype == b"Type3":
+        raise NotImplementedError("Type3 fonts are outside the codec subset")
+
+    enc_name, enc_body = _encoding_body(fhead, objs)
+    table = _base_table(enc_name)
+    if enc_body is not None:
+        dm = re.search(rb"/Differences\s*\[(.*?)\]", enc_body, re.DOTALL)
+        if dm:
+            code = 0
+            for tok in re.finditer(rb"(\d+)|/([\w.]+)", dm.group(1)):
+                if tok.group(1):
+                    code = int(tok.group(1))
+                    continue
+                name = tok.group(2)
+                um = _UNI_NAME_RE.match(name)
+                if um:
+                    table[code] = chr(int(um.group(1), 16))
+                else:
+                    try:
+                        table[code] = AGL[name.decode("ascii")]
+                    except KeyError:
+                        raise NotImplementedError(
+                            f"glyph name /{name.decode()} is outside the AGL subset"
+                        ) from None
+                code += 1
+    cmap = _tounicode_map(fhead, objs)
+
+    def decode_simple(raw: bytes) -> str:
+        if cmap:
+            return "".join(cmap.get(b) or table[b] for b in raw)
+        return "".join(table[b] for b in raw)
+
+    return decode_simple
+
+
+def _font_decoders(head: bytes, objs: dict, cache: dict) -> dict[bytes, object]:
+    """Resource-dict /Font entries -> name -> decoder (decoders cached by
+    font object number: pages share fonts, CMaps parse once)."""
+    fm = re.search(rb"/Font\s*<<(.*?)>>", head, re.DOTALL)
+    if not fm:
+        return {}
+    out = {}
+    for r in re.finditer(rb"/(\w+)\s+(\d+)\s+0\s+R", fm.group(1)):
+        num = int(r.group(2))
+        if num not in cache:
+            cache[num] = _make_font_decoder(num, objs)
+        out[r.group(1)] = cache[num]
+    return out
+
+
 def parse_pdf(data: bytes) -> list[dict]:
     """Parse a PDF into per-page ``{"size": (h, w), "words": [(x, y_top,
     text, font_size)]}``. Raises NotImplementedError for constructs
@@ -1366,6 +1608,7 @@ def parse_pdf(data: bytes) -> list[dict]:
     root_m = re.search(rb"/Root\s+(\d+)\s+0\s+R", data)
     if not root_m:
         raise NotImplementedError("PDF without a /Root trailer entry")
+    font_cache: dict[int, object] = {}
     pages_m = re.search(rb"/Pages\s+(\d+)\s+0\s+R", _dict_of(int(root_m.group(1))))
     kids_src = _dict_of(int(pages_m.group(1)))
     kids_m = re.search(rb"/Kids\s*\[(.*?)\]", kids_src, re.DOTALL)
@@ -1405,7 +1648,8 @@ def parse_pdf(data: bytes) -> list[dict]:
             if xm
             else {}
         )
-        words, images = _parse_content(full, h, xres, objs)
+        fonts = _font_decoders(head, objs, font_cache)
+        words, images = _parse_content(full, h, xres, objs, fonts=fonts)
         if rot and words:
             raise NotImplementedError(
                 "visible text under page /Rotate is outside the codec subset "
@@ -1427,6 +1671,7 @@ def _parse_form(
     depth: int,
     ex: float,
     fy: float,
+    fonts: dict | None = None,
 ) -> tuple[list, list]:
     """Recurse into a form XObject (§8.10) placed at translation
     (ex, fy): parse its content in form space, then shift. /Matrix must
@@ -1452,7 +1697,13 @@ def _parse_form(
         xres.update(
             {r.group(1): int(r.group(2)) for r in re.finditer(rb"/(\w+)\s+(\d+)\s+0\s+R", fxm.group(1))}
         )
-    fwords, fimages = _parse_content(_decode_stream(fhead, fstream), h, xres, objs, depth + 1)
+    # a form may carry its own /Font resources; otherwise it inherits
+    # the invoking page's (§7.8.3 resource inheritance)
+    ffonts = dict(fonts or {})
+    ffonts.update(_font_decoders(fhead, objs, {}))
+    fwords, fimages = _parse_content(
+        _decode_stream(fhead, fstream), h, xres, objs, depth + 1, fonts=ffonts
+    )
     return (
         [(x + ex, y - fy, t, s) for x, y, t, s in fwords],
         [(x + ex, y - fy, arr) for x, y, arr in fimages],
@@ -1460,7 +1711,12 @@ def _parse_form(
 
 
 def _parse_content(
-    full: bytes, h: float, xres: dict[bytes, int], objs: dict, depth: int = 0
+    full: bytes,
+    h: float,
+    xres: dict[bytes, int],
+    objs: dict,
+    depth: int = 0,
+    fonts: dict | None = None,
 ) -> tuple[list, list]:
     """One content stream (a page's, or a form's) -> (words, images) in
     its own coordinate space."""
@@ -1479,7 +1735,7 @@ def _parse_content(
                 raise NotImplementedError(
                     "form XObject CTMs beyond pure translation are outside the codec subset"
                 )
-            fw, fi = _parse_form(xhead, xstream, h, xres, objs, depth, e, f)
+            fw, fi = _parse_form(xhead, xstream, h, xres, objs, depth, e, f, fonts)
             words += fw
             images += fi
             continue
@@ -1615,6 +1871,8 @@ def _parse_content(
     size = float(BASE_FONT_SIZE)
     leading = tc = tw = 0.0
     render_mode = 0
+    fonts = fonts or {}
+    decoder = None  # None = the latin-1 identity (unencoded simple font)
 
     def show(tok: bytes) -> None:
         """Show a string token at the current position, then advance
@@ -1626,7 +1884,8 @@ def _parse_content(
         nonlocal x
         from .glyphs import word_width
 
-        text = _str_token(tok)
+        raw = _str_raw(tok)
+        text = decoder(raw) if decoder is not None else raw.decode("latin-1")
         scale = size / BASE_FONT_SIZE
         if render_mode != 3:
             words.append((x, h - y - GLYPH_H * scale, text, size))
@@ -1652,8 +1911,15 @@ def _parse_content(
             show(g["tj"])
         elif g["bt"] is not None:  # BT resets the text matrices
             lx = ly = x = y = 0.0
-        elif g["tf"] is not None:  # Tf: font size (Tf persists)
+        elif g["tf"] is not None:  # Tf: font + size (both persist)
             size = float(g["tf"])
+            fname = g["tfname"]
+            if fname in fonts:
+                decoder = fonts[fname]
+            elif fonts:
+                raise ValueError(
+                    f"Tf references font /{fname.decode()} absent from /Resources"
+                )
         elif g["tjarr"] is not None:  # TJ array (§9.4.3)
             for em in _TJ_ELEM_RE.finditer(g["tjarr"]):
                 if em.group(1) is not None:

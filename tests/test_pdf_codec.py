@@ -932,3 +932,138 @@ def test_ctm_skew_still_rejects():
     assert skewed != blob
     with pytest.raises(NotImplementedError, match="skew|quadrant"):
         parse_pdf(skewed)
+
+
+# -- font-encoding layer (§9.6-9.10): subset fonts, CMaps, Differences --
+
+
+@pytest.mark.parametrize("kind", ["winansi", "differences", "tounicode", "type0"])
+@pytest.mark.parametrize("layout", [{}, {"use_tj": True}, {"pdf15": True}])
+def test_font_kinds_match_classic_placements(kind, layout):
+    """Every subset-font construct recovers exactly the text and
+    placements the unencoded classic layout produces, across the per-word
+    Tm, kerned TJ, and PDF 1.5 object-stream layouts."""
+    classic = write_pdf(PAGE, (100, 260))
+    blob = write_pdf(PAGE, (100, 260), font_kind=kind, **layout)
+    if kind in ("differences", "tounicode", "type0"):
+        # the remapped kinds must NOT contain the text as plain bytes
+        assert b"alpha" not in blob
+    assert _placements(blob) == _placements(classic)
+
+
+def test_type0_cids_are_two_bytes_past_0x100():
+    """Identity-H strings carry 2-byte CIDs; the fixture assigns them
+    past 0x0100 so a byte-width bug in the decoder cannot hide."""
+    blob = write_pdf([[(10, 10, "ab")]], (60, 120), font_kind="type0")
+    assert b"/Identity-H" in blob and b"/CIDFontType2" in blob
+    (page,) = parse_pdf(blob)
+    assert [w[2] for w in page["words"]] == ["ab"]
+
+
+def test_winansi_high_range_decodes():
+    """0x80-0x9F reads through the Annex D.2 table, not latin-1 (where
+    those codes are control characters)."""
+    blob = write_pdf([[(10, 10, "a€–b")]], (60, 160), font_kind="winansi")
+    (page,) = parse_pdf(blob)
+    assert page["words"][0][2] == "a€–b"
+
+
+def test_differences_uni_names_decode():
+    """uniXXXX glyph names (the other common subset idiom) map straight
+    to their codepoint."""
+    blob = write_pdf([[(10, 10, "ab")]], (60, 120), font_kind="differences")
+    # rewrite the Differences names as uniXXXX equivalents
+    blob2 = blob.replace(b"/a /b", b"/uni0061 /uni0062")
+    assert blob2 != blob
+    (page,) = parse_pdf(blob2)
+    assert page["words"][0][2] == "ab"
+
+
+def test_font_encoding_gates_stay_loud():
+    from doctr_spark.kernels.pdf import _make_font_decoder
+
+    base = write_pdf([[(10, 10, "ab")]], (60, 120), font_kind="type0")
+    # Identity-V (vertical) is outside the subset
+    with pytest.raises(NotImplementedError, match="Identity-H"):
+        parse_pdf(base.replace(b"/Identity-H", b"/Identity-V"))
+    # a Type0 font whose ToUnicode link is severed cannot be read
+    with pytest.raises(NotImplementedError, match="ToUnicode"):
+        parse_pdf(base.replace(b"/ToUnicode", b"/ToUnicorn"))
+    # MacRomanEncoding is outside the subset
+    mac = write_pdf([[(10, 10, "ab")]], (60, 120), font_kind="winansi")
+    with pytest.raises(NotImplementedError, match="MacRoman"):
+        parse_pdf(mac.replace(b"/WinAnsiEncoding", b"/MacRomanEncoding"))
+    # unknown glyph names reject rather than guess
+    diff = write_pdf([[(10, 10, "ab")]], (60, 120), font_kind="differences")
+    with pytest.raises(NotImplementedError, match="glyph name"):
+        parse_pdf(diff.replace(b"/a /b", b"/xx /b"))
+    # odd byte count in an Identity-H string is malformed
+    objs_decoder_probe = _make_font_decoder  # keep the import used
+    del objs_decoder_probe
+    # a Tf naming a font absent from /Resources is malformed
+    t1 = write_pdf([[(10, 10, "ab")]], (60, 120))
+    with pytest.raises(ValueError, match="absent from /Resources"):
+        parse_pdf(t1.replace(b"/F1 12 Tf", b"/F9 12 Tf"))
+
+
+def test_identity_h_odd_bytes_reject():
+    blob = write_pdf([[(10, 10, "ab")]], (60, 120), font_kind="type0")
+    # chop one hex byte off the 2-byte-CID string token
+    import re as _re
+
+    m = _re.search(rb"<([0-9A-F]{8})>", blob)
+    assert m
+    # same byte length (pad with spaces) so the declared /Length holds
+    bad = blob.replace(m.group(0), b"<" + m.group(1)[:6] + b">  ", 1)
+    with pytest.raises(ValueError, match="odd byte count"):
+        parse_pdf(bad)
+
+
+def test_tounicode_bfrange_and_bfchar_both_parse():
+    """A charset with consecutive letters AND digits plus isolated
+    punctuation exercises both bfrange compression and bfchar pairs."""
+    from doctr_spark.kernels.pdfenc import assign_codes, build_tounicode_cmap, parse_tounicode
+
+    charset = set("abcdef012!@")
+    codes = assign_codes(charset, two_byte=True)
+    cmap = build_tounicode_cmap({c: ch for ch, c in codes.items()}, two_byte=True)
+    assert b"beginbfrange" in cmap and b"beginbfchar" in cmap
+    back = parse_tounicode(cmap)
+    assert back == {c: ch for ch, c in codes.items()}
+
+
+def test_tounicode_bfrange_array_form():
+    from doctr_spark.kernels.pdfenc import parse_tounicode
+
+    cmap = (
+        b"1 begincodespacerange\n<00> <FF>\nendcodespacerange\n"
+        b"1 beginbfrange\n<41> <43> [<0058> <0059> <005A>]\nendbfrange\n"
+    )
+    assert parse_tounicode(cmap) == {0x41: "X", 0x42: "Y", 0x43: "Z"}
+
+
+def test_fixture_subset_font_modes_extract_exact(spark):
+    """Fixture modes 18/19/20 (Type0, Differences, bare-ToUnicode) run
+    the full Spark extraction path and match their own ground truth."""
+    import pandas as pd
+
+    from doctr_spark.fixtures.pdfdocs import gen_pdf_conversation
+    from doctr_spark.fixtures.transcripts import TRANSCRIPTS_SCHEMA
+    from doctr_spark.operators.pipeline import extract_documents
+
+    rows, gts = [], []
+    for conv_no in (18, 19, 20):
+        r, g = gen_pdf_conversation(conv_no)
+        rows += r
+        gts += g
+    tdf = spark.createDataFrame(pd.DataFrame(rows), schema=TRANSCRIPTS_SCHEMA)
+    docs = extract_documents(tdf, crop_partitions=4)
+    got = {
+        (r["conv_id"], r["turn_idx"]): (r["extracted_text"], r["n_words"])
+        for r in docs.collect()
+    }
+    assert len(got) == len(gts)
+    for g in gts:
+        text, n_words = got[(g["conv_id"], g["turn_idx"])]
+        assert text == g["gt_text"]
+        assert n_words == g["n_words"]
