@@ -407,13 +407,18 @@ def write_pdf(
     # -- font-encoding construct: code assignment + string tokenizer
     from .pdfenc import assign_codes, glyph_name, winansi_table
 
-    if font_kind not in ("type1", "winansi", "differences", "tounicode", "type0"):
+    if font_kind not in ("type1", "winansi", "macroman", "differences", "tounicode", "type0"):
         raise ValueError(f"unknown font_kind {font_kind!r}")
     charset = sorted({c for pg in pages for _, _, wd in pg for c in wd})
     code_of: dict[str, int] | None = None
     tokenizer = None
-    if font_kind == "winansi":
-        inv = {c: i for i, c in enumerate(winansi_table()) if c != "�"}
+    if font_kind in ("winansi", "macroman"):
+        table = (
+            winansi_table()
+            if font_kind == "winansi"
+            else [bytes([c]).decode("mac_roman") for c in range(256)]
+        )
+        inv = {c: i for i, c in enumerate(table) if c != "�"}
         tokenizer = lambda wd: "<" + bytes(inv[c] for c in wd).hex().upper() + ">"  # noqa: E731
     elif font_kind in ("differences", "tounicode", "type0"):
         two = font_kind == "type0"
@@ -598,10 +603,11 @@ def write_pdf(
     extra_id = k + m + 4 + (2 if indirect_length else 1) * len(pages)
     if font_kind == "type1":
         font_obj = b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
-    elif font_kind == "winansi":
+    elif font_kind in ("winansi", "macroman"):
         font_obj = (
             b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
-            b"/Encoding /WinAnsiEncoding >>"
+            b"/Encoding /%sEncoding >>"
+            % (b"WinAnsi" if font_kind == "winansi" else b"MacRoman")
         )
     elif font_kind == "differences":
         font_obj = (
@@ -1472,6 +1478,10 @@ def _base_table(enc_name: bytes | None) -> list[str]:
         return [chr(c) for c in range(256)]
     if enc_name == b"WinAnsiEncoding":
         return winansi_table()
+    if enc_name == b"MacRomanEncoding":
+        # Annex D.2 MacRomanEncoding == the classic Mac OS Roman charset
+        # (identical to Python's stdlib 'mac_roman' codec table)
+        return [bytes([c]).decode("mac_roman") for c in range(256)]
     raise NotImplementedError(
         f"/Encoding /{enc_name.decode()} is outside the codec subset"
     )

@@ -989,10 +989,10 @@ def test_font_encoding_gates_stay_loud():
     # a Type0 font whose ToUnicode link is severed cannot be read
     with pytest.raises(NotImplementedError, match="ToUnicode"):
         parse_pdf(base.replace(b"/ToUnicode", b"/ToUnicorn"))
-    # MacRomanEncoding is outside the subset
+    # an unknown base-encoding name rejects rather than guesses
     mac = write_pdf([[(10, 10, "ab")]], (60, 120), font_kind="winansi")
-    with pytest.raises(NotImplementedError, match="MacRoman"):
-        parse_pdf(mac.replace(b"/WinAnsiEncoding", b"/MacRomanEncoding"))
+    with pytest.raises(NotImplementedError, match="PDFDoc"):
+        parse_pdf(mac.replace(b"/WinAnsiEncoding", b"/PDFDocEncoding "))
     # unknown glyph names reject rather than guess
     diff = write_pdf([[(10, 10, "ab")]], (60, 120), font_kind="differences")
     with pytest.raises(NotImplementedError, match="glyph name"):
@@ -1067,3 +1067,14 @@ def test_fixture_subset_font_modes_extract_exact(spark):
         text, n_words = got[(g["conv_id"], g["turn_idx"])]
         assert text == g["gt_text"]
         assert n_words == g["n_words"]
+
+
+def test_macroman_encoding_decodes():
+    """MacRomanEncoding (Annex D.2): high-range bytes differ from both
+    latin-1 and WinAnsi — 'é' is 0x8E, '†' is 0xA0."""
+    blob = write_pdf([[(10, 10, "café†")]], (60, 160), font_kind="macroman")
+    assert b"/MacRomanEncoding" in blob
+    (page,) = parse_pdf(blob)
+    assert page["words"][0][2] == "café†"
+    classic = write_pdf([[(10, 10, "cafex")]], (60, 160))
+    assert _placements(blob)[0][:2] == _placements(classic)[0][:2]
