@@ -97,9 +97,11 @@ def gen_pdf_conversation(conv_no: int, seed: int = 42) -> tuple[list[dict], list
         # layout), /Encoding /Differences glyph-name remaps (the
         # word-processor layout), and a bare-ToUnicode simple font (the
         # LaTeX subset layout) — in all three the string bytes are
-        # remapped codes, so only the encoding layer recovers the text
-        mode = (conv_no + t) % 21
-        scan = mode in (6, 7, 8, 9, 10, 12, 14, 16, 17)
+        # remapped codes, so only the encoding layer recovers the text —
+        # and JPEG 2000 (/JPXDecode, T.800 lossless 5/3) scans, the
+        # archival-scanner layout
+        mode = (conv_no + t) % 22
+        scan = mode in (6, 7, 8, 9, 10, 12, 14, 16, 17, 21)
         scale = 2 if mode == 5 else 1
         rotate = (90, 180, 270)[conv_no % 3] if mode == 7 else 0
         page_words, gt_pages, n_words = [], [], 0
@@ -138,6 +140,7 @@ def gen_pdf_conversation(conv_no: int, seed: int = 42) -> tuple[list[dict], list
             jbig2_mmr=conv_no % 2 == 1,
             jpeg_quality=95 if mode in (9, 12) else None,
             jpeg_progressive=mode == 12,
+            jpx=mode == 21,
             ctm_rotate=(90, 180, 270)[conv_no % 3] if mode == 16 else 0,
             inline_images=mode == 10,
             form_wrap=mode == 11,

@@ -324,6 +324,7 @@ def write_pdf(
     rotate: int = 0,
     jpeg_quality: int | None = None,
     jpeg_progressive: bool = False,
+    jpx: bool = False,
     ctm_rotate: int = 0,
     ccitt_g4: bool = False,
     jbig2: bool = False,
@@ -494,6 +495,14 @@ def write_pdf(
             elif bilevel:  # bool input -> packed 1-bit rows (byte-aligned)
                 data = zlib.compress(np.packbits(img, axis=1).tobytes())
                 img_filter = b"/FlateDecode"
+            elif jpx:
+                # scanned-page JPEG 2000: the stream IS a JP2 file
+                # (lossless 5/3, single tile), declared /JPXDecode
+                # (§7.4.9) — the archival-scanner layout
+                from .jpx import encode_jp2
+
+                data = encode_jp2(img)
+                img_filter = b"/JPXDecode"
             elif jpeg_quality:
                 # scanned-page JPEG: the stream IS a T.81 file (baseline
                 # SOF0 or progressive SOF2), declared /DCTDecode (§7.4.8)
@@ -1774,6 +1783,7 @@ def _parse_content(
         jpeg_coded = bool(chain) and chain[-1][0] in (b"DCTDecode", b"DCT")
         fax_coded = bool(chain) and chain[-1][0] in (b"CCITTFaxDecode", b"CCF")
         jbig2_coded = bool(chain) and chain[-1][0] == b"JBIG2Decode"
+        jpx_coded = bool(chain) and chain[-1][0] == b"JPXDecode"
         gray = re.search(rb"/ColorSpace\s*/DeviceGray\b", xhead) is not None
         rgb = re.search(rb"/ColorSpace\s*/DeviceRGB\b", xhead) is not None
         if jpeg_coded:
@@ -1802,6 +1812,15 @@ def _parse_content(
                 raise NotImplementedError(
                     "JBIG2 globals streams (symbol dictionaries) are "
                     "outside the codec subset"
+                )
+        elif jpx_coded:
+            # JPXDecode (§7.4.9): the payload IS a JPEG 2000 file; color
+            # space and depth come from the CODESTREAM, so the XObject's
+            # /ColorSpace and /BitsPerComponent entries are advisory
+            if bpc not in (0, 8):
+                raise NotImplementedError(
+                    "JPXDecode with a non-8-bit /BitsPerComponent override "
+                    "is outside the codec subset"
                 )
         elif not gray or bpc not in (1, 8):
             raise NotImplementedError(
@@ -1851,6 +1870,12 @@ def _parse_content(
             if bm.shape != (ih, iw):
                 raise ValueError("JBIG2 page size does not match /Width /Height")
             arr = bm * np.uint8(255)
+        elif jpx_coded:
+            from .jpx import decode_jpx
+
+            arr = decode_jpx(_apply_filters(xstream, chain[:-1]))
+            if arr.shape != (ih, iw):
+                raise ValueError("JPX image size does not match /Width /Height")
         else:
             arr = _gray_array(_decode_stream(xhead, xstream), iw, ih, bpc)
         if quad:  # bring the stored raster into display orientation

@@ -1,0 +1,185 @@
+"""From-scratch JPEG 2000 codec (kernels/jpx.py): lifting, EBCOT, tag
+trees, codestream/JP2 round trips, loud gates, and the PDF /JPXDecode
+scanned-page path."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from doctr_spark.kernels.jpx import (
+    _dec_block,
+    _enc_block,
+    _fwd_dwt,
+    _inv_dwt,
+    _TagTree,
+    _BitIO,
+    decode_jpx,
+    encode_j2k,
+    encode_jp2,
+)
+
+rng = np.random.default_rng(20260817)
+
+
+@pytest.mark.parametrize("shape", [(1, 1), (5, 7), (8, 8), (33, 65), (100, 131)])
+@pytest.mark.parametrize("levels", [0, 1, 2, 3])
+def test_53_dwt_reversible(shape, levels):
+    a = rng.integers(-512, 512, shape).astype(np.int64)
+    ll, highs = _fwd_dwt(a, levels)
+    assert (_inv_dwt(ll, highs) == a).all()
+
+
+@pytest.mark.parametrize("hw", [(4, 4), (7, 5), (64, 64), (13, 64), (64, 1), (1, 64)])
+@pytest.mark.parametrize("orient", [0, 1, 2])
+def test_ebcot_block_roundtrip(hw, orient):
+    h, w = hw
+    c = rng.integers(-200, 201, (h, w)).astype(np.int64)
+    mag = np.abs(c)
+    nb = int(mag.max()).bit_length()
+    m = [int(v) for v in mag.ravel()]
+    chi = [1 if v < 0 else 0 for v in c.ravel()]
+    data = _enc_block(m, chi, w, h, nb, orient)
+    m2, chi2 = _dec_block(data, w, h, nb, orient)
+    assert m2 == m
+    assert all(b == a for a, b, mm in zip(chi, chi2, m) if mm)
+
+
+def test_tag_tree_roundtrip():
+    """Random leaf values code and decode identically through the shared
+    incremental-refinement state."""
+    w, h = 5, 3
+    vals = rng.integers(0, 6, (h, w))
+    enc = _TagTree(w, h)
+    for y in range(h):
+        for x in range(w):
+            enc.set(x, y, int(vals[y, x]))
+    enc.finalize()
+    bio = _BitIO()
+    for y in range(h):
+        for x in range(w):
+            t = 1
+            while True:
+                enc.encode(x, y, t, bio)
+                if enc.done[0][y * w + x]:
+                    break
+                t += 1
+    data = bio.flush_w()
+    dec = _TagTree(w, h)
+    r = _BitIO(data)
+    for y in range(h):
+        for x in range(w):
+            t = 1
+            while not dec.decode(x, y, t, r):
+                t += 1
+            assert dec.value[0][y * w + x] == vals[y, x]
+
+
+@pytest.mark.parametrize("shape", [(8, 8), (65, 100), (130, 257), (1, 1)])
+@pytest.mark.parametrize("levels", [0, 2])
+def test_codestream_lossless_roundtrip(shape, levels):
+    img = rng.integers(0, 256, shape).astype(np.uint8)
+    assert (decode_jpx(encode_j2k(img, levels)) == img).all()
+
+
+def test_jp2_container_roundtrip():
+    img = rng.integers(0, 256, (100, 160)).astype(np.uint8)
+    blob = encode_jp2(img)
+    assert blob[4:8] == b"jP  " and b"jp2c" in blob
+    assert (decode_jpx(blob) == img).all()
+
+
+def test_extreme_images_lossless():
+    """Checkerboards maximize 5/3 coefficient growth — the Mb signalling
+    must still cover every bitplane."""
+    for img in (
+        np.zeros((70, 90), np.uint8),
+        np.full((70, 90), 255, np.uint8),
+        (np.indices((70, 90)).sum(0) % 2 * 255).astype(np.uint8),
+    ):
+        for nl in (0, 1, 2, 3):
+            assert (decode_jpx(encode_j2k(img, nl)) == img).all()
+
+
+def _patch(blob: bytes, marker: bytes, off: int, val: int) -> bytes:
+    i = blob.index(marker)
+    return blob[: i + off] + bytes([val]) + blob[i + off + 1 :]
+
+
+def test_jpx_gates_stay_loud():
+    img = rng.integers(0, 256, (40, 50)).astype(np.uint8)
+    cs = encode_j2k(img, 1)
+    # multi-component (Csiz low byte at seg offset 35)
+    with pytest.raises(NotImplementedError, match="multi-component"):
+        decode_jpx(_patch(cs, b"\xff\x51", 4 + 35, 3))
+    # 16-bit component (Ssiz at seg offset 36)
+    with pytest.raises(NotImplementedError, match="8-bit"):
+        decode_jpx(_patch(cs, b"\xff\x51", 4 + 36, 15))
+    # precincts / SOP (Scod)
+    with pytest.raises(NotImplementedError, match="precincts"):
+        decode_jpx(_patch(cs, b"\xff\x52", 4, 1))
+    # two layers
+    with pytest.raises(NotImplementedError, match="multi-layer"):
+        decode_jpx(_patch(cs, b"\xff\x52", 7, 2))
+    # irreversible 9/7 transform
+    with pytest.raises(NotImplementedError, match="9/7"):
+        decode_jpx(_patch(cs, b"\xff\x52", 13, 0))
+    # selective arithmetic bypass (code-block style)
+    with pytest.raises(NotImplementedError, match="style"):
+        decode_jpx(_patch(cs, b"\xff\x52", 12, 1))
+    # scalar quantization (Sqcd)
+    with pytest.raises(NotImplementedError, match="quantized"):
+        decode_jpx(_patch(cs, b"\xff\x5c", 4, (2 << 5) | 2))
+    with pytest.raises(ValueError):
+        decode_jpx(b"not jpeg2000 at all")
+
+
+def test_pdf_jpx_xobject_roundtrip():
+    from doctr_spark.kernels.pdf import parse_pdf, write_pdf
+
+    img = rng.integers(0, 256, (48, 64)).astype(np.uint8)
+    blob = write_pdf([[]], (48, 64), images={0: [(img, 0, 0)]}, render_mode=3, jpx=True)
+    assert b"/JPXDecode" in blob
+    (page,) = parse_pdf(blob)
+    x, y, arr = page["images"][0]
+    assert (x, y) == (0, 0) and (arr == img).all()
+
+
+def test_pdf_jpx_scan_redetects_words():
+    from doctr_spark.fixtures.pdfdocs import _render_canvas, gen_pdf_page
+    from doctr_spark.kernels.detection import detect_words, extract_crops
+    from doctr_spark.kernels.pdf import rasterize_pdf, write_pdf
+    from doctr_spark.kernels.recognition import recognize_crops_batched
+
+    placements, gt, _ = gen_pdf_page(np.random.default_rng(3))
+    canvas = _render_canvas(placements)
+    blob = write_pdf(
+        [[]], canvas.shape, images={0: [(canvas, 0, 0)]}, render_mode=3, jpx=True
+    )
+    (page,) = rasterize_pdf(blob)
+    assert (page == canvas).all()  # lossless: identical pixels
+    boxes, _, _ = detect_words(page)
+    vals = sorted(v for v, _ in recognize_crops_batched(extract_crops(page, boxes)))
+    assert vals == sorted(gt.replace("\n", " ").split())
+
+
+def test_fixture_jpx_mode_extracts_exact(spark):
+    """Fixture mode 21 (/JPXDecode scan) runs the full Spark extraction
+    path and matches its own ground truth."""
+    import pandas as pd
+
+    from doctr_spark.fixtures.pdfdocs import gen_pdf_conversation
+    from doctr_spark.fixtures.transcripts import TRANSCRIPTS_SCHEMA
+    from doctr_spark.operators.pipeline import extract_documents
+
+    rows, gts = gen_pdf_conversation(21)
+    tdf = spark.createDataFrame(pd.DataFrame(rows), schema=TRANSCRIPTS_SCHEMA)
+    docs = extract_documents(tdf, crop_partitions=4)
+    got = {
+        (r["conv_id"], r["turn_idx"]): (r["extracted_text"], r["n_words"])
+        for r in docs.collect()
+    }
+    assert len(got) == len(gts)
+    for g in gts:
+        text, n_words = got[(g["conv_id"], g["turn_idx"])]
+        assert text == g["gt_text"] and n_words == g["n_words"]
