@@ -120,11 +120,34 @@ _SEEDS: dict[str, str] = {
         "ことです老人は世界の歴史についての本を読みました彼はそれを図書館の"
         "棚で見つけました毎日新しい言葉を学ぶために"
     ),
+    # Hangul is space-separated, so the affix grams work like latin
+    "ko": (
+        "개와 고양이는 하루 종일 이웃집에서 친구와 함께 잠을 잔다 이것은 "
+        "우리가 가진 것에 대한 이야기이며 아이들이 어머니와 함께 정원에서 "
+        "놀고 있을 때 그들이 말한 것이다 노인은 세계의 역사에 관한 책을 "
+        "읽었다 그는 매일 새로운 단어를 배우기 위해 도서관 책장에서 그것을 "
+        "찾았다"
+    ),
+    "tr": (
+        "köpek ve kedi bütün gün komşunun evinde bir arkadaşla uyuyor bu "
+        "bizim sahip olduklarımızın hikayesidir ve çocuklar anneleriyle "
+        "bahçede oynarken söyledikleri şeylerdir yaşlı adam dünyanın tarihi "
+        "hakkında bir kitap okudu onu her gün yeni kelimeler öğrenmek için "
+        "kütüphanenin rafında buldu"
+    ),
+    "hi": (
+        "कुत्ता और बिल्ली पूरे दिन पड़ोसी के घर में एक दोस्त के साथ सोते "
+        "हैं यह उस की कहानी है जो हमारे पास है और जो उन्होंने कहा जब बच्चे "
+        "अपनी मां के साथ बगीचे में खेल रहे थे बूढ़े आदमी ने दुनिया के "
+        "इतिहास के बारे में एक किताब पढ़ी उसने उसे हर दिन नए शब्द सीखने के "
+        "लिए पुस्तकालय की अलमारी पर पाया"
+    ),
 }
 
 # letters of the supported scripts: latin (+ accents block), greek,
-# cyrillic, arabic, han, kana — everything else is a separator
-_CLEAN_RE = re.compile(r"[^a-zÀ-ɏα-ωά-ώа-яё'؀-ۿ぀-ヿ一-鿿]+")
+# cyrillic, arabic, devanagari, han, kana, hangul — everything else is
+# a separator
+_CLEAN_RE = re.compile(r"[^a-zÀ-ɏα-ωά-ώа-яё'؀-ۿऀ-ॿ぀-ヿ一-鿿가-힣]+")
 
 
 def _ngrams(text: str) -> Counter:
