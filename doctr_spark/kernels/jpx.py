@@ -800,6 +800,12 @@ def decode_jpx(data: bytes) -> np.ndarray:
                     t = 1
                     while not zbp.decode(cx, cy, t, bio):
                         t += 1
+                        if t > mb + 2:  # truncated header: the reader
+                            # yields 0-bits past EOF, which would spin
+                            raise ValueError(
+                                "zero-bitplane count exceeds the signalled Mb "
+                                "(corrupt or truncated packet header)"
+                            )
                     zb = zbp.value[0][cy * gx + cx]
                     npasses = _read_npasses(bio)
                     lblock = 3

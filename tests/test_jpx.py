@@ -4,6 +4,8 @@ scanned-page path."""
 
 from __future__ import annotations
 
+import struct
+
 import numpy as np
 import pytest
 
@@ -183,3 +185,23 @@ def test_fixture_jpx_mode_extracts_exact(spark):
     for g in gts:
         text, n_words = got[(g["conv_id"], g["turn_idx"])]
         assert text == g["gt_text"] and n_words == g["n_words"]
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_jpx_fuzz_rejects_never_hangs(seed):
+    """Corrupted codestreams (random byte flips in a valid stream, and
+    pure noise) must raise quickly — the quarantine path in decode
+    depends on failures being exceptions, not hangs."""
+    r = np.random.default_rng(seed)
+    img = r.integers(0, 256, (24, 30)).astype(np.uint8)
+    cs = bytearray(encode_j2k(img, 1))
+    for _ in range(12):
+        i = int(r.integers(4, len(cs)))
+        cs[i] ^= int(r.integers(1, 256))
+    try:
+        out = decode_jpx(bytes(cs))
+        assert out.dtype == np.uint8  # a lucky flip may still decode
+    except (ValueError, NotImplementedError, IndexError, KeyError, struct.error):
+        pass
+    with pytest.raises(Exception):
+        decode_jpx(bytes(r.integers(0, 256, 200).astype(np.uint8)))
