@@ -98,9 +98,11 @@ def gen_pdf_conversation(conv_no: int, seed: int = 42) -> tuple[list[dict], list
         # word-processor layout), and a bare-ToUnicode simple font (the
         # LaTeX subset layout) — in all three the string bytes are
         # remapped codes, so only the encoding layer recovers the text —
-        # and JPEG 2000 (/JPXDecode, T.800 lossless 5/3) scans, the
-        # archival-scanner layout
-        mode = (conv_no + t) % 22
+        # JPEG 2000 (/JPXDecode, T.800 lossless 5/3) scans, the
+        # archival-scanner layout, and MIXED-font pages (/F1 unencoded +
+        # /F2 Identity-H alternating word by word — the every-real-PDF
+        # construct: the reader must re-resolve the decoder at each Tf)
+        mode = (conv_no + t) % 23
         scan = mode in (6, 7, 8, 9, 10, 12, 14, 16, 17, 21)
         scale = 2 if mode == 5 else 1
         rotate = (90, 180, 270)[conv_no % 3] if mode == 7 else 0
@@ -144,7 +146,9 @@ def gen_pdf_conversation(conv_no: int, seed: int = 42) -> tuple[list[dict], list
             ctm_rotate=(90, 180, 270)[conv_no % 3] if mode == 16 else 0,
             inline_images=mode == 10,
             form_wrap=mode == 11,
-            font_kind={18: "type0", 19: "differences", 20: "tounicode"}.get(mode, "type1"),
+            font_kind={
+                18: "type0", 19: "differences", 20: "tounicode", 22: "mixed"
+            }.get(mode, "type1"),
         )
         if mode == 13:
             blob = encrypt_pdf(blob, "rc4-128")

@@ -201,6 +201,7 @@ def _content_ops(
     char_spacing: float = 0.0,
     render_mode: int = 0,
     tokenizer=None,
+    mixed: bool = False,
 ) -> bytes:
     """One page's text operators. ``use_tj`` groups each baseline run into
     a single ``[…] TJ`` array whose kerning numbers carry the inter-word
@@ -267,6 +268,15 @@ def _content_ops(
                 rest, cur = run, float(x0)
             if rest:
                 ops.append(tj_elems(rest, cur).encode("latin-1"))
+    elif mixed:
+        # alternate the unencoded /F1 and the Identity-H /F2 word by
+        # word: the reader must re-resolve the decoder at every Tf
+        for i, (x, y_top, word) in enumerate(sorted(words, key=lambda p: (p[1], p[0]))):
+            pdf_y = h - int(y_top) - GLYPH_H * scale
+            fnt, tok = ("F2", mk(word)) if i % 2 else ("F1", _mk_str(word, hex_strings))
+            ops.append(
+                f"/{fnt} {font_size} Tf 1 0 0 1 {int(x)} {pdf_y} Tm {tok} Tj".encode("latin-1")
+            )
     elif not use_tj:
         for x, y_top, word in words:
             pdf_y = h - int(y_top) - GLYPH_H * scale
@@ -408,8 +418,12 @@ def write_pdf(
     # -- font-encoding construct: code assignment + string tokenizer
     from .pdfenc import assign_codes, glyph_name, winansi_table
 
-    if font_kind not in ("type1", "winansi", "macroman", "differences", "tounicode", "type0"):
+    if font_kind not in (
+        "type1", "winansi", "macroman", "differences", "tounicode", "type0", "mixed"
+    ):
         raise ValueError(f"unknown font_kind {font_kind!r}")
+    if font_kind == "mixed" and (use_tj or line_ops):
+        raise ValueError("font_kind='mixed' takes the per-word Tm layout only")
     charset = sorted({c for pg in pages for _, _, wd in pg for c in wd})
     code_of: dict[str, int] | None = None
     tokenizer = None
@@ -421,8 +435,8 @@ def write_pdf(
         )
         inv = {c: i for i, c in enumerate(table) if c != "�"}
         tokenizer = lambda wd: "<" + bytes(inv[c] for c in wd).hex().upper() + ">"  # noqa: E731
-    elif font_kind in ("differences", "tounicode", "type0"):
-        two = font_kind == "type0"
+    elif font_kind in ("differences", "tounicode", "type0", "mixed"):
+        two = font_kind in ("type0", "mixed")
         code_of = assign_codes(set(charset), two)
         hexw = 4 if two else 2
         tokenizer = (  # noqa: E731
@@ -551,6 +565,7 @@ def write_pdf(
                 char_spacing=char_spacing,
                 render_mode=render_mode,
                 tokenizer=tokenizer,
+                mixed=font_kind == "mixed",
             )
             oid = k + 1 + len(img_objs)
             img_objs.append(
@@ -561,7 +576,7 @@ def write_pdf(
             )
             img_res.setdefault(i, []).append(b"/Fm%d %d 0 R" % (oid, oid))
     cmap_id = None
-    if font_kind in ("tounicode", "type0"):
+    if font_kind in ("tounicode", "type0", "mixed"):
         # the ToUnicode CMap is a STREAM object, so it lives beside the
         # images/forms (stream objects cannot enter an ObjStm, §7.5.7)
         from .pdfenc import build_tounicode_cmap
@@ -592,6 +607,7 @@ def write_pdf(
                 char_spacing=char_spacing,
                 render_mode=render_mode,
                 tokenizer=tokenizer,
+                mixed=font_kind == "mixed",
             )
         if i in img_ops:
             raw = b"\n".join(img_ops[i] + [raw])
@@ -610,7 +626,7 @@ def write_pdf(
     # placed AFTER every already-allocated id so both xref layouts stay
     # contiguous; classic files with indirect lengths reserve those first
     extra_id = k + m + 4 + (2 if indirect_length else 1) * len(pages)
-    if font_kind == "type1":
+    if font_kind in ("type1", "mixed"):
         font_obj = b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
     elif font_kind in ("winansi", "macroman"):
         font_obj = (
@@ -649,14 +665,23 @@ def write_pdf(
             b"<< /Type /Encoding /BaseEncoding /WinAnsiEncoding "
             b"/Differences [ %d %s ] >>" % (min(code_of.values(), default=33), names)
         )
-    elif font_kind == "type0":
+    elif font_kind in ("type0", "mixed"):
         dict_objs[extra_id] = (
             b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /AAAAAA+Helvetica "
             b"/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) "
             b"/Supplement 0 >> /DW 1000 >>"
         )
+        if font_kind == "mixed":  # /F2: the composite font beside /F1
+            dict_objs[extra_id + 1] = (
+                b"<< /Type /Font /Subtype /Type0 /BaseFont /AAAAAA+Helvetica "
+                b"/Encoding /Identity-H /DescendantFonts [%d 0 R] "
+                b"/ToUnicode %d 0 R >>" % (extra_id, cmap_id)
+            )
     for pi, (pid, cid) in enumerate(zip(page_ids, range(1, k + 1))):
-        res = b"/Font << /F1 %d 0 R >>" % font_id
+        if font_kind == "mixed":
+            res = b"/Font << /F1 %d 0 R /F2 %d 0 R >>" % (font_id, extra_id + 1)
+        else:
+            res = b"/Font << /F1 %d 0 R >>" % font_id
         if pi in img_res:
             res += b" /XObject << %s >>" % b" ".join(img_res[pi])
         dict_objs[pid] = (

@@ -1078,3 +1078,38 @@ def test_macroman_encoding_decodes():
     assert page["words"][0][2] == "café†"
     classic = write_pdf([[(10, 10, "cafex")]], (60, 160))
     assert _placements(blob)[0][:2] == _placements(classic)[0][:2]
+
+
+@pytest.mark.parametrize("layout", [{}, {"pdf15": True}, {"compress": True}])
+def test_mixed_fonts_switch_decoder_per_tf(layout):
+    """/F1 (unencoded) and /F2 (Identity-H + ToUnicode) alternate word by
+    word on ONE page — the every-real-PDF construct: the reader must
+    re-resolve the string decoder at each Tf."""
+    pages = [[(20, 30, "hello"), (80, 30, "world42"), (20, 55, "mix"), (70, 55, "fonts")]]
+    blob = write_pdf(pages, (200, 320), font_kind="mixed", **layout)
+    assert b"/F2" in blob
+    assert _placements(blob) == _placements(write_pdf(pages, (200, 320)))
+    with pytest.raises(ValueError, match="per-word Tm"):
+        write_pdf(pages, (200, 320), font_kind="mixed", use_tj=True)
+
+
+def test_fixture_mixed_font_mode_extracts_exact(spark):
+    """Fixture mode 22 (mixed fonts) through the full Spark extraction
+    path, exact against its own ground truth."""
+    import pandas as pd
+
+    from doctr_spark.fixtures.pdfdocs import gen_pdf_conversation
+    from doctr_spark.fixtures.transcripts import TRANSCRIPTS_SCHEMA
+    from doctr_spark.operators.pipeline import extract_documents
+
+    rows, gts = gen_pdf_conversation(22)
+    tdf = spark.createDataFrame(pd.DataFrame(rows), schema=TRANSCRIPTS_SCHEMA)
+    docs = extract_documents(tdf, crop_partitions=4)
+    got = {
+        (r["conv_id"], r["turn_idx"]): (r["extracted_text"], r["n_words"])
+        for r in docs.collect()
+    }
+    assert len(got) == len(gts)
+    for g in gts:
+        text, n_words = got[(g["conv_id"], g["turn_idx"])]
+        assert text == g["gt_text"] and n_words == g["n_words"]
