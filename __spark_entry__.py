@@ -233,12 +233,18 @@ FROM read_parquet('{ORACLE_SCRATCH}/pdf_gt/*.parquet')
 
 def ocr_extract_pdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL ``%PDF-`` input end to end: payloads are genuine PDF byte
-    streams (page tree, MediaBox, BT/Tm/Td/Tj content streams, alternating
-    raw and /FlateDecode) written and parsed by the from-scratch codec
-    (`kernels/pdf.py`, public PDF 1.4 spec — the same approach as the MAT
-    v5 codec), rasterized in the glyph font and pushed through the full
-    pipeline. Oracle = the generator's word layout. PDFs beyond the codec
-    subset (encryption, exotic filters) still fail loudly (reference
+    streams written and parsed by the from-scratch codecs (`kernels/
+    {pdf,pdfenc,pdfcrypt,jpeg,ccitt,jbig2,jpx}.py`, public ISO/ITU specs),
+    rasterized in the glyph font and pushed through the full pipeline.
+    The fixture cycles 23 writer layouts: raw/Flate/LZW/A85/RunLength/
+    AHx streams, TJ kerning, Tf scaling, PDF 1.5 object+xref streams,
+    scanned pages as 1/8-bit, JPEG (baseline+progressive), CCITT G4,
+    JBIG2, and JPEG 2000 image XObjects, inline images, form XObjects,
+    /Rotate and CTM-rotated sideways scans, RC4/AES-128/AES-256
+    encryption, and the §9.6-9.10 font-encoding layer (Type0/Identity-H
+    ToUnicode CMaps, /Differences, bare-ToUnicode, mixed fonts). Oracle =
+    the generator's word layout. PDFs beyond the subset (non-empty
+    passwords, Type3 fonts, skewed CTMs) still fail loudly (reference
     swap-in point: pypdfium2, `doctr/io/pdf.py:16-43`)."""
     from doctr_spark.fixtures.pdfdocs import generate_pdf_transcripts
 

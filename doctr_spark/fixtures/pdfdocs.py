@@ -149,6 +149,9 @@ def gen_pdf_conversation(conv_no: int, seed: int = 42) -> tuple[list[dict], list
             font_kind={
                 18: "type0", 19: "differences", 20: "tounicode", 22: "mixed"
             }.get(mode, "type1"),
+            # declared metrics ride along on the kerned-TJ mode (simple
+            # /Widths drive the §9.4.4 advance) and the Type0 mode (/W)
+            declare_widths=mode in (2, 18),
         )
         if mode == 13:
             blob = encrypt_pdf(blob, "rc4-128")

@@ -89,7 +89,7 @@ import zlib
 
 import numpy as np
 
-from ..config import GLYPH_H
+from ..config import GLYPH_H, GLYPH_W
 
 BASE_FONT_SIZE = 12  # Tf size that renders the glyph font at scale 1
 
@@ -342,6 +342,7 @@ def write_pdf(
     inline_images: bool = False,
     form_wrap: bool = False,
     font_kind: str = "type1",
+    declare_widths: bool = False,
 ) -> bytes:
     """Write a real PDF; ``pages`` holds per-page ``(x, y_top, word)``
     placements in top-down pixel space (at the glyph scale implied by
@@ -392,7 +393,14 @@ def write_pdf(
     - ``"type0"``: the modern-generator (Chrome/LibreOffice) composite
       layout — ``/Type0`` + ``/Encoding /Identity-H`` + CIDFontType2
       descendant; every glyph is a TWO-byte CID (chosen past 0x0100)
-      resolved through the ToUnicode CMap."""
+      resolved through the ToUnicode CMap.
+    - ``"mixed"``: ``/F1`` (unencoded) and ``/F2`` (Identity-H)
+      alternating word by word on the same page.
+
+    ``declare_widths=True`` additionally declares the glyph metrics the
+    way real fonts do — ``/FirstChar``+``/Widths`` on simple fonts, ``/W``
+    on the CID descendant (both array and range forms) — so the reader
+    advances by the §9.4.4 width math instead of its built-in metrics."""
     if font_size % BASE_FONT_SIZE:
         raise ValueError("font_size must be an integer multiple of 12 (glyph scale)")
     if stream_filter is None:
@@ -427,6 +435,7 @@ def write_pdf(
     charset = sorted({c for pg in pages for _, _, wd in pg for c in wd})
     code_of: dict[str, int] | None = None
     tokenizer = None
+    simple_codes: list[int] = [ord(c) for c in charset if ord(c) < 256]
     if font_kind in ("winansi", "macroman"):
         table = (
             winansi_table()
@@ -434,6 +443,7 @@ def write_pdf(
             else [bytes([c]).decode("mac_roman") for c in range(256)]
         )
         inv = {c: i for i, c in enumerate(table) if c != "�"}
+        simple_codes = [inv[c] for c in charset]
         tokenizer = lambda wd: "<" + bytes(inv[c] for c in wd).hex().upper() + ">"  # noqa: E731
     elif font_kind in ("differences", "tounicode", "type0", "mixed"):
         two = font_kind in ("type0", "mixed")
@@ -442,6 +452,8 @@ def write_pdf(
         tokenizer = (  # noqa: E731
             lambda wd: "<" + "".join("%0*X" % (hexw, code_of[c]) for c in wd) + ">"
         )
+        if font_kind in ("differences", "tounicode"):  # simple remapped
+            simple_codes = sorted(code_of.values())
         if font_kind == "differences":  # names must exist up front
             for c in charset:
                 glyph_name(c)
@@ -626,23 +638,53 @@ def write_pdf(
     # placed AFTER every already-allocated id so both xref layouts stay
     # contiguous; classic files with indirect lengths reserve those first
     extra_id = k + m + 4 + (2 if indirect_length else 1) * len(pages)
+    # declared glyph metrics: the monospaced glyph cell in 1000-unit space
+    glyph_units = _fmt_num(GLYPH_W * 1000.0 / BASE_FONT_SIZE).encode("ascii")
+
+    def _simple_widths(codes: list[int]) -> bytes:
+        if not (declare_widths and codes):
+            return b""
+        lo, hi = min(codes), max(codes)
+        return b" /FirstChar %d /Widths [ %s ]" % (
+            lo,
+            b" ".join([glyph_units] * (hi - lo + 1)),
+        )
+
+    def _cid_w() -> bytes:
+        if not (declare_widths and code_of):
+            return b""
+        cids = sorted(code_of.values())
+        if len(cids) == 1:
+            return b" /W [ %d [%s] ]" % (cids[0], glyph_units)
+        # first CID in the array form, the rest as one range — both
+        # §9.7.4.3 forms appear in one table
+        return b" /W [ %d [%s] %d %d %s ]" % (
+            cids[0], glyph_units, cids[1], cids[-1], glyph_units
+        )
+
     if font_kind in ("type1", "mixed"):
-        font_obj = b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+        font_obj = (
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica%s >>"
+            % _simple_widths(simple_codes)
+        )
     elif font_kind in ("winansi", "macroman"):
         font_obj = (
             b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
-            b"/Encoding /%sEncoding >>"
-            % (b"WinAnsi" if font_kind == "winansi" else b"MacRoman")
+            b"/Encoding /%sEncoding%s >>"
+            % (
+                b"WinAnsi" if font_kind == "winansi" else b"MacRoman",
+                _simple_widths(simple_codes),
+            )
         )
     elif font_kind == "differences":
         font_obj = (
             b"<< /Type /Font /Subtype /Type1 /BaseFont /AAAAAA+Helvetica "
-            b"/Encoding %d 0 R >>" % extra_id
+            b"/Encoding %d 0 R%s >>" % (extra_id, _simple_widths(simple_codes))
         )
     elif font_kind == "tounicode":
         font_obj = (
             b"<< /Type /Font /Subtype /Type1 /BaseFont /AAAAAA+Helvetica "
-            b"/ToUnicode %d 0 R >>" % cmap_id
+            b"/ToUnicode %d 0 R%s >>" % (cmap_id, _simple_widths(simple_codes))
         )
     else:  # type0
         font_obj = (
@@ -666,10 +708,12 @@ def write_pdf(
             b"/Differences [ %d %s ] >>" % (min(code_of.values(), default=33), names)
         )
     elif font_kind in ("type0", "mixed"):
+        # /DW must agree with the kern math (§9.7.4.3): a reader advances
+        # by the DECLARED default width, so declare the true glyph cell
         dict_objs[extra_id] = (
             b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /AAAAAA+Helvetica "
             b"/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) "
-            b"/Supplement 0 >> /DW 1000 >>"
+            b"/Supplement 0 >> /DW %s%s >>" % (glyph_units, _cid_w())
         )
         if font_kind == "mixed":  # /F2: the composite font beside /F1
             dict_objs[extra_id + 1] = (
@@ -1533,11 +1577,74 @@ def _tounicode_map(fhead: bytes, objs: dict) -> dict[int, str] | None:
     return parse_tounicode(_decode_stream(chead, cstream))
 
 
+def _parse_w_array(fhead: bytes, objs: dict) -> dict[int, float] | None:
+    """CIDFont /W widths (§9.7.4.3): both the ``c [w1 w2 ...]`` and the
+    ``c1 c2 w`` range forms. Returns cid -> width (1000-unit space)."""
+    dm = re.search(rb"/DescendantFonts\s*\[\s*(\d+)\s+0\s+R\s*\]", fhead)
+    if not dm:
+        return None
+    dhead = objs[int(dm.group(1))][0]
+    wm = re.search(rb"/W\s*\[", dhead)
+    dwm = re.search(rb"/DW\s+(" + _NUM + rb")", dhead)
+    dw = float(dwm.group(1)) if dwm else 1000.0
+    widths: dict[int, float] = {}
+    widths[-1] = dw  # default slot
+    if not wm:
+        return widths
+    # bracket-matched scan of the outer array (arrays nest one level)
+    depth, i = 1, wm.end()
+    start = i
+    while depth and i < len(dhead):
+        if dhead[i : i + 1] == b"[":
+            depth += 1
+        elif dhead[i : i + 1] == b"]":
+            depth -= 1
+        i += 1
+    body = dhead[start : i - 1]
+    toks = re.findall(rb"\[|\]|" + _NUM, body)
+    p = 0
+    while p < len(toks):
+        c = int(float(toks[p]))
+        if p + 1 < len(toks) and toks[p + 1] == b"[":
+            q = p + 2
+            k = 0
+            while toks[q] != b"]":
+                widths[c + k] = float(toks[q])
+                k += 1
+                q += 1
+            p = q + 1
+        else:
+            c2, w = int(float(toks[p + 1])), float(toks[p + 2])
+            for cid in range(c, c2 + 1):
+                widths[cid] = w
+            p += 3
+    return widths
+
+
+def _parse_simple_widths(fhead: bytes, objs: dict) -> dict[int, float] | None:
+    """Simple-font /FirstChar + /Widths (§9.6.2); indirect arrays resolve."""
+    fm = re.search(rb"/FirstChar\s+(\d+)", fhead)
+    wm = re.search(rb"/Widths\s*(?:\[(.*?)\]|(\d+)\s+0\s+R)", fhead, re.DOTALL)
+    if not fm or not wm:
+        return None
+    body = wm.group(1)
+    if body is None:
+        ref = objs[int(wm.group(2))][0]
+        body = re.search(rb"\[(.*?)\]", ref, re.DOTALL).group(1)
+    first = int(fm.group(1))
+    return {first + i: float(v) for i, v in enumerate(re.findall(_NUM, body))}
+
+
 def _make_font_decoder(num: int, objs: dict):
-    """Font object -> ``decode(bytes) -> str`` per §9.6-9.10: composite
-    /Type0 Identity-H fonts read TWO-byte CIDs through their /ToUnicode
-    CMap; simple fonts read one byte at a time through base encoding +
-    /Differences, with /ToUnicode taking precedence where it maps."""
+    """Font object -> ``(decode, advance)`` per §9.6-9.10: ``decode``
+    maps string bytes to text (composite /Type0 Identity-H fonts read
+    TWO-byte CIDs through their /ToUnicode CMap; simple fonts read one
+    byte at a time through base encoding + /Differences, with /ToUnicode
+    taking precedence where it maps). ``advance`` is None (use the
+    engine's glyph metrics — fonts without width entries) or a callable
+    ``raw -> (glyph_space_units, n_glyphs, n_wordspaces)`` built from the
+    declared /Widths (simple) or /W + /DW (CID) tables — the §9.4.4
+    displacement math real readers apply."""
     from .pdfenc import AGL
 
     fhead, _ = objs[num]
@@ -1570,7 +1677,19 @@ def _make_font_decoder(num: int, objs: dict):
                     ) from None
             return "".join(out)
 
-        return decode_cid
+        cid_w = _parse_w_array(fhead, objs)
+        adv_cid = None
+        if cid_w is not None:
+
+            def adv_cid(raw: bytes):
+                units = 0.0
+                for i in range(0, len(raw), 2):
+                    cid = (raw[i] << 8) | raw[i + 1]
+                    units += cid_w.get(cid, cid_w[-1])
+                # Tw never applies to 2-byte codes (§9.3.3)
+                return units, len(raw) // 2, 0
+
+        return decode_cid, adv_cid
     if subtype == b"Type3":
         raise NotImplementedError("Type3 fonts are outside the codec subset")
 
@@ -1603,7 +1722,17 @@ def _make_font_decoder(num: int, objs: dict):
             return "".join(cmap.get(b) or table[b] for b in raw)
         return "".join(table[b] for b in raw)
 
-    return decode_simple
+    sw = _parse_simple_widths(fhead, objs)
+    adv_simple = None
+    if sw is not None:
+
+        def adv_simple(raw: bytes):
+            units = 0.0
+            for b in raw:
+                units += sw.get(b, 0.0)
+            return units, len(raw), raw.count(0x20)
+
+    return decode_simple, adv_simple
 
 
 def _font_decoders(head: bytes, objs: dict, cache: dict) -> dict[bytes, object]:
@@ -1933,6 +2062,7 @@ def _parse_content(
     render_mode = 0
     fonts = fonts or {}
     decoder = None  # None = the latin-1 identity (unencoded simple font)
+    advancer = None  # None = the engine's glyph metrics
 
     def show(tok: bytes) -> None:
         """Show a string token at the current position, then advance
@@ -1949,7 +2079,11 @@ def _parse_content(
         scale = size / BASE_FONT_SIZE
         if render_mode != 3:
             words.append((x, h - y - GLYPH_H * scale, text, size))
-        x += word_width(text) * scale + len(text) * tc + text.count(" ") * tw
+        if advancer is not None:  # declared /Widths: §9.4.4 math
+            units, nglyphs, nspaces = advancer(raw)
+            x += units / 1000.0 * size + nglyphs * tc + nspaces * tw
+        else:
+            x += word_width(text) * scale + len(text) * tc + text.count(" ") * tw
 
     def next_line() -> None:
         nonlocal lx, ly, x, y
@@ -1975,7 +2109,7 @@ def _parse_content(
             size = float(g["tf"])
             fname = g["tfname"]
             if fname in fonts:
-                decoder = fonts[fname]
+                decoder, advancer = fonts[fname]
             elif fonts:
                 raise ValueError(
                     f"Tf references font /{fname.decode()} absent from /Resources"

@@ -1113,3 +1113,41 @@ def test_fixture_mixed_font_mode_extracts_exact(spark):
     for g in gts:
         text, n_words = got[(g["conv_id"], g["turn_idx"])]
         assert text == g["gt_text"] and n_words == g["n_words"]
+
+
+@pytest.mark.parametrize(
+    "kind", ["type1", "winansi", "macroman", "differences", "tounicode", "type0", "mixed"]
+)
+def test_declared_widths_reproduce_placements(kind):
+    """/FirstChar+/Widths (simple) and /W (CID, array + range forms)
+    drive the §9.4.4 advance; declaring the glyph metrics must land every
+    word exactly where the metric-free layout does — including under TJ
+    kerning, where the advance error would accumulate."""
+    classic = write_pdf(PAGE, (100, 260))
+    use_tj = kind not in ("mixed",)
+    blob = write_pdf(PAGE, (100, 260), font_kind=kind, declare_widths=True, use_tj=use_tj)
+    assert b"/Widths" in blob or b"/W [" in blob
+    assert _placements(blob) == _placements(classic)
+
+
+def test_foreign_widths_are_honored_over_glyph_metrics():
+    """A font whose declared widths DIFFER from the engine's glyph cell:
+    the reader must advance by the declared value, not its own metrics —
+    the construct every externally-written PDF brings."""
+    from doctr_spark.config import GLYPH_W
+    from doctr_spark.kernels.pdf import BASE_FONT_SIZE
+
+    # two words in one TJ run: the second lands at first + advance + kern
+    raw = write_pdf(
+        [[(10, 10, "ab"), (18, 10, "cd")]], (60, 160), declare_widths=True, use_tj=True
+    )
+    base = {t: x for x, _y, t, _s in parse_pdf(raw)[0]["words"]}
+    assert round(base["cd"] - base["ab"]) == 8  # 2 glyphs * GLYPH_W=4
+    # double every declared width: 'cd' must land 2x as far from 'ab'
+    units = f"{GLYPH_W * 1000.0 / BASE_FONT_SIZE:.10f}".rstrip("0").rstrip(".")
+    doubled = raw.replace(
+        units.encode(), str(2 * GLYPH_W * 1000 // BASE_FONT_SIZE).encode()
+    )
+    assert doubled != raw
+    far = {t: x for x, _y, t, _s in parse_pdf(doubled)[0]["words"]}
+    assert round(far["cd"] - far["ab"]) == 16
