@@ -34,12 +34,46 @@ _PAYLOAD_RE = re.compile(r"<doc:(html|img|pdf)>(.*?)</doc:\1>", re.DOTALL)
 _BOILERPLATE_RE = re.compile(
     r"<(header|footer|nav|script|style|aside)\b[^>]*>.*?</\1>", re.DOTALL | re.IGNORECASE
 )
-_BLOCK_RE = re.compile(r"<(p|h1|h2|h3|li|td|div)\b[^>]*>(.*?)</\1>", re.DOTALL | re.IGNORECASE)
+_COMMENT_RE = re.compile(r"<!--.*?-->", re.DOTALL)
+_BLOCK_RE = re.compile(
+    r"<(p|h1|h2|h3|li|td|div)\b([^>]*)>(.*?)</\1>", re.DOTALL | re.IGNORECASE
+)
+# class/id furniture: the readability/jusText-style attribute heuristic —
+# blocks tagged as chrome are boilerplate whatever their element is
+_FURNITURE_ATTR_RE = re.compile(
+    r'(?:class|id)\s*=\s*"[^"]*'
+    r"(?:nav|menu|sidebar|footer|header|banner|cookie|advert|\bads?\b|social|promo)"
+    r'[^"]*"',
+    re.IGNORECASE,
+)
 _TAG_RE = re.compile(r"<[^>]+>")
 
 
-def make_html_payload(paragraphs: list[list[str]], with_boilerplate: bool = True) -> str:
-    body = "".join(f"<p>{' '.join(words)}</p>" for words in paragraphs)
+def make_html_payload(
+    paragraphs: list[list[str]], with_boilerplate: bool = True, clutter: int = 0
+) -> str:
+    """``clutter`` grades the page up toward real-web markup: 1 adds HTML
+    comments (including a commented-out block that must NOT extract) and
+    class/id-tagged furniture divs; 2 additionally entity-encodes the
+    first character of every word (&#NN;) and joins some words with
+    &nbsp; — the decoder must unescape to recover the text."""
+
+    def enc(words: list[str]) -> str:
+        if clutter < 2:
+            return " ".join(words)
+        out = [f"&#{ord(w[0])};{w[1:]}" for w in words]
+        sep = "&nbsp;" if len(out) > 1 else " "
+        return out[0] + sep + " ".join(out[1:])
+
+    body = "".join(f"<p>{enc(words)}</p>" for words in paragraphs)
+    if clutter >= 1:
+        body = (
+            '<!-- build 1234 --><!-- <p>commented out text</p> -->'
+            '<div class="sidebar related"><li>related links</li></div>'
+            + body
+            + '<div id="cookie-banner"><p>accept all cookies</p></div>'
+            '<td class="social-share">share buttons</td>'
+        )
     if with_boilerplate:
         body = (
             "<header>site nav chrome</header><nav><li>home</li></nav>"
@@ -75,11 +109,18 @@ def strip_boilerplate(html: str) -> str:
 
 
 def html_to_paragraphs(html: str) -> list[list[str]]:
-    """Main-content extraction: boilerplate strip -> block elements -> words."""
+    """Main-content extraction: comments out first (a commented-out block
+    must not extract), furniture subtrees stripped, class/id-tagged chrome
+    blocks dropped, block elements -> entity-unescaped words."""
+    import html as _html
+
+    html = _COMMENT_RE.sub("", html)
     html = strip_boilerplate(html)
     paragraphs = []
-    for _tag, inner in _BLOCK_RE.findall(html):
-        text = _TAG_RE.sub(" ", inner)
+    for _tag, attrs, inner in _BLOCK_RE.findall(html):
+        if _FURNITURE_ATTR_RE.search(attrs):
+            continue
+        text = _html.unescape(_TAG_RE.sub(" ", inner))
         words = text.split()
         if words:
             paragraphs.append(words)

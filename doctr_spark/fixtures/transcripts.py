@@ -112,7 +112,9 @@ def gen_conversation(
                 payload = make_img_payload(pages[0].canvas)
             elif kind < 0.45:
                 paragraphs = _rand_paragraphs(rng)
-                payload = make_html_payload(paragraphs)
+                # cycle the real-web clutter grades: comments +
+                # class/id furniture, entity-encoded text (&#NN;/&nbsp;)
+                payload = make_html_payload(paragraphs, clutter=int(rng.integers(0, 3)))
                 pages = layout_paragraphs(paragraphs)  # decode replays this
             elif kind < 0.65:
                 paragraphs = _rand_paragraphs(rng, max_paras=2)

@@ -117,3 +117,23 @@ def test_mixed_payload_kinds_in_one_turn():
     assert len(pages) == 3
     assert pages[1].shape == (40, 60) and np.array_equal(pages[1], img)
     assert pages[2].shape == (50, 90) and pages[2].sum() > 0
+
+
+def test_html_clutter_grades_decode_clean():
+    """Comments (incl. a commented-out block), class/id furniture, and
+    entity-encoded text (&#NN;, &nbsp;, &amp;) all decode to the same
+    main content the clean page yields."""
+    from doctr_spark.fixtures.payloads import _PAYLOAD_RE
+
+    paras = [["hello", "world42"], ["second", "para", "x9"]]
+    for clutter in (0, 1, 2):
+        payload = make_html_payload(paras, clutter=clutter)
+        body = _PAYLOAD_RE.findall(payload)[0][1]
+        assert html_to_paragraphs(body) == paras, clutter
+    adversarial = (
+        "<html><body><!--<p>ghost block</p>-->"
+        '<p>a &amp; b</p><td class="ads-top">buy now</td>'
+        '<div id="cookie-banner"><p>accept</p></div>'
+        "<p>w1&nbsp;w2</p></body></html>"
+    )
+    assert html_to_paragraphs(adversarial) == [["a", "&", "b"], ["w1", "w2"]]
