@@ -70,6 +70,7 @@ def make_html_payload(
         body = (
             '<!-- build 1234 --><!-- <p>commented out text</p> -->'
             '<div class="sidebar related"><li>related links</li></div>'
+            '<p><a href="/a">one</a> <a href="/b">two</a> <a href="/c">three</a></p>'
             + body
             + '<div id="cookie-banner"><p>accept all cookies</p></div>'
             '<td class="social-share">share buttons</td>'
@@ -122,8 +123,14 @@ def html_to_paragraphs(html: str) -> list[list[str]]:
             continue
         text = _html.unescape(_TAG_RE.sub(" ", inner))
         words = text.split()
-        if words:
-            paragraphs.append(words)
+        if not words:
+            continue
+        # link-density heuristic (jusText-style): a short block that is
+        # mostly anchors is navigation, not content
+        n_links = len(re.findall(r"<a\b", inner, re.IGNORECASE))
+        if n_links >= 2 and len(words) < 3 * n_links:
+            continue
+        paragraphs.append(words)
     return paragraphs
 
 

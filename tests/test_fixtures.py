@@ -137,3 +137,12 @@ def test_html_clutter_grades_decode_clean():
         "<p>w1&nbsp;w2</p></body></html>"
     )
     assert html_to_paragraphs(adversarial) == [["a", "&", "b"], ["w1", "w2"]]
+
+
+def test_html_link_density_blocks_drop():
+    """A short block that is mostly anchors (a nav strip) is boilerplate;
+    a prose paragraph that happens to contain links survives."""
+    navish = '<html><body><p><a href="/x">home</a> <a href="/y">about</a></p>' \
+             "<p>real prose with a <a href='/z'>single link</a> and many more words here</p></body></html>"
+    out = html_to_paragraphs(navish)
+    assert len(out) == 1 and out[0][:3] == ["real", "prose", "with"]

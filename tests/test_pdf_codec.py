@@ -1151,3 +1151,20 @@ def test_foreign_widths_are_honored_over_glyph_metrics():
     assert doubled != raw
     far = {t: x for x, _y, t, _s in parse_pdf(doubled)[0]["words"]}
     assert round(far["cd"] - far["ab"]) == 16
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_pdf_fuzz_rejects_never_hangs(seed):
+    """Random byte flips in a valid PDF must parse or raise quickly —
+    never hang; the extraction quarantine depends on it."""
+    import numpy as _np
+
+    r = _np.random.default_rng(seed)
+    blob = bytearray(write_pdf(PAGE, (100, 260), compress=True))
+    for _ in range(10):
+        i = int(r.integers(5, len(blob)))
+        blob[i] ^= int(r.integers(1, 256))
+    try:
+        parse_pdf(bytes(blob))
+    except Exception:
+        pass  # loud rejection is the contract; hanging is the bug
