@@ -3,8 +3,9 @@
 Image/audio/video payloads are carried as `binary` columns with struct
 metadata; decode / feature-extract run as Arrow-batched `mapInPandas`
 kernels. The page-image codec is real (it is the engine's own raster
-format), as are PNG (`kernels.png`, pure-stdlib) and baseline +
-progressive JPEG (`kernels.jpeg`, from-scratch T.81 incl. Annex G).
+format), as are PNG (`kernels.png`, pure-stdlib), baseline + progressive
+JPEG (`kernels.jpeg`, from-scratch T.81 incl. Annex G), and JPEG 2000
+(`kernels.jpx`, from-scratch T.800 — JP2 or raw codestream).
 Remaining media kinds (audio/video) stay STUBBED behind
 `NotImplementedError` — the container has no AV libraries — so the
 Spark-side schema, batching, and partitioning are real and tested while
@@ -52,6 +53,10 @@ def decode_media(blob: bytes, kind: str) -> np.ndarray:
         from ..kernels.jpeg import decode_jpeg
 
         return decode_jpeg(blob)
+    if kind in ("jp2", "j2k", "jpeg2000", "image/jp2"):
+        from ..kernels.jpx import decode_jpx
+
+        return decode_jpx(blob)
     raise NotImplementedError(
         f"media kind {kind!r}: no codec in this container (stub per SURVEY.md §2.1)"
     )

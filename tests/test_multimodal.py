@@ -85,3 +85,15 @@ def test_media_metadata_spark(spark):
     assert len(expected) == len(meta)
     for r in meta:
         assert r.asDict() == expected[key(r)]
+
+
+def test_decode_media_jp2_kind_is_real():
+    """The T.800 codec backs the 'jp2' media kind — and JPEG 2000 is
+    lossless here, so the round trip is exact (JP2 box or raw J2K)."""
+    import numpy as np
+
+    from doctr_spark.kernels.jpx import encode_j2k, encode_jp2
+
+    img = np.random.default_rng(9).integers(0, 256, (40, 56)).astype(np.uint8)
+    assert (decode_media(encode_jp2(img), "jp2") == img).all()
+    assert (decode_media(encode_j2k(img), "image/jp2") == img).all()
