@@ -99,10 +99,12 @@ def gen_pdf_conversation(conv_no: int, seed: int = 42) -> tuple[list[dict], list
         # LaTeX subset layout) — in all three the string bytes are
         # remapped codes, so only the encoding layer recovers the text —
         # JPEG 2000 (/JPXDecode, T.800 lossless 5/3) scans, the
-        # archival-scanner layout, and MIXED-font pages (/F1 unencoded +
+        # archival-scanner layout, MIXED-font pages (/F1 unencoded +
         # /F2 Identity-H alternating word by word — the every-real-PDF
-        # construct: the reader must re-resolve the decoder at each Tf)
-        mode = (conv_no + t) % 23
+        # construct: the reader must re-resolve the decoder at each Tf),
+        # and TYPE3 glyph-procedure fonts (the DjVu-converter OCR-layer
+        # layout: Differences names + required /Widths + CharProcs)
+        mode = (conv_no + t) % 24
         scan = mode in (6, 7, 8, 9, 10, 12, 14, 16, 17, 21)
         scale = 2 if mode == 5 else 1
         rotate = (90, 180, 270)[conv_no % 3] if mode == 7 else 0
@@ -147,7 +149,8 @@ def gen_pdf_conversation(conv_no: int, seed: int = 42) -> tuple[list[dict], list
             inline_images=mode == 10,
             form_wrap=mode == 11,
             font_kind={
-                18: "type0", 19: "differences", 20: "tounicode", 22: "mixed"
+                18: "type0", 19: "differences", 20: "tounicode", 22: "mixed",
+                23: "type3",
             }.get(mode, "type1"),
             # declared metrics ride along on the kerned-TJ mode (simple
             # /Widths drive the §9.4.4 advance) and the Type0 mode (/W)

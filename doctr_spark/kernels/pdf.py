@@ -427,12 +427,15 @@ def write_pdf(
     from .pdfenc import assign_codes, glyph_name, winansi_table
 
     if font_kind not in (
-        "type1", "winansi", "macroman", "differences", "tounicode", "type0", "mixed"
+        "type1", "winansi", "macroman", "differences", "tounicode", "type0",
+        "mixed", "type3",
     ):
         raise ValueError(f"unknown font_kind {font_kind!r}")
     if font_kind == "mixed" and (use_tj or line_ops):
         raise ValueError("font_kind='mixed' takes the per-word Tm layout only")
     charset = sorted({c for pg in pages for _, _, wd in pg for c in wd})
+    # declared glyph metrics: the monospaced glyph cell in 1000-unit space
+    glyph_units = _fmt_num(GLYPH_W * 1000.0 / BASE_FONT_SIZE).encode("ascii")
     code_of: dict[str, int] | None = None
     tokenizer = None
     simple_codes: list[int] = [ord(c) for c in charset if ord(c) < 256]
@@ -445,16 +448,16 @@ def write_pdf(
         inv = {c: i for i, c in enumerate(table) if c != "�"}
         simple_codes = [inv[c] for c in charset]
         tokenizer = lambda wd: "<" + bytes(inv[c] for c in wd).hex().upper() + ">"  # noqa: E731
-    elif font_kind in ("differences", "tounicode", "type0", "mixed"):
+    elif font_kind in ("differences", "tounicode", "type0", "mixed", "type3"):
         two = font_kind in ("type0", "mixed")
         code_of = assign_codes(set(charset), two)
         hexw = 4 if two else 2
         tokenizer = (  # noqa: E731
             lambda wd: "<" + "".join("%0*X" % (hexw, code_of[c]) for c in wd) + ">"
         )
-        if font_kind in ("differences", "tounicode"):  # simple remapped
+        if font_kind in ("differences", "tounicode", "type3"):  # simple remapped
             simple_codes = sorted(code_of.values())
-        if font_kind == "differences":  # names must exist up front
+        if font_kind in ("differences", "type3"):  # names must exist up front
             for c in charset:
                 glyph_name(c)
     # image XObjects are STREAM objects numbered K+1..K+M — top-level in
@@ -587,6 +590,14 @@ def write_pdf(
                 + b"\nendstream"
             )
             img_res.setdefault(i, []).append(b"/Fm%d %d 0 R" % (oid, oid))
+    proc_id = None
+    if font_kind == "type3":
+        # one shared glyph procedure: sets the advance (d0) and paints
+        # nothing — the OCR-text-layer idiom; the engine rasterizes from
+        # decoded text, never from CharProcs
+        proc = glyph_units + b" 0 d0"
+        proc_id = k + 1 + len(img_objs)
+        img_objs.append(b"<< /Length %d >>\nstream\n" % len(proc) + proc + b"\nendstream")
     cmap_id = None
     if font_kind in ("tounicode", "type0", "mixed"):
         # the ToUnicode CMap is a STREAM object, so it lives beside the
@@ -638,11 +649,9 @@ def write_pdf(
     # placed AFTER every already-allocated id so both xref layouts stay
     # contiguous; classic files with indirect lengths reserve those first
     extra_id = k + m + 4 + (2 if indirect_length else 1) * len(pages)
-    # declared glyph metrics: the monospaced glyph cell in 1000-unit space
-    glyph_units = _fmt_num(GLYPH_W * 1000.0 / BASE_FONT_SIZE).encode("ascii")
 
-    def _simple_widths(codes: list[int]) -> bytes:
-        if not (declare_widths and codes):
+    def _simple_widths(codes: list[int], force: bool = False) -> bytes:
+        if not ((declare_widths or force) and codes):
             return b""
         lo, hi = min(codes), max(codes)
         return b" /FirstChar %d /Widths [ %s ]" % (
@@ -686,6 +695,19 @@ def write_pdf(
             b"<< /Type /Font /Subtype /Type1 /BaseFont /AAAAAA+Helvetica "
             b"/ToUnicode %d 0 R%s >>" % (cmap_id, _simple_widths(simple_codes))
         )
+    elif font_kind == "type3":
+        # the DjVu-converter OCR-layer layout: glyph procedures +
+        # Differences names; /Widths are REQUIRED for Type3 (§9.6.5)
+        font_obj = (
+            b"<< /Type /Font /Subtype /Type3 /FontMatrix [0.001 0 0 0.001 0 0] "
+            b"/FontBBox [0 0 %s 1000] /Encoding %d 0 R /CharProcs %d 0 R%s >>"
+            % (
+                glyph_units,
+                extra_id,
+                extra_id + 1,
+                _simple_widths(simple_codes, force=True),
+            )
+        )
     else:  # type0
         font_obj = (
             b"<< /Type /Font /Subtype /Type0 /BaseFont /AAAAAA+Helvetica "
@@ -698,7 +720,7 @@ def write_pdf(
         % (b" ".join(b"%d 0 R" % p for p in page_ids), len(page_ids)),
         catalog_id: b"<< /Type /Catalog /Pages %d 0 R >>" % pages_id,
     }
-    if font_kind == "differences":
+    if font_kind in ("differences", "type3"):
         names = b" ".join(
             b"/" + glyph_name(c).encode("ascii")
             for c, _ in sorted(code_of.items(), key=lambda kv: kv[1])
@@ -707,6 +729,11 @@ def write_pdf(
             b"<< /Type /Encoding /BaseEncoding /WinAnsiEncoding "
             b"/Differences [ %d %s ] >>" % (min(code_of.values(), default=33), names)
         )
+        if font_kind == "type3":
+            dict_objs[extra_id + 1] = b"<< %s >>" % b" ".join(
+                b"/%s %d 0 R" % (glyph_name(c).encode("ascii"), proc_id)
+                for c in charset
+            )
     elif font_kind in ("type0", "mixed"):
         # /DW must agree with the kern math (§9.7.4.3): a reader advances
         # by the DECLARED default width, so declare the true glyph cell
@@ -1691,7 +1718,22 @@ def _make_font_decoder(num: int, objs: dict):
 
         return decode_cid, adv_cid
     if subtype == b"Type3":
-        raise NotImplementedError("Type3 fonts are outside the codec subset")
+        # Type3 TEXT extraction (the DjVu-converter OCR-layer idiom):
+        # glyphs are arbitrary content-stream procedures the engine never
+        # rasterizes — the text comes from /Encoding /Differences and/or
+        # /ToUnicode exactly like a simple font, and the advance from
+        # /Widths in glyph space. Only the standard 1/1000 /FontMatrix is
+        # in the subset (anything else rescales the width math).
+        fm3 = re.search(rb"/FontMatrix\s*\[([^\]]*)\]", fhead)
+        nums = (
+            [float(v) for v in re.findall(_NUM, fm3.group(1))] if fm3 else None
+        )
+        if nums != [0.001, 0.0, 0.0, 0.001, 0.0, 0.0]:
+            raise NotImplementedError(
+                "Type3 fonts beyond the standard [0.001 0 0 0.001 0 0] "
+                "/FontMatrix are outside the codec subset"
+            )
+        # fall through: decode + advance like a simple font
 
     enc_name, enc_body = _encoding_body(fhead, objs)
     table = _base_table(enc_name)

@@ -1168,3 +1168,42 @@ def test_pdf_fuzz_rejects_never_hangs(seed):
         parse_pdf(bytes(blob))
     except Exception:
         pass  # loud rejection is the contract; hanging is the bug
+
+
+@pytest.mark.parametrize("layout", [{}, {"pdf15": True}, {"use_tj": True}])
+def test_type3_font_text_extracts(layout):
+    """Type3 glyph-procedure fonts (the DjVu OCR-layer layout): text
+    decodes through /Differences, advance through the REQUIRED /Widths,
+    and only the standard 1/1000 /FontMatrix is accepted."""
+    pages = [[(20, 30, "hello"), (80, 30, "world42")]]
+    blob = write_pdf(pages, (200, 320), font_kind="type3", **layout)
+    if not layout.get("pdf15"):
+        assert b"/Type3" in blob and b"/CharProcs" in blob and b"/Widths" in blob
+    assert _placements(blob) == _placements(write_pdf(pages, (200, 320)))
+
+
+def test_type3_nonstandard_fontmatrix_rejects():
+    blob = write_pdf([[(10, 10, "ab")]], (60, 120), font_kind="type3")
+    bad = blob.replace(b"[0.001 0 0 0.001 0 0]", b"[0.002 0 0 0.002 0 0]")
+    with pytest.raises(NotImplementedError, match="FontMatrix"):
+        parse_pdf(bad)
+
+
+def test_fixture_type3_mode_extracts_exact(spark):
+    import pandas as pd
+
+    from doctr_spark.fixtures.pdfdocs import gen_pdf_conversation
+    from doctr_spark.fixtures.transcripts import TRANSCRIPTS_SCHEMA
+    from doctr_spark.operators.pipeline import extract_documents
+
+    rows, gts = gen_pdf_conversation(23)
+    tdf = spark.createDataFrame(pd.DataFrame(rows), schema=TRANSCRIPTS_SCHEMA)
+    docs = extract_documents(tdf, crop_partitions=4)
+    got = {
+        (r["conv_id"], r["turn_idx"]): (r["extracted_text"], r["n_words"])
+        for r in docs.collect()
+    }
+    assert len(got) == len(gts)
+    for g in gts:
+        text, n_words = got[(g["conv_id"], g["turn_idx"])]
+        assert text == g["gt_text"] and n_words == g["n_words"]
