@@ -14,7 +14,7 @@ import pandas as pd
 
 from ..config import GLYPH_H, LINE_LEADING, MARGIN, PAGE_H, PAGE_W, WORD_GAP
 from ..kernels.glyphs import word_width
-from ..kernels.pdf import encrypt_pdf, write_pdf
+from ..kernels.pdf import apply_incremental_update, encrypt_pdf, write_pdf
 from .transcripts import GT_SCHEMA, TRANSCRIPTS_SCHEMA
 
 _EPOCH = dt.datetime(2025, 4, 1)
@@ -102,9 +102,12 @@ def gen_pdf_conversation(conv_no: int, seed: int = 42) -> tuple[list[dict], list
         # archival-scanner layout, MIXED-font pages (/F1 unencoded +
         # /F2 Identity-H alternating word by word — the every-real-PDF
         # construct: the reader must re-resolve the decoder at each Tf),
-        # and TYPE3 glyph-procedure fonts (the DjVu-converter OCR-layer
-        # layout: Differences names + required /Widths + CharProcs)
-        mode = (conv_no + t) % 24
+        # TYPE3 glyph-procedure fonts (the DjVu-converter OCR-layer
+        # layout: Differences names + required /Widths + CharProcs), and
+        # INCREMENTALLY-UPDATED files (§7.5.6 — the original body holds
+        # decoy text; appended same-numbered objects + /Prev xref replace
+        # it, so extraction must honor later-definition-wins)
+        mode = (conv_no + t) % 25
         scan = mode in (6, 7, 8, 9, 10, 12, 14, 16, 17, 21)
         scale = 2 if mode == 5 else 1
         rotate = (90, 180, 270)[conv_no % 3] if mode == 7 else 0
@@ -115,7 +118,11 @@ def gen_pdf_conversation(conv_no: int, seed: int = 42) -> tuple[list[dict], list
             gt_pages.append(gt)
             n_words += n
         blob = write_pdf(
-            page_words,
+            # mode 24: the ORIGINAL body carries decoy text; the real
+            # placements arrive via the appended update section below
+            [[(MARGIN, MARGIN, "draft"), (MARGIN + 40, MARGIN, "obsolete")]] * n_pages
+            if mode == 24
+            else page_words,
             (PAGE_H, PAGE_W),
             compress=mode in (1, 4, 5, 11),
             use_tj=mode in (2, 4),
@@ -156,7 +163,9 @@ def gen_pdf_conversation(conv_no: int, seed: int = 42) -> tuple[list[dict], list
             # /Widths drive the §9.4.4 advance) and the Type0 mode (/W)
             declare_widths=mode in (2, 18),
         )
-        if mode == 13:
+        if mode == 24:
+            blob = apply_incremental_update(blob, page_words, (PAGE_H, PAGE_W))
+        elif mode == 13:
             blob = encrypt_pdf(blob, "rc4-128")
         elif mode == 14:
             blob = encrypt_pdf(blob, "aes-128")

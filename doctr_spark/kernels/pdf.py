@@ -840,6 +840,45 @@ def write_pdf(
     return bytes(out)
 
 
+def apply_incremental_update(
+    data: bytes, pages: list[list[tuple[int, int, str]]], page_hw: tuple[int, int],
+    font_size: int = BASE_FONT_SIZE,
+) -> bytes:
+    """Append an incremental-update section (§7.5.6) that REPLACES every
+    page's content stream: same object numbers redefined after the
+    original body, new xref subsections, trailer with /Prev — the
+    annotate/sign-in-place layout every PDF editor emits. The original
+    bytes are untouched; a reader honoring update precedence (later
+    definition wins) sees ONLY the new text. Classic-xref originals
+    written by `write_pdf` (content objects numbered 1..K) only."""
+    if data[:8] == b"%PDF-1.5":
+        raise ValueError("incremental updates target the classic-xref layout")
+    h, _w = page_hw
+    sx = data.rfind(b"startxref")
+    prev = int(data[sx + len(b"startxref") :].split()[0])
+    root = int(re.search(rb"/Root\s+(\d+)\s+0\s+R", data).group(1))
+    sm = re.search(rb"/Size\s+(\d+)", data)
+    size = int(sm.group(1)) if sm else len(pages) + 8
+    out = bytearray(data)
+    offsets: dict[int, int] = {}
+    for i, words in enumerate(pages, start=1):
+        raw = _content_ops(words, h, False, font_size)
+        offsets[i] = len(out)
+        out += (
+            b"%d 0 obj\n<< /Length %d >>\nstream\n" % (i, len(raw))
+            + raw
+            + b"\nendstream\nendobj\n"
+        )
+    xref_at = len(out)
+    out += b"xref\n"
+    for i in sorted(offsets):
+        out += b"%d 1\n%010d 00000 n \n" % (i, offsets[i])
+    out += b"trailer\n<< /Size %d /Root %d 0 R /Prev %d >>\nstartxref\n%d\n%%%%EOF\n" % (
+        size, root, prev, xref_at,
+    )
+    return bytes(out)
+
+
 def _lzw_encode(raw: bytes) -> bytes:
     """PDF/TIFF LZW (§7.4.4, EarlyChange=1): 9→12-bit MSB-first codes,
     256=clear, 257=EOD. The encoder widens at next==2^w — one add AHEAD of

@@ -1207,3 +1207,44 @@ def test_fixture_type3_mode_extracts_exact(spark):
     for g in gts:
         text, n_words = got[(g["conv_id"], g["turn_idx"])]
         assert text == g["gt_text"] and n_words == g["n_words"]
+
+
+def test_incremental_update_replaces_content():
+    """§7.5.6 incremental update: same-numbered objects appended after
+    the original body (with /Prev xref chain) REPLACE the originals —
+    the annotate/sign-in-place layout. The decoy base text must not leak."""
+    from doctr_spark.kernels.pdf import apply_incremental_update
+
+    base = write_pdf([[(10, 10, "draft")], [(10, 10, "draft")]], (100, 260))
+    real = [PAGE[0], [(12, 10, "second")]]
+    upd = apply_incremental_update(base, real, (100, 260))
+    assert upd[: len(base)] == base  # original bytes untouched
+    assert b"/Prev" in upd and upd.count(b"startxref") == 2
+    pages = parse_pdf(upd)
+    texts = [sorted(t for _x, _y, t, _s in p["words"]) for p in pages]
+    assert texts == [sorted(["alpha", "beta", "gamma7"]), ["second"]]
+    with pytest.raises(ValueError, match="classic-xref"):
+        apply_incremental_update(
+            write_pdf([[(1, 1, "w")]], (50, 80), pdf15=True), real, (50, 80)
+        )
+
+
+def test_fixture_incremental_mode_extracts_exact(spark):
+    import pandas as pd
+
+    from doctr_spark.fixtures.pdfdocs import gen_pdf_conversation
+    from doctr_spark.fixtures.transcripts import TRANSCRIPTS_SCHEMA
+    from doctr_spark.operators.pipeline import extract_documents
+
+    rows, gts = gen_pdf_conversation(24)
+    tdf = spark.createDataFrame(pd.DataFrame(rows), schema=TRANSCRIPTS_SCHEMA)
+    docs = extract_documents(tdf, crop_partitions=4)
+    got = {
+        (r["conv_id"], r["turn_idx"]): (r["extracted_text"], r["n_words"])
+        for r in docs.collect()
+    }
+    assert len(got) == len(gts)
+    for g in gts:
+        text, n_words = got[(g["conv_id"], g["turn_idx"])]
+        assert text == g["gt_text"] and n_words == g["n_words"]
+        assert "draft" not in text and "obsolete" not in text
