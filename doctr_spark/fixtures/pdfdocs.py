@@ -152,6 +152,8 @@ def gen_pdf_conversation(conv_no: int, seed: int = 42) -> tuple[list[dict], list
             jpeg_quality=95 if mode in (9, 12) else None,
             jpeg_progressive=mode == 12,
             jpx=mode == 21,
+            # alternate lossless 5/3 and lossy-but-transparent 9/7 scans
+            jpx_irreversible=conv_no % 2 == 1,
             ctm_rotate=(90, 180, 270)[conv_no % 3] if mode == 16 else 0,
             inline_images=mode == 10,
             form_wrap=mode == 11,

@@ -12,10 +12,12 @@ scanned pages, built entirely from the public spec:
 - codestream markers (SOC/SIZ/COD/QCD/SOT/SOD/EOC) and the minimal JP2
   container (signature/ftyp/jp2h/jp2c boxes).
 
-Subset: one tile, one 8-bit unsigned component, no subsampling,
-lossless (no quantization), single layer, LRCP progression, 64x64
-code blocks, whole-subband precincts, 0-3 decomposition levels.
-Everything outside rejects loudly with NotImplementedError.
+Subset: one tile, one 8-bit unsigned component, no subsampling, single
+layer, LRCP progression, 64x64 code blocks, whole-subband precincts,
+0-3 decomposition levels; BOTH transforms — reversible 5/3 (lossless, no
+quantization) and irreversible CDF 9/7 (F.4.8 float lifting, E.1 scalar-
+expounded dequantization) — are implemented. Everything outside rejects
+loudly with NotImplementedError.
 
 Reference behavior: docTR receives JPX pages pre-rasterized by pypdfium2
 (`doctr/io/pdf.py:16-43`); this codec removes that dependency for the
@@ -92,6 +94,79 @@ def _init_ctx(coder) -> None:
     coder.icx[0] = 4
     coder.icx[_RL_CTX] = 3
     coder.icx[_UNI_CTX] = 46
+
+
+# -- Annex F: irreversible 9/7 lifting (F.4.8) ----------------------------
+# CDF 9/7 lifting constants and the scaling factor K
+_A97 = -1.586134342059924
+_B97 = -0.052980118572961
+_G97 = 0.882911075530934
+_D97 = 0.443506852043971
+_K97 = 1.230174104914001
+
+
+def _fwd_1d_97(x: np.ndarray, axis: int) -> tuple[np.ndarray, np.ndarray]:
+    x = np.moveaxis(x, axis, -1).astype(np.float64)
+    n = x.shape[-1]
+    if n == 1:
+        return np.moveaxis(x.copy(), -1, axis), np.moveaxis(x[..., :0].copy(), -1, axis)
+    e = x[..., 0::2].copy()
+    o = x[..., 1::2].copy()
+    ne, no = e.shape[-1], o.shape[-1]
+    i = np.arange(no)
+    j = np.arange(ne)
+    el, er = i, np.minimum(i + 1, ne - 1)
+    ol, orr = np.maximum(j - 1, 0), np.minimum(j, no - 1)
+    o += _A97 * (e[..., el] + e[..., er])
+    e += _B97 * (o[..., ol] + o[..., orr])
+    o += _G97 * (e[..., el] + e[..., er])
+    e += _D97 * (o[..., ol] + o[..., orr])
+    lo = e * (1.0 / _K97)
+    hi = o * _K97
+    return np.moveaxis(lo, -1, axis), np.moveaxis(hi, -1, axis)
+
+
+def _inv_1d_97(lo: np.ndarray, hi: np.ndarray, axis: int) -> np.ndarray:
+    lo = np.moveaxis(lo, axis, -1).astype(np.float64)
+    hi = np.moveaxis(hi, axis, -1).astype(np.float64)
+    ne, no = lo.shape[-1], hi.shape[-1]
+    if no == 0:
+        return np.moveaxis(lo * _K97, -1, axis)
+    e = lo * _K97
+    o = hi * (1.0 / _K97)
+    i = np.arange(no)
+    j = np.arange(ne)
+    el, er = i, np.minimum(i + 1, ne - 1)
+    ol, orr = np.maximum(j - 1, 0), np.minimum(j, no - 1)
+    e -= _D97 * (o[..., ol] + o[..., orr])
+    o -= _G97 * (e[..., el] + e[..., er])
+    e -= _B97 * (o[..., ol] + o[..., orr])
+    o -= _A97 * (e[..., el] + e[..., er])
+    out = np.empty(lo.shape[:-1] + (ne + no,), dtype=np.float64)
+    out[..., 0::2] = e
+    out[..., 1::2] = o
+    return np.moveaxis(out, -1, axis)
+
+
+def _fwd_dwt_97(a: np.ndarray, levels: int):
+    cur = a.astype(np.float64)
+    highs = []
+    for _ in range(levels):
+        lo, hi = _fwd_1d_97(cur, axis=1)
+        ll, lh = _fwd_1d_97(lo, axis=0)
+        hl, hh = _fwd_1d_97(hi, axis=0)
+        highs.append((hl, lh, hh))
+        cur = ll
+    return cur, highs
+
+
+def _inv_dwt_97(ll: np.ndarray, highs) -> np.ndarray:
+    cur = ll
+    for hl, lh, hh in reversed(highs):
+        lo = _inv_1d_97(cur, lh, axis=0)
+        hi = _inv_1d_97(hl, hh, axis=0)
+        cur = _inv_1d_97(lo, hi, axis=1)
+    return cur
 
 
 # -- Annex F: reversible 5/3 lifting -------------------------------------
@@ -547,30 +622,63 @@ def _bands_for(w: int, h: int, levels: int):
 # -- codestream -----------------------------------------------------------
 
 
-def encode_j2k(img: np.ndarray, levels: int = 2) -> bytes:
-    """8-bit grayscale -> lossless JPEG 2000 codestream (raw, no JP2)."""
+def encode_j2k(img: np.ndarray, levels: int = 2, irreversible: bool = False) -> bytes:
+    """8-bit grayscale -> JPEG 2000 codestream (raw, no JP2). Default is
+    the lossless 5/3 path; ``irreversible=True`` codes the CDF 9/7 float
+    wavelet with scalar-expounded quantization (Sqcd style 2) — the lossy
+    layout real scanners emit. Step sizes are chosen per band so the
+    quantizer keeps ~12 bits (near-transparent for document scans)."""
     if img.dtype != np.uint8 or img.ndim != 2:
         raise ValueError("encode_j2k takes a 2-D uint8 array")
     if not 0 <= levels <= 3:
         raise ValueError("levels must be 0..3 (coefficient growth bound)")
     h, w = img.shape
-    ll, highs = _fwd_dwt(img.astype(np.int64) - 128, levels)
-    arrays = {("LL", levels): ll}
-    for i, (hl, lh, hh) in enumerate(highs):
-        lev = i + 1
-        arrays[("HL", lev)] = hl
-        arrays[("LH", lev)] = lh
-        arrays[("HH", lev)] = hh
+    guard = 3 if irreversible else _GUARD
+    if irreversible:
+        llf, highsf = _fwd_dwt_97(img.astype(np.float64) - 128.0, levels)
+        floats = {("LL", levels): llf}
+        for i, (hl, lh, hh) in enumerate(highsf):
+            floats[("HL", i + 1)] = hl
+            floats[("LH", i + 1)] = lh
+            floats[("HH", i + 1)] = hh
+        arrays = {}
+    else:
+        ll, highs = _fwd_dwt(img.astype(np.int64) - 128, levels)
+        arrays = {("LL", levels): ll}
+        for i, (hl, lh, hh) in enumerate(highs):
+            lev = i + 1
+            arrays[("HL", lev)] = hl
+            arrays[("LH", lev)] = lh
+            arrays[("HH", lev)] = hh
 
     res = _bands_for(w, h, levels)
-    # per-band epsilon from the actual coefficient range (Mb = eps+G-1)
+    # per-band epsilon from the actual coefficient range (Mb = eps+G-1);
+    # irreversible: choose a power-of-two step keeping quantized indices
+    # under 12 bits and signal it as (eps, mu=0) with eps = Rb - E
     eps: dict[tuple[str, int], int] = {}
+    mu: dict[tuple[str, int], int] = {}
     for bands in res:
         for name, _o, gain, bw, bh, lev in bands:
+            if irreversible:
+                a = floats[(name, lev)]
+                mx = float(np.abs(a).max()) if a.size else 0.0
+                e2 = int(np.ceil(np.log2(max(mx, 1e-9) / 4095.0)))
+                rb = 8 + gain
+                ee = rb - e2
+                if not 1 <= ee <= 31:
+                    raise AssertionError("quantizer exponent out of the 5-bit field")
+                eps[(name, lev)] = ee
+                mu[(name, lev)] = 0
+                delta = 2.0 ** e2
+                arrays[(name, lev)] = np.floor(np.abs(a) / delta).astype(
+                    np.int64
+                ) * np.where(a < 0, -1, 1)
+                continue
             a = arrays[(name, lev)]
             mx = int(np.abs(a).max()) if a.size else 0
             nb = mx.bit_length()
             eps[(name, lev)] = max(nb - _GUARD + 1, 1)
+            mu[(name, lev)] = 0
 
     body = bytearray()
     for bands in res:
@@ -584,7 +692,7 @@ def encode_j2k(img: np.ndarray, levels: int = 2) -> bytes:
             incl = _TagTree(gx, gy)
             zbp = _TagTree(gx, gy)
             a = arrays[(name, lev)]
-            mb = eps[(name, lev)] + _GUARD - 1
+            mb = eps[(name, lev)] + guard - 1
             blocks = []
             for cy in range(gy):
                 for cx in range(gx):
@@ -639,15 +747,23 @@ def encode_j2k(img: np.ndarray, levels: int = 2) -> bytes:
     siz = struct.pack(
         ">HHIIIIIIIIHBBB", 38 + 3, 0, w, h, 0, 0, w, h, 0, 0, 1, 7, 1, 1
     )
-    spcod = bytes([levels, _CBLK.bit_length() - 3, _CBLK.bit_length() - 3, 0, 1])
+    spcod = bytes(
+        [levels, _CBLK.bit_length() - 3, _CBLK.bit_length() - 3, 0, 0 if irreversible else 1]
+    )
     cod = struct.pack(">HBBHB", 7 + len(spcod), 0, 0, 1, 0) + spcod
-    sub_eps = [eps[("LL", levels)]]
+    band_keys = [("LL", levels)]
     for r in range(1, levels + 1):
         lev = levels - r + 1
-        sub_eps += [eps[("HL", lev)], eps[("LH", lev)], eps[("HH", lev)]]
-    qcd = struct.pack(">HB", 3 + len(sub_eps), _GUARD << 5) + bytes(
-        e << 3 for e in sub_eps
-    )
+        band_keys += [("HL", lev), ("LH", lev), ("HH", lev)]
+    if irreversible:
+        # Sqcd style 2 (scalar expounded): one 16-bit (eps<<11 | mu) per band
+        qcd = struct.pack(">HB", 3 + 2 * len(band_keys), (guard << 5) | 2) + b"".join(
+            struct.pack(">H", (eps[k] << 11) | mu[k]) for k in band_keys
+        )
+    else:
+        qcd = struct.pack(">HB", 3 + len(band_keys), guard << 5) + bytes(
+            eps[k] << 3 for k in band_keys
+        )
     tile = struct.pack(">HHIBB", 10, 0, 12 + len(body) + 2, 0, 1)
     out = (
         b"\xff\x4f"
@@ -661,10 +777,10 @@ def encode_j2k(img: np.ndarray, levels: int = 2) -> bytes:
     return out
 
 
-def encode_jp2(img: np.ndarray, levels: int = 2) -> bytes:
+def encode_jp2(img: np.ndarray, levels: int = 2, irreversible: bool = False) -> bytes:
     """Wrap the codestream in the minimal JP2 container (I.5): signature,
     ftyp, jp2h(ihdr+colr greyscale), jp2c."""
-    cs = encode_j2k(img, levels)
+    cs = encode_j2k(img, levels, irreversible)
     h, w = img.shape
 
     def box(typ: bytes, payload: bytes) -> bytes:
@@ -707,6 +823,7 @@ def decode_jpx(data: bytes) -> np.ndarray:
     pos = 2
     w = h = None
     levels = None
+    irreversible = False
     sub_eps: list[int] = []
     guard = _GUARD
     body = None
@@ -743,14 +860,22 @@ def decode_jpx(data: bytes) -> np.ndarray:
                 raise NotImplementedError("JPX code-block sizes other than 64x64")
             if seg[8] != 0:
                 raise NotImplementedError("JPX code-block style flags are outside the subset")
-            if seg[9] != 1:
-                raise NotImplementedError("irreversible (9/7) JPX is outside the codec subset")
+            if seg[9] not in (0, 1):
+                raise NotImplementedError(f"JPX transform {seg[9]} is outside the codec subset")
+            irreversible = seg[9] == 0
         elif marker == b"\xff\x5c":  # QCD
             sqcd = seg[0]
-            if sqcd & 0x1F:
-                raise NotImplementedError("quantized JPX is outside the codec subset")
             guard = sqcd >> 5
-            sub_eps = [b >> 3 for b in seg[1:]]
+            style = sqcd & 0x1F
+            if style == 0:  # reversible: per-band exponent only
+                sub_eps = [(b >> 3, 0) for b in seg[1:]]
+            elif style == 2:  # scalar expounded: 16-bit (eps<<11 | mu)
+                vals = struct.unpack(">%dH" % ((len(seg) - 1) // 2), seg[1:])
+                sub_eps = [(v >> 11, v & 0x7FF) for v in vals]
+            else:
+                raise NotImplementedError(
+                    "JPX scalar-derived quantization is outside the codec subset"
+                )
         elif marker == b"\xff\x90":  # SOT
             if struct.unpack(">H", seg[:2])[0] != 0:
                 raise NotImplementedError("multi-tile JPX is outside the codec subset")
@@ -770,10 +895,12 @@ def decode_jpx(data: bytes) -> np.ndarray:
     res = _bands_for(w, h, levels)
     eps_iter = iter(sub_eps)
     arrays: dict[tuple[str, int], np.ndarray] = {}
-    band_eps: dict[tuple[str, int], int] = {}
+    band_eps: dict[tuple[str, int], tuple[int, int]] = {}
+    band_gain: dict[tuple[str, int], int] = {}
     for bands in res:
-        for name, _o, _g, _bw, _bh, lev in bands:
+        for name, _o, g_, _bw, _bh, lev in bands:
             band_eps[(name, lev)] = next(eps_iter)
+            band_gain[(name, lev)] = g_
 
     pos = 0
     for bands in res:
@@ -783,14 +910,14 @@ def decode_jpx(data: bytes) -> np.ndarray:
             continue
         pend: list[tuple] = []
         for name, orient, _gain, bw, bh, lev in bands:
-            arr = np.zeros((bh, bw), dtype=np.int64)
+            arr = np.zeros((bh, bw), dtype=np.float64 if irreversible else np.int64)
             arrays[(name, lev)] = arr
             if bw == 0 or bh == 0:
                 continue
             gx, gy = _grid(bw, bh)
             incl = _TagTree(gx, gy)
             zbp = _TagTree(gx, gy)
-            mb = band_eps[(name, lev)] + guard - 1
+            mb = band_eps[(name, lev)][0] + guard - 1
             for cy in range(gy):
                 for cx in range(gx):
                     if not incl.decode(cx, cy, 1, bio) or incl.value[0][
@@ -827,8 +954,13 @@ def decode_jpx(data: bytes) -> np.ndarray:
             cw_ = min(_CBLK, bw - x0)
             ch_ = min(_CBLK, bh - y0)
             m, chi = _dec_block(data_blk, cw_, ch_, nb, orient)
-            vals = np.array(m, dtype=np.int64).reshape(ch_, cw_)
+            vals = np.array(m, dtype=np.float64).reshape(ch_, cw_)
             signs = np.array(chi, dtype=np.int64).reshape(ch_, cw_)
+            if irreversible:
+                # dequantize (E.1.1): c = sign * (q + 0.5) * delta, q > 0
+                ee, mu_ = band_eps[(name, lev)]
+                delta = 2.0 ** (8 + band_gain[(name, lev)] - ee) * (1 + mu_ / 2048.0)
+                vals = np.where(vals > 0, (vals + 0.5) * delta, 0.0)
             arrays[(name, lev)][y0 : y0 + ch_, x0 : x0 + cw_] = np.where(
                 signs == 1, -vals, vals
             )
@@ -837,5 +969,8 @@ def decode_jpx(data: bytes) -> np.ndarray:
     highs = []
     for lev in range(1, levels + 1):
         highs.append((arrays[("HL", lev)], arrays[("LH", lev)], arrays[("HH", lev)]))
-    out = _inv_dwt(ll, highs) + 128
+    if irreversible:
+        out = np.rint(_inv_dwt_97(ll, highs) + 128.0)
+    else:
+        out = _inv_dwt(ll, highs) + 128
     return np.clip(out, 0, 255).astype(np.uint8)

@@ -335,6 +335,7 @@ def write_pdf(
     jpeg_quality: int | None = None,
     jpeg_progressive: bool = False,
     jpx: bool = False,
+    jpx_irreversible: bool = False,
     ctm_rotate: int = 0,
     ccitt_g4: bool = False,
     jbig2: bool = False,
@@ -530,7 +531,7 @@ def write_pdf(
                 # (§7.4.9) — the archival-scanner layout
                 from .jpx import encode_jp2
 
-                data = encode_jp2(img)
+                data = encode_jp2(img, irreversible=jpx_irreversible)
                 img_filter = b"/JPXDecode"
             elif jpeg_quality:
                 # scanned-page JPEG: the stream IS a T.81 file (baseline

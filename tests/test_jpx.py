@@ -123,15 +123,15 @@ def test_jpx_gates_stay_loud():
     # two layers
     with pytest.raises(NotImplementedError, match="multi-layer"):
         decode_jpx(_patch(cs, b"\xff\x52", 7, 2))
-    # irreversible 9/7 transform
-    with pytest.raises(NotImplementedError, match="9/7"):
-        decode_jpx(_patch(cs, b"\xff\x52", 13, 0))
+    # an unknown transform id (9/7 and 5/3 both decode now)
+    with pytest.raises(NotImplementedError, match="transform"):
+        decode_jpx(_patch(cs, b"\xff\x52", 13, 2))
     # selective arithmetic bypass (code-block style)
     with pytest.raises(NotImplementedError, match="style"):
         decode_jpx(_patch(cs, b"\xff\x52", 12, 1))
-    # scalar quantization (Sqcd)
-    with pytest.raises(NotImplementedError, match="quantized"):
-        decode_jpx(_patch(cs, b"\xff\x5c", 4, (2 << 5) | 2))
+    # scalar-DERIVED quantization (style 1; expounded style 2 decodes)
+    with pytest.raises(NotImplementedError, match="scalar-derived"):
+        decode_jpx(_patch(cs, b"\xff\x5c", 4, (2 << 5) | 1))
     with pytest.raises(ValueError):
         decode_jpx(b"not jpeg2000 at all")
 
@@ -205,3 +205,50 @@ def test_jpx_fuzz_rejects_never_hangs(seed):
         pass
     with pytest.raises(Exception):
         decode_jpx(bytes(r.integers(0, 256, 200).astype(np.uint8)))
+
+
+@pytest.mark.parametrize("shape", [(64, 64), (100, 131), (8, 8)])
+@pytest.mark.parametrize("levels", [0, 2, 3])
+def test_97_irreversible_near_transparent(shape, levels):
+    """The CDF 9/7 path (float lifting + E.1 scalar-expounded dequant) at
+    the encoder's 12-bit step sizes: reconstruction within 2 gray levels
+    (in practice exact) on dense random images — the hardest content."""
+    img = rng.integers(0, 256, shape).astype(np.uint8)
+    out = decode_jpx(encode_j2k(img, levels, irreversible=True))
+    assert out.shape == img.shape
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 2
+
+
+def test_97_signaling_is_spec_shaped():
+    """Irreversible streams carry transform byte 0 and a style-2 QCD with
+    16-bit (eps<<11 | mu) entries; scalar-DERIVED (style 1) still gates."""
+    img = rng.integers(0, 256, (40, 50)).astype(np.uint8)
+    cs = encode_j2k(img, 1, irreversible=True)
+    i = cs.index(b"\xff\x52")
+    assert cs[i + 4 + 9] == 0  # SPcod transform byte
+    q = cs.index(b"\xff\x5c")
+    assert cs[q + 4] & 0x1F == 2  # Sqcd style: scalar expounded
+    bad = cs[: q + 4] + bytes([(cs[q + 4] & 0xE0) | 1]) + cs[q + 5 :]
+    with pytest.raises(NotImplementedError, match="scalar-derived"):
+        decode_jpx(bad)
+
+
+def test_97_jp2_and_pdf_scan_roundtrip():
+    from doctr_spark.fixtures.pdfdocs import _render_canvas, gen_pdf_page
+    from doctr_spark.kernels.detection import detect_words, extract_crops
+    from doctr_spark.kernels.pdf import rasterize_pdf, write_pdf
+    from doctr_spark.kernels.recognition import recognize_crops_batched
+
+    img = rng.integers(0, 256, (70, 90)).astype(np.uint8)
+    out = decode_jpx(encode_jp2(img, irreversible=True))
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 2
+    placements, gt, _ = gen_pdf_page(np.random.default_rng(11))
+    canvas = _render_canvas(placements)
+    blob = write_pdf(
+        [[]], canvas.shape, images={0: [(canvas, 0, 0)]},
+        render_mode=3, jpx=True, jpx_irreversible=True,
+    )
+    (page,) = rasterize_pdf(blob)
+    boxes, _, _ = detect_words(page)
+    vals = sorted(v for v, _ in recognize_crops_batched(extract_crops(page, boxes)))
+    assert vals == sorted(gt.replace("\n", " ").split())
