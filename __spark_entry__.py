@@ -236,13 +236,16 @@ def ocr_extract_pdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     streams written and parsed by the from-scratch codecs (`kernels/
     {pdf,pdfenc,pdfcrypt,jpeg,ccitt,jbig2,jpx}.py`, public ISO/ITU specs),
     rasterized in the glyph font and pushed through the full pipeline.
-    The fixture cycles 23 writer layouts: raw/Flate/LZW/A85/RunLength/
+    The fixture cycles 25 writer layouts: raw/Flate/LZW/A85/RunLength/
     AHx streams, TJ kerning, Tf scaling, PDF 1.5 object+xref streams,
     scanned pages as 1/8-bit, JPEG (baseline+progressive), CCITT G4,
-    JBIG2, and JPEG 2000 image XObjects, inline images, form XObjects,
-    /Rotate and CTM-rotated sideways scans, RC4/AES-128/AES-256
-    encryption, and the §9.6-9.10 font-encoding layer (Type0/Identity-H
-    ToUnicode CMaps, /Differences, bare-ToUnicode, mixed fonts). Oracle =
+    JBIG2, and JPEG 2000 (5/3 lossless and 9/7 lossy) image XObjects,
+    inline images, form XObjects, /Rotate and CTM-rotated sideways scans,
+    RC4/AES-128/AES-256 encryption, the §9.6-9.10 font-encoding layer
+    (Type0/Identity-H ToUnicode CMaps, /Differences, bare-ToUnicode,
+    mixed multi-font pages, Type3 glyph-procedure layers, declared width
+    tables), and §7.5.6 incremental updates (decoy base text replaced by
+    appended object redefinitions). Oracle =
     the generator's word layout. PDFs beyond the subset (non-empty
     passwords, Type3 fonts, skewed CTMs) still fail loudly (reference
     swap-in point: pypdfium2, `doctr/io/pdf.py:16-43`)."""
