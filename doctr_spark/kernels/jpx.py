@@ -664,8 +664,12 @@ def encode_j2k(img: np.ndarray, levels: int = 2, irreversible: bool = False) -> 
                 mx = float(np.abs(a).max()) if a.size else 0.0
                 e2 = int(np.ceil(np.log2(max(mx, 1e-9) / 4095.0)))
                 rb = 8 + gain
-                ee = rb - e2
-                if not 1 <= ee <= 31:
+                # a near-empty band would want eps > 31 (a step far finer
+                # than needed); clamp to the 5-bit field — the larger step
+                # still quantizes its tiny coefficients exactly as small
+                ee = min(rb - e2, 31)
+                e2 = rb - ee
+                if ee < 1:
                     raise AssertionError("quantizer exponent out of the 5-bit field")
                 eps[(name, lev)] = ee
                 mu[(name, lev)] = 0

@@ -252,3 +252,22 @@ def test_97_jp2_and_pdf_scan_roundtrip():
     boxes, _, _ = detect_words(page)
     vals = sorted(v for v, _ in recognize_crops_batched(extract_crops(page, boxes)))
     assert vals == sorted(gt.replace("\n", " ").split())
+
+
+def test_97_extreme_images_transparent():
+    """Sharp-edged content (glyph pages, checkerboards, flats) is the
+    wavelet's worst case; the clamped quantizer exponents must keep the
+    9/7 path transparent on all of it."""
+    from doctr_spark.fixtures.pdfdocs import _render_canvas, gen_pdf_page
+
+    canvas = _render_canvas(gen_pdf_page(np.random.default_rng(5))[0])
+    imgs = [
+        canvas,
+        (np.indices((70, 90)).sum(0) % 2 * 255).astype(np.uint8),
+        np.zeros((33, 47), np.uint8),
+        np.full((33, 47), 255, np.uint8),
+    ]
+    for img in imgs:
+        for nl in (0, 1, 2, 3):
+            out = decode_jpx(encode_j2k(img, nl, irreversible=True))
+            assert np.abs(out.astype(int) - img.astype(int)).max() <= 1
