@@ -1757,6 +1757,7 @@ def _make_font_decoder(num: int, objs: dict):
                 return units, len(raw) // 2, 0
 
         return decode_cid, adv_cid
+    type3_wscale = 1.0
     if subtype == b"Type3":
         # Type3 TEXT extraction (the DjVu-converter OCR-layer idiom):
         # glyphs are arbitrary content-stream procedures the engine never
@@ -1768,11 +1769,18 @@ def _make_font_decoder(num: int, objs: dict):
         nums = (
             [float(v) for v in re.findall(_NUM, fm3.group(1))] if fm3 else None
         )
-        if nums != [0.001, 0.0, 0.0, 0.001, 0.0, 0.0]:
+        if (
+            nums is None
+            or len(nums) != 6
+            or nums[1] or nums[2] or nums[4] or nums[5]
+            or nums[0] <= 0
+        ):
             raise NotImplementedError(
-                "Type3 fonts beyond the standard [0.001 0 0 0.001 0 0] "
-                "/FontMatrix are outside the codec subset"
+                "Type3 fonts with rotated/skewed /FontMatrix are outside the codec subset"
             )
+        # diagonal matrix: /Widths are in GLYPH space, so the horizontal
+        # scale rescales the advance relative to the standard 1/1000
+        type3_wscale = nums[0] * 1000.0
         # fall through: decode + advance like a simple font
 
     enc_name, enc_body = _encoding_body(fhead, objs)
@@ -1807,11 +1815,12 @@ def _make_font_decoder(num: int, objs: dict):
     sw = _parse_simple_widths(fhead, objs)
     adv_simple = None
     if sw is not None:
+        ws = type3_wscale  # 1.0 for Type1; the FontMatrix scale for Type3
 
         def adv_simple(raw: bytes):
             units = 0.0
             for b in raw:
-                units += sw.get(b, 0.0)
+                units += sw.get(b, 0.0) * ws
             return units, len(raw), raw.count(0x20)
 
     return decode_simple, adv_simple

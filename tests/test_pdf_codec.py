@@ -1182,11 +1182,31 @@ def test_type3_font_text_extracts(layout):
     assert _placements(blob) == _placements(write_pdf(pages, (200, 320)))
 
 
-def test_type3_nonstandard_fontmatrix_rejects():
+def test_type3_rotated_fontmatrix_rejects():
     blob = write_pdf([[(10, 10, "ab")]], (60, 120), font_kind="type3")
-    bad = blob.replace(b"[0.001 0 0 0.001 0 0]", b"[0.002 0 0 0.002 0 0]")
+    bad = blob.replace(b"[0.001 0 0 0.001 0 0]", b"[0 0.001 -0.001 0 0 0]")
     with pytest.raises(NotImplementedError, match="FontMatrix"):
         parse_pdf(bad)
+
+
+def test_type3_diagonal_fontmatrix_rescales_widths():
+    """A non-standard DIAGONAL /FontMatrix rescales the glyph space:
+    doubling the matrix scale while halving the declared /Widths must
+    land every word in the same place (§9.6.5 width semantics)."""
+    import re as _re
+
+    pages = [[(10, 10, "ab"), (18, 10, "cd")]]
+    blob = write_pdf(pages, (60, 160), font_kind="type3", use_tj=True)
+    ref = _placements(blob)
+    m = _re.search(rb"/Widths \[ ([\d. ]+) \]", blob)
+    half = str(float(m.group(1).split()[0]) / 2)
+    doubled = blob.replace(b"[0.001 0 0 0.001 0 0]", b"[0.002 0 0 0.002 0 0]")
+    doubled = _re.sub(
+        rb"/Widths \[ [\d. ]+ \]",
+        ("/Widths [ " + " ".join([half] * len(m.group(1).split())) + " ]").encode(),
+        doubled,
+    )
+    assert _placements(doubled) == ref
 
 
 def test_fixture_type3_mode_extracts_exact(spark):
