@@ -4,9 +4,10 @@ Image/audio/video payloads are carried as `binary` columns with struct
 metadata; decode / feature-extract run as Arrow-batched `mapInPandas`
 kernels. The page-image codec is real (it is the engine's own raster
 format), as are PNG (`kernels.png`, pure-stdlib), baseline + progressive
-JPEG (`kernels.jpeg`, from-scratch T.81 incl. Annex G), and JPEG 2000
-(`kernels.jpx`, from-scratch T.800 — JP2 or raw codestream).
-Remaining media kinds (audio/video) stay STUBBED behind
+JPEG (`kernels.jpeg`, from-scratch T.81 incl. Annex G), JPEG 2000
+(`kernels.jpx`, from-scratch T.800 — JP2 or raw codestream), and WAV PCM
+audio (`kernels.wav`, from-scratch RIFF walk + frame RMS/ZCR features).
+Remaining media kinds (compressed audio, video) stay STUBBED behind
 `NotImplementedError` — the container has no AV libraries — so the
 Spark-side schema, batching, and partitioning are real and tested while
 the codec swap-in is a one-function change.
@@ -57,6 +58,11 @@ def decode_media(blob: bytes, kind: str) -> np.ndarray:
         from ..kernels.jpx import decode_jpx
 
         return decode_jpx(blob)
+    if kind in ("wav", "audio/wav", "audio/x-wav"):
+        from ..kernels.wav import decode_wav
+
+        samples, _rate = decode_wav(blob)
+        return samples
     raise NotImplementedError(
         f"media kind {kind!r}: no codec in this container (stub per SURVEY.md §2.1)"
     )

@@ -16,7 +16,7 @@ def test_decode_media_page_kind():
 
 def test_decode_media_unknown_kind_is_stubbed():
     with pytest.raises(NotImplementedError):
-        decode_media(b"\x00", "audio/wav")
+        decode_media(b"\x00", "audio/mp3")
 
 
 def test_decode_media_jpeg_kind_is_real():
@@ -97,3 +97,44 @@ def test_decode_media_jp2_kind_is_real():
     img = np.random.default_rng(9).integers(0, 256, (40, 56)).astype(np.uint8)
     assert (decode_media(encode_jp2(img), "jp2") == img).all()
     assert (decode_media(encode_j2k(img), "image/jp2") == img).all()
+
+
+def test_wav_pcm_roundtrip_and_features():
+    """From-scratch RIFF/WAVE PCM: exact 16-bit round trip (mono and
+    stereo, with an interleaved junk chunk real writers emit), 8-bit
+    decode, loud non-PCM gate, and deterministic clip features."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from doctr_spark.kernels.wav import audio_features, decode_wav, encode_wav
+
+    rng = np.random.default_rng(4)
+    mono = (rng.normal(0, 3000, 1600)).astype(np.int16)
+    stereo = (rng.normal(0, 3000, (800, 2))).astype(np.int16)
+    for sig in (mono, stereo):
+        blob = encode_wav(sig, rate=16000)
+        out, rate = decode_wav(blob)
+        assert rate == 16000
+        assert (out == (sig[:, None] if sig.ndim == 1 else sig)).all()
+    # junk LIST chunk between fmt and data still parses (chunk walk)
+    blob = encode_wav(mono)
+    i = blob.index(b"data")
+    junk = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"  # word-aligned
+    spliced = blob[:i] + junk + blob[i:]
+    spliced = spliced[:4] + struct.pack("<I", len(spliced) - 8) + spliced[8:]
+    out, _ = decode_wav(spliced)
+    assert (out[:, 0] == mono).all()
+    # non-PCM gates loudly
+    fmt_at = blob.index(b"fmt ") + 8
+    bad = blob[:fmt_at] + struct.pack("<H", 3) + blob[fmt_at + 2 :]
+    with pytest.raises(NotImplementedError, match="format tag"):
+        decode_wav(bad)
+    # features are deterministic and sane
+    f = audio_features(mono, 16000)
+    assert f["duration_sec"] == 0.1
+    assert -60 < f["rms_db"] < 0 and 0 < f["zcr"] < 1
+    # media-kind plumbing
+    got = decode_media(encode_wav(mono), "audio/wav")
+    assert (got[:, 0] == mono).all()
