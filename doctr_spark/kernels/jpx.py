@@ -12,7 +12,8 @@ scanned pages, built entirely from the public spec:
 - codestream markers (SOC/SIZ/COD/QCD/SOT/SOD/EOC) and the minimal JP2
   container (signature/ftyp/jp2h/jp2c boxes).
 
-Subset: one tile, one 8-bit unsigned component, no subsampling, single
+Subset: one tile, one (grayscale) or three (RGB, no MCT) 8-bit unsigned
+components without subsampling, single
 layer, LRCP progression, 64x64 code blocks, whole-subband precincts,
 0-3 decomposition levels; BOTH transforms — reversible 5/3 (lossless, no
 quantization) and irreversible CDF 9/7 (F.4.8 float lifting, E.1 scalar-
@@ -623,36 +624,43 @@ def _bands_for(w: int, h: int, levels: int):
 
 
 def encode_j2k(img: np.ndarray, levels: int = 2, irreversible: bool = False) -> bytes:
-    """8-bit grayscale -> JPEG 2000 codestream (raw, no JP2). Default is
-    the lossless 5/3 path; ``irreversible=True`` codes the CDF 9/7 float
-    wavelet with scalar-expounded quantization (Sqcd style 2) — the lossy
-    layout real scanners emit. Step sizes are chosen per band so the
-    quantizer keeps ~12 bits (near-transparent for document scans)."""
-    if img.dtype != np.uint8 or img.ndim != 2:
-        raise ValueError("encode_j2k takes a 2-D uint8 array")
+    """8-bit image -> JPEG 2000 codestream (raw, no JP2): grayscale
+    ``(h, w)`` or RGB ``(h, w, 3)`` (three full-resolution components, no
+    MCT). Default is the lossless 5/3 path; ``irreversible=True`` codes
+    the CDF 9/7 float wavelet with scalar-expounded quantization (Sqcd
+    style 2) — the lossy layout real scanners emit. Step sizes are chosen
+    per band so the quantizer keeps ~12 bits (near-transparent)."""
+    if img.dtype != np.uint8 or img.ndim not in (2, 3):
+        raise ValueError("encode_j2k takes a 2-D or (h, w, 3) uint8 array")
+    if img.ndim == 3 and img.shape[2] != 3:
+        raise ValueError("color input must have exactly 3 components")
     if not 0 <= levels <= 3:
         raise ValueError("levels must be 0..3 (coefficient growth bound)")
-    h, w = img.shape
+    h, w = img.shape[:2]
+    planes = [img] if img.ndim == 2 else [img[:, :, c] for c in range(3)]
+    ncomp = len(planes)
     guard = 3 if irreversible else _GUARD
-    if irreversible:
-        llf, highsf = _fwd_dwt_97(img.astype(np.float64) - 128.0, levels)
-        floats = {("LL", levels): llf}
-        for i, (hl, lh, hh) in enumerate(highsf):
-            floats[("HL", i + 1)] = hl
-            floats[("LH", i + 1)] = lh
-            floats[("HH", i + 1)] = hh
-        arrays = {}
-    else:
-        ll, highs = _fwd_dwt(img.astype(np.int64) - 128, levels)
-        arrays = {("LL", levels): ll}
-        for i, (hl, lh, hh) in enumerate(highs):
-            lev = i + 1
-            arrays[("HL", lev)] = hl
-            arrays[("LH", lev)] = lh
-            arrays[("HH", lev)] = hh
+    floats: dict[tuple[int, str, int], np.ndarray] = {}
+    arrays: dict[tuple[int, str, int], np.ndarray] = {}
+    for ci, plane in enumerate(planes):
+        if irreversible:
+            llf, highsf = _fwd_dwt_97(plane.astype(np.float64) - 128.0, levels)
+            floats[(ci, "LL", levels)] = llf
+            for i, (hl, lh, hh) in enumerate(highsf):
+                floats[(ci, "HL", i + 1)] = hl
+                floats[(ci, "LH", i + 1)] = lh
+                floats[(ci, "HH", i + 1)] = hh
+        else:
+            ll, highs = _fwd_dwt(plane.astype(np.int64) - 128, levels)
+            arrays[(ci, "LL", levels)] = ll
+            for i, (hl, lh, hh) in enumerate(highs):
+                arrays[(ci, "HL", i + 1)] = hl
+                arrays[(ci, "LH", i + 1)] = lh
+                arrays[(ci, "HH", i + 1)] = hh
 
     res = _bands_for(w, h, levels)
-    # per-band epsilon from the actual coefficient range (Mb = eps+G-1);
+    # per-band epsilon from the actual coefficient range (Mb = eps+G-1),
+    # shared across components (one QCD is the default for all of them);
     # irreversible: choose a power-of-two step keeping quantized indices
     # under 12 bits and signal it as (eps, mu=0) with eps = Rb - E
     eps: dict[tuple[str, int], int] = {}
@@ -660,8 +668,10 @@ def encode_j2k(img: np.ndarray, levels: int = 2, irreversible: bool = False) -> 
     for bands in res:
         for name, _o, gain, bw, bh, lev in bands:
             if irreversible:
-                a = floats[(name, lev)]
-                mx = float(np.abs(a).max()) if a.size else 0.0
+                mx = max(
+                    (float(np.abs(floats[(ci, name, lev)]).max()) if floats[(ci, name, lev)].size else 0.0)
+                    for ci in range(ncomp)
+                )
                 e2 = int(np.ceil(np.log2(max(mx, 1e-9) / 4095.0)))
                 rb = 8 + gain
                 # a near-empty band would want eps > 31 (a step far finer
@@ -674,18 +684,22 @@ def encode_j2k(img: np.ndarray, levels: int = 2, irreversible: bool = False) -> 
                 eps[(name, lev)] = ee
                 mu[(name, lev)] = 0
                 delta = 2.0 ** e2
-                arrays[(name, lev)] = np.floor(np.abs(a) / delta).astype(
-                    np.int64
-                ) * np.where(a < 0, -1, 1)
+                for ci in range(ncomp):
+                    a = floats[(ci, name, lev)]
+                    arrays[(ci, name, lev)] = np.floor(np.abs(a) / delta).astype(
+                        np.int64
+                    ) * np.where(a < 0, -1, 1)
                 continue
-            a = arrays[(name, lev)]
-            mx = int(np.abs(a).max()) if a.size else 0
-            nb = mx.bit_length()
+            nb = max(
+                (int(np.abs(arrays[(ci, name, lev)]).max()) if arrays[(ci, name, lev)].size else 0)
+                for ci in range(ncomp)
+            ).bit_length()
             eps[(name, lev)] = max(nb - _GUARD + 1, 1)
             mu[(name, lev)] = 0
 
     body = bytearray()
-    for bands in res:
+    for bands, comp in ((bands, c) for bands in res for c in range(ncomp)):
+        # LRCP with one layer: resolution-major, then component (B.12.1.1)
         bio = _BitIO()
         chunks: list[bytes] = []
         bio.write(1)  # packet non-empty
@@ -695,7 +709,7 @@ def encode_j2k(img: np.ndarray, levels: int = 2, irreversible: bool = False) -> 
             gx, gy = _grid(bw, bh)
             incl = _TagTree(gx, gy)
             zbp = _TagTree(gx, gy)
-            a = arrays[(name, lev)]
+            a = arrays[(comp, name, lev)]
             mb = eps[(name, lev)] + guard - 1
             blocks = []
             for cy in range(gy):
@@ -749,8 +763,8 @@ def encode_j2k(img: np.ndarray, levels: int = 2, irreversible: bool = False) -> 
 
     # markers
     siz = struct.pack(
-        ">HHIIIIIIIIHBBB", 38 + 3, 0, w, h, 0, 0, w, h, 0, 0, 1, 7, 1, 1
-    )
+        ">HHIIIIIIIIH", 38 + 3 * ncomp, 0, w, h, 0, 0, w, h, 0, 0, ncomp
+    ) + bytes([7, 1, 1] * ncomp)
     spcod = bytes(
         [levels, _CBLK.bit_length() - 3, _CBLK.bit_length() - 3, 0, 0 if irreversible else 1]
     )
@@ -785,15 +799,16 @@ def encode_jp2(img: np.ndarray, levels: int = 2, irreversible: bool = False) -> 
     """Wrap the codestream in the minimal JP2 container (I.5): signature,
     ftyp, jp2h(ihdr+colr greyscale), jp2c."""
     cs = encode_j2k(img, levels, irreversible)
-    h, w = img.shape
+    h, w = img.shape[:2]
+    nc = 1 if img.ndim == 2 else img.shape[2]
 
     def box(typ: bytes, payload: bytes) -> bytes:
         return struct.pack(">I", 8 + len(payload)) + typ + payload
 
     sig = box(b"jP  ", b"\x0d\x0a\x87\x0a")
     ftyp = box(b"ftyp", b"jp2 " + struct.pack(">I", 0) + b"jp2 ")
-    ihdr = box(b"ihdr", struct.pack(">IIHBBBB", h, w, 1, 7, 7, 0, 0))
-    colr = box(b"colr", bytes([1, 0, 0]) + struct.pack(">I", 17))
+    ihdr = box(b"ihdr", struct.pack(">IIHBBBB", h, w, nc, 7, 7, 0, 0))
+    colr = box(b"colr", bytes([1, 0, 0]) + struct.pack(">I", 17 if nc == 1 else 16))
     jp2h = box(b"jp2h", ihdr + colr)
     return sig + ftyp + jp2h + box(b"jp2c", cs)
 
@@ -828,6 +843,7 @@ def decode_jpx(data: bytes) -> np.ndarray:
     w = h = None
     levels = None
     irreversible = False
+    ncomp = 1
     sub_eps: list[int] = []
     guard = _GUARD
     body = None
@@ -841,15 +857,19 @@ def decode_jpx(data: bytes) -> np.ndarray:
             rsiz, xs, ys, xo, yo, xt, yt, xto, yto, ncomp = struct.unpack(
                 ">HIIIIIIIIH", seg[:36]
             )
-            if ncomp != 1:
-                raise NotImplementedError("multi-component JPX is outside the codec subset")
+            if ncomp not in (1, 3):
+                raise NotImplementedError(
+                    "multi-component JPX outside 1 (gray) or 3 (RGB) components "
+                    "is outside the codec subset"
+                )
             if (xo, yo, xto, yto) != (0, 0, 0, 0) or (xt, yt) != (xs, ys):
                 raise NotImplementedError("JPX tiling/offsets are outside the codec subset")
-            ssiz, xr, yr = seg[36], seg[37], seg[38]
-            if ssiz != 7 or (xr, yr) != (1, 1):
-                raise NotImplementedError(
-                    "JPX components outside 8-bit unsigned 1:1 are outside the codec subset"
-                )
+            for ci in range(ncomp):
+                ssiz, xr, yr = seg[36 + 3 * ci], seg[37 + 3 * ci], seg[38 + 3 * ci]
+                if ssiz != 7 or (xr, yr) != (1, 1):
+                    raise NotImplementedError(
+                        "JPX components outside 8-bit unsigned 1:1 are outside the codec subset"
+                    )
             w, h = xs, ys
         elif marker == b"\xff\x52":  # COD
             scod, prog, layers, mct = seg[0], seg[1], struct.unpack(">H", seg[2:4])[0], seg[4]
@@ -898,7 +918,7 @@ def decode_jpx(data: bytes) -> np.ndarray:
 
     res = _bands_for(w, h, levels)
     eps_iter = iter(sub_eps)
-    arrays: dict[tuple[str, int], np.ndarray] = {}
+    arrays: dict[tuple[int, str, int], np.ndarray] = {}
     band_eps: dict[tuple[str, int], tuple[int, int]] = {}
     band_gain: dict[tuple[str, int], int] = {}
     for bands in res:
@@ -907,7 +927,8 @@ def decode_jpx(data: bytes) -> np.ndarray:
             band_gain[(name, lev)] = g_
 
     pos = 0
-    for bands in res:
+    for bands, comp in ((bands, c) for bands in res for c in range(ncomp)):
+        # LRCP, one layer: resolution-major, then component (B.12.1.1)
         bio = _BitIO(body[pos:])
         if not bio.read():  # empty packet
             pos += bio.align_r()
@@ -915,7 +936,7 @@ def decode_jpx(data: bytes) -> np.ndarray:
         pend: list[tuple] = []
         for name, orient, _gain, bw, bh, lev in bands:
             arr = np.zeros((bh, bw), dtype=np.float64 if irreversible else np.int64)
-            arrays[(name, lev)] = arr
+            arrays[(comp, name, lev)] = arr
             if bw == 0 or bh == 0:
                 continue
             gx, gy = _grid(bw, bh)
@@ -948,10 +969,10 @@ def decode_jpx(data: bytes) -> np.ndarray:
                         raise NotImplementedError(
                             "JPX truncated layers are outside the codec subset"
                         )
-                    pend.append((name, lev, orient, cx, cy, bw, bh, nb, ln_b))
+                    pend.append((comp, name, lev, orient, cx, cy, bw, bh, nb, ln_b))
         hdr_end = bio.align_r()
         pos += hdr_end
-        for name, lev, orient, cx, cy, bw, bh, nb, ln_b in pend:
+        for comp_, name, lev, orient, cx, cy, bw, bh, nb, ln_b in pend:
             data_blk = body[pos : pos + ln_b]
             pos += ln_b
             x0, y0 = cx * _CBLK, cy * _CBLK
@@ -965,16 +986,26 @@ def decode_jpx(data: bytes) -> np.ndarray:
                 ee, mu_ = band_eps[(name, lev)]
                 delta = 2.0 ** (8 + band_gain[(name, lev)] - ee) * (1 + mu_ / 2048.0)
                 vals = np.where(vals > 0, (vals + 0.5) * delta, 0.0)
-            arrays[(name, lev)][y0 : y0 + ch_, x0 : x0 + cw_] = np.where(
+            arrays[(comp_, name, lev)][y0 : y0 + ch_, x0 : x0 + cw_] = np.where(
                 signs == 1, -vals, vals
             )
 
-    ll = arrays[("LL", levels)]
-    highs = []
-    for lev in range(1, levels + 1):
-        highs.append((arrays[("HL", lev)], arrays[("LH", lev)], arrays[("HH", lev)]))
-    if irreversible:
-        out = np.rint(_inv_dwt_97(ll, highs) + 128.0)
-    else:
-        out = _inv_dwt(ll, highs) + 128
-    return np.clip(out, 0, 255).astype(np.uint8)
+    comps = []
+    for ci in range(ncomp):
+        ll = arrays[(ci, "LL", levels)]
+        highs = []
+        for lev in range(1, levels + 1):
+            highs.append(
+                (arrays[(ci, "HL", lev)], arrays[(ci, "LH", lev)], arrays[(ci, "HH", lev)])
+            )
+        if irreversible:
+            out = np.rint(_inv_dwt_97(ll, highs) + 128.0)
+        else:
+            out = _inv_dwt(ll, highs) + 128
+        comps.append(np.clip(out, 0, 255).astype(np.int64))
+    if ncomp == 1:
+        return comps[0].astype(np.uint8)
+    # RGB -> the grayscale signal the pipeline consumes: integer BT.601
+    # luma (exact identity when R == G == B, since the weights sum to 1000)
+    y = (299 * comps[0] + 587 * comps[1] + 114 * comps[2] + 500) // 1000
+    return np.clip(y, 0, 255).astype(np.uint8)

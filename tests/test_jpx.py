@@ -111,9 +111,9 @@ def _patch(blob: bytes, marker: bytes, off: int, val: int) -> bytes:
 def test_jpx_gates_stay_loud():
     img = rng.integers(0, 256, (40, 50)).astype(np.uint8)
     cs = encode_j2k(img, 1)
-    # multi-component (Csiz low byte at seg offset 35)
+    # component counts other than 1 or 3 (Csiz low byte at seg offset 35)
     with pytest.raises(NotImplementedError, match="multi-component"):
-        decode_jpx(_patch(cs, b"\xff\x51", 4 + 35, 3))
+        decode_jpx(_patch(cs, b"\xff\x51", 4 + 35, 2))
     # 16-bit component (Ssiz at seg offset 36)
     with pytest.raises(NotImplementedError, match="8-bit"):
         decode_jpx(_patch(cs, b"\xff\x51", 4 + 36, 15))
@@ -271,3 +271,21 @@ def test_97_extreme_images_transparent():
         for nl in (0, 1, 2, 3):
             out = decode_jpx(encode_j2k(img, nl, irreversible=True))
             assert np.abs(out.astype(int) - img.astype(int)).max() <= 1
+
+
+def test_rgb_three_component_codestream():
+    """RGB (three full-resolution components, no MCT): packets iterate
+    resolution-major then component (LRCP); the decoder reconstructs all
+    three planes and returns the integer BT.601 luma the pipeline
+    consumes — exactly, for the lossless transform."""
+    g = rng.integers(0, 256, (65, 100)).astype(np.uint8)
+    rgb = np.repeat(g[:, :, None], 3, axis=2)
+    # R == G == B: luma is the identity, so the round trip is exact
+    assert (decode_jpx(encode_j2k(rgb, 2)) == g).all()
+    assert (decode_jpx(encode_jp2(rgb, 1)) == g).all()
+    c64 = rng.integers(0, 256, (64, 80, 3)).astype(np.int64)
+    ref = (299 * c64[:, :, 0] + 587 * c64[:, :, 1] + 114 * c64[:, :, 2] + 500) // 1000
+    cu = c64.astype(np.uint8)
+    assert (decode_jpx(encode_j2k(cu, 1)).astype(int) == ref).all()
+    out97 = decode_jpx(encode_j2k(cu, 2, irreversible=True))
+    assert np.abs(out97.astype(int) - ref).max() <= 2
