@@ -26,6 +26,83 @@ PAGE_DOC_SCHEMA = (
 )
 
 
+def build_page_record(
+    boxes,
+    scores,
+    values,
+    confs,
+    orientations,
+    dims,
+    page_idx,
+    raw_tables,
+    layout_regions,
+    page_orientation,
+    *,
+    resolve_lines: bool,
+    resolve_blocks: bool,
+    paragraph_break: float,
+    keep_reading_order: bool = False,
+    text_direction: str | None = None,
+    include_furniture: bool = True,
+) -> tuple[int, str, str]:
+    """One page's build: parallel word arrays -> (n_words, page_text,
+    page_json). Shared by the staged `build_pages` stage and the fused
+    single-stage pipeline (`operators.pipeline`) so the builder semantics
+    (empty-word filter, table consumption, page export) exist once."""
+    import numpy as np
+
+    from ..kernels.tables import build_tables
+
+    # unreadable detections (photos/artefacts/noise recognize as empty)
+    # carry no text and are dropped here, the builder-entry analogue of
+    # the reference's zero-size/garbage crop filtering
+    # (value is a string column: non-null non-empty strings survive, like
+    # the previous stage-level `fillna("") != ""` filter)
+    keep_mask = np.asarray([isinstance(v, str) and v != "" for v in values], dtype=bool)
+    if not keep_mask.all():
+        boxes = boxes[keep_mask]
+        scores = scores[keep_mask]
+        values = [v for v, k in zip(values, keep_mask) if k]
+        confs = [c for c, k in zip(confs, keep_mask) if k]
+        if orientations is not None:
+            orientations = [o for o, k in zip(orientations, keep_mask) if k]
+
+    # table assignment consumes words out of the blocks (anti-join,
+    # reference builder.py:780-787)
+    tables, consumed = build_tables(boxes, values, confs, raw_tables)
+    if consumed.any():
+        keep = ~consumed
+        boxes = boxes[keep]
+        scores = scores[keep]
+        values = [v for v, k in zip(values, keep) if k]
+        confs = [c for c, k in zip(confs, keep) if k]
+        if orientations is not None:
+            orientations = [o for o, k in zip(orientations, keep) if k]
+
+    page = build_page(
+        boxes,
+        scores,
+        values,
+        confs,
+        dims,
+        page_idx=page_idx,
+        do_resolve_lines=resolve_lines,
+        do_resolve_blocks=resolve_blocks,
+        paragraph_break=paragraph_break,
+        crop_orientations=orientations,
+        tables=tables,
+        keep_reading_order=keep_reading_order,
+        text_direction=text_direction,
+        layout_regions=layout_regions,
+        include_furniture=include_furniture,
+    )
+    if page_orientation is not None:
+        page["orientation"] = page_orientation
+    text = page.pop("text")
+    n_words = int(boxes.shape[0]) + int(consumed.sum())
+    return n_words, text, json.dumps(page)
+
+
 def _make_builder(
     resolve_lines: bool,
     resolve_blocks: bool,
@@ -35,8 +112,6 @@ def _make_builder(
     include_furniture: bool = True,
 ):
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        from ..kernels.tables import build_tables
-
         conv_id = pdf["conv_id"].iloc[0]
         turn_idx = int(pdf["turn_idx"].iloc[0])
         page_idx = int(pdf["page_idx"].iloc[0])
@@ -58,10 +133,6 @@ def _make_builder(
                 if blob:
                     layout_regions = json.loads(blob)
         pdf = pdf[pdf["word_idx"] >= 0]
-        # unreadable detections (photos/artefacts/noise recognize as empty)
-        # carry no text and are dropped here, the builder-entry analogue of
-        # the reference's zero-size/garbage crop filtering
-        pdf = pdf[pdf["value"].fillna("") != ""]
         boxes = pdf[["xmin", "ymin", "xmax", "ymax"]].to_numpy()
         values = pdf["value"].tolist()
         confs = pdf["confidence"].tolist()
@@ -70,41 +141,18 @@ def _make_builder(
         if "crop_orient" in pdf.columns:
             orientations = list(zip(pdf["crop_orient"].tolist(), pdf["crop_orient_conf"].tolist()))
 
-        # table assignment consumes words out of the blocks (anti-join,
-        # reference builder.py:780-787)
-        tables, consumed = build_tables(boxes, values, confs, raw_tables)
-        if consumed.any():
-            keep = ~consumed
-            boxes = boxes[keep]
-            scores = scores[keep]
-            values = [v for v, k in zip(values, keep) if k]
-            confs = [c for c, k in zip(confs, keep) if k]
-            if orientations is not None:
-                orientations = [o for o, k in zip(orientations, keep) if k]
-
-        page = build_page(
-            boxes,
-            scores,
-            values,
-            confs,
-            dims,
-            page_idx=page_idx,
-            do_resolve_lines=resolve_lines,
-            do_resolve_blocks=resolve_blocks,
+        n_words, text, page_json = build_page_record(
+            boxes, scores, values, confs, orientations, dims, page_idx,
+            raw_tables, layout_regions, page_orientation,
+            resolve_lines=resolve_lines,
+            resolve_blocks=resolve_blocks,
             paragraph_break=paragraph_break,
-            crop_orientations=orientations,
-            tables=tables,
             keep_reading_order=keep_reading_order,
             text_direction=text_direction,
-            layout_regions=layout_regions,
             include_furniture=include_furniture,
         )
-        if page_orientation is not None:
-            page["orientation"] = page_orientation
-        text = page.pop("text")
-        n_words = int(boxes.shape[0]) + int(consumed.sum())
         return pd.DataFrame(
-            [(conv_id, turn_idx, page_idx, n_words, text, json.dumps(page))],
+            [(conv_id, turn_idx, page_idx, n_words, text, page_json)],
             columns=["conv_id", "turn_idx", "page_idx", "n_words", "page_text", "page_json"],
         )
 

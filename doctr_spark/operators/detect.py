@@ -40,7 +40,7 @@ _COLS = [
 # layout-aware reading-order builder
 
 
-def _make_detector(
+def make_page_processor(
     mask_region_labels: tuple[str, ...] | None,
     straighten_pages: bool = False,
     det_arch: str = "db_like",
@@ -49,8 +49,13 @@ def _make_detector(
     det_preserve_aspect_ratio: bool = True,
     det_symmetric_pad: bool = True,
 ):
-    import json
-
+    """Per-page detection kernel shared by the staged `detect_and_crop`
+    stage and the fused single-stage pipeline (`operators.pipeline`):
+    straighten -> layout regions -> masking -> detect -> table structure,
+    with identical ordering and thresholds in both callers. Returns
+    ``process_page(img) -> (img, orient, orient_conf, regions, tables,
+    abs_boxes, rel_boxes, scores)`` where ``img`` is the (possibly
+    straightened/masked) page the crops must be sliced from."""
     import numpy as np
 
     from ..kernels.detection import DET_PRESETS, mask_regions
@@ -91,6 +96,74 @@ def _make_detector(
         rel = abs_boxes.astype(np.float64) / np.array([w, h, w, h], dtype=np.float64)
         return abs_boxes, rel, scores
 
+    def process_page(img: np.ndarray):
+        orient, orient_conf = 0, 1.0
+        pre_detect = None
+        if straighten_pages:
+            # fractional skew first (projection profile is readable
+            # at any right-angle orientation), then the 0/90/180/270
+            # classifier on the deskewed page — mirrors the
+            # reference straighten loop (predictor/pytorch.py:110-142)
+            # with estimate_orientation (models/_utils.py:42-160).
+            skew = estimate_skew_angle(img)
+            if skew:
+                # crisp synthetic ink inverts losslessly by shears;
+                # scanner-resampled ink takes the interpolating
+                # inverse (matching how it was rotated)
+                unrot = (
+                    unrotate_image_resampled if is_resampled(img) else unrotate_image_shear
+                )
+                img = unrot(img, skew)
+            # the stage detects this page anyway: when the preset
+            # matches the orientation scorer's default thresholds
+            # (and no masking will alter the page), detect once and
+            # share the pass with the k=0 candidate
+            if (bin_thresh, box_thresh) == DET_PRESETS["db_like"] and not mask_region_labels:
+                pre_detect = _detect(img)
+                orient, orient_conf = estimate_page_orientation(
+                    img, upright_boxes=pre_detect[0]
+                )
+            else:
+                orient, orient_conf = estimate_page_orientation(img)
+            if orient:
+                img = straighten_page(img, orient)
+                pre_detect = None
+        regions = None
+        if mask_region_labels or carry_layout:
+            # one layout forward serves both consumers: region
+            # masking (ignore_regions) and the reading-order builder
+            regions = detect_layout_regions(img)
+        if mask_region_labels:
+            drop = np.asarray(
+                [b for b, n in zip(regions["boxes"], regions["class_names"])
+                 if n in mask_region_labels]
+            ).reshape(-1, 4)  # fmt: skip
+            img = mask_regions(img, drop)
+        abs_boxes, rel_boxes, scores = (
+            pre_detect if pre_detect is not None else _detect(img)
+        )
+        tables = detect_table_structure(img)
+        return img, orient, orient_conf, regions, tables, abs_boxes, rel_boxes, scores
+
+    return process_page
+
+
+def _make_detector(
+    mask_region_labels: tuple[str, ...] | None,
+    straighten_pages: bool = False,
+    det_arch: str = "db_like",
+    carry_layout: bool = False,
+    det_input_size: tuple[int, int] | None = None,
+    det_preserve_aspect_ratio: bool = True,
+    det_symmetric_pad: bool = True,
+):
+    import json
+
+    process_page = make_page_processor(
+        mask_region_labels, straighten_pages, det_arch, carry_layout,
+        det_input_size, det_preserve_aspect_ratio, det_symmetric_pad,
+    )
+
     def _detect_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
@@ -98,46 +171,13 @@ def _make_detector(
                 pdf["conv_id"], pdf["turn_idx"], pdf["page_idx"], pdf["page_h"], pdf["page_w"], pdf["page"]
             ):
                 img = decode_page(bytes(blob))
-                orient, orient_conf = 0, 1.0
-                pre_detect = None
-                if straighten_pages:
-                    # fractional skew first (projection profile is readable
-                    # at any right-angle orientation), then the 0/90/180/270
-                    # classifier on the deskewed page — mirrors the
-                    # reference straighten loop (predictor/pytorch.py:110-142)
-                    # with estimate_orientation (models/_utils.py:42-160).
-                    skew = estimate_skew_angle(img)
-                    if skew:
-                        # crisp synthetic ink inverts losslessly by shears;
-                        # scanner-resampled ink takes the interpolating
-                        # inverse (matching how it was rotated)
-                        unrot = (
-                            unrotate_image_resampled if is_resampled(img) else unrotate_image_shear
-                        )
-                        img = unrot(img, skew)
-                    # the stage detects this page anyway: when the preset
-                    # matches the orientation scorer's default thresholds
-                    # (and no masking will alter the page), detect once and
-                    # share the pass with the k=0 candidate
-                    if (bin_thresh, box_thresh) == DET_PRESETS["db_like"] and not mask_region_labels:
-                        pre_detect = _detect(img)
-                        orient, orient_conf = estimate_page_orientation(
-                            img, upright_boxes=pre_detect[0]
-                        )
-                    else:
-                        orient, orient_conf = estimate_page_orientation(img)
-                    if orient:
-                        img = straighten_page(img, orient)
-                        pre_detect = None
+                img, orient, orient_conf, regions, tables, abs_boxes, rel_boxes, scores = (
+                    process_page(img)
+                )
                 key = (
                     conv_id, int(turn_idx), int(page_idx),
                     int(img.shape[0]), int(img.shape[1]), orient, float(orient_conf),
                 )  # fmt: skip
-                regions = None
-                if mask_region_labels or carry_layout:
-                    # one layout forward serves both consumers: region
-                    # masking (ignore_regions) and the reading-order builder
-                    regions = detect_layout_regions(img)
                 if carry_layout:
                     rows.append(
                         key
@@ -145,16 +185,6 @@ def _make_detector(
                            json.dumps({"boxes": regions["boxes"].tolist(),
                                        "class_names": regions["class_names"]}))
                     )  # fmt: skip
-                if mask_region_labels:
-                    drop = np.asarray(
-                        [b for b, n in zip(regions["boxes"], regions["class_names"])
-                         if n in mask_region_labels]
-                    ).reshape(-1, 4)  # fmt: skip
-                    img = mask_regions(img, drop)
-                abs_boxes, rel_boxes, scores = (
-                    pre_detect if pre_detect is not None else _detect(img)
-                )
-                tables = detect_table_structure(img)
                 if tables:
                     rows.append(key + (-2, 0.0, 0.0, 0.0, 0.0, 0.0, None, json.dumps(tables)))
                 if abs_boxes.shape[0] == 0:

@@ -35,17 +35,41 @@ _PASS = ["conv_id", "turn_idx", "page_idx", "page_h", "page_w", "page_orient", "
          "word_idx", "xmin", "ymin", "xmax", "ymax", "score", "aux"]  # fmt: skip
 
 
-def _make_recognizer(detect_orientation: bool, arch: str = "ctc", vocab_name: str = "french"):
+def recognize_crop_arrays(
+    crops: list, detect_orientation: bool, arch: str = "ctc", vocab_name: str = "french"
+) -> tuple[list[str], list[float], list[int], list[float]]:
+    """Recognize a list of real crop ARRAYS -> (values, confs, crop_orients,
+    crop_orient_confs). The per-crop semantics (orientation classify +
+    rectify, then the fixed-size batched forward) are shared by the staged
+    `recognize` stage and the fused single-stage pipeline
+    (`operators.pipeline`) — bit-identical per crop in both."""
     from ..kernels.orientation import estimate_crop_orientation, rectify_crop
     from ..kernels.vocab import VOCABS
 
     vocab = VOCABS[vocab_name]
+    rect: list = []
+    orients: list[int] = []
+    oconfs: list[float] = []
+    for crop in crops:
+        if detect_orientation:
+            angle, oconf = estimate_crop_orientation(crop)
+            if angle:
+                crop = rectify_crop(crop, angle)
+        else:
+            angle, oconf = 0, 1.0
+        orients.append(angle)
+        oconfs.append(oconf)
+        rect.append(crop)
+    preds = recognize_crops_batched(rect, vocab=vocab, arch=arch)
+    return [v for v, _ in preds], [c for _, c in preds], orients, oconfs
 
+
+def _make_recognizer(detect_orientation: bool, arch: str = "ctc", vocab_name: str = "french"):
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            # phase 1: decode + rectify, collecting real crops for the
-            # fixed-size batched forward (RECO_BATCH padded tensors — the
-            # NN swap-in boundary, see kernels.recognition.forward_logits_batch)
+            # phase 1: decode, collecting real crops for the fixed-size
+            # batched forward (RECO_BATCH padded tensors — the NN swap-in
+            # boundary, see kernels.recognition.forward_logits_batch)
             values: list[str | None] = []
             confs, orients, oconfs = [], [], []
             todo: list = []
@@ -57,22 +81,20 @@ def _make_recognizer(detect_orientation: bool, arch: str = "ctc", vocab_name: st
                     orients.append(0)
                     oconfs.append(0.0)
                     continue
-                crop = decode_page(bytes(blob))
-                if detect_orientation:
-                    angle, oconf = estimate_crop_orientation(crop)
-                    if angle:
-                        crop = rectify_crop(crop, angle)
-                else:
-                    angle, oconf = 0, 1.0
                 values.append("")
                 confs.append(0.0)
-                orients.append(angle)
-                oconfs.append(oconf)
-                todo.append(crop)
+                orients.append(0)
+                oconfs.append(0.0)
+                todo.append(decode_page(bytes(blob)))
                 todo_pos.append(len(values) - 1)
-            for pos, (v, c) in zip(todo_pos, recognize_crops_batched(todo, vocab=vocab, arch=arch)):
+            t_values, t_confs, t_orients, t_oconfs = recognize_crop_arrays(
+                todo, detect_orientation, arch, vocab_name
+            )
+            for pos, v, c, a, oc in zip(todo_pos, t_values, t_confs, t_orients, t_oconfs):
                 values[pos] = v
                 confs[pos] = c
+                orients[pos] = a
+                oconfs[pos] = oc
             out = pdf[_PASS].copy()
             out["value"] = values
             out["confidence"] = confs
