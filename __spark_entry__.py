@@ -247,8 +247,8 @@ def ocr_extract_pdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     tables), and §7.5.6 incremental updates (decoy base text replaced by
     appended object redefinitions). Oracle =
     the generator's word layout. PDFs beyond the subset (non-empty
-    passwords, Type3 fonts, skewed CTMs) still fail loudly (reference
-    swap-in point: pypdfium2, `doctr/io/pdf.py:16-43`)."""
+    passwords, skewed Type3 FontMatrix, skewed CTMs) still fail loudly
+    (reference swap-in point: pypdfium2, `doctr/io/pdf.py:16-43`)."""
     from doctr_spark.fixtures.pdfdocs import generate_pdf_transcripts
 
     tdf, gdf = generate_pdf_transcripts(spark, 40, with_gt=True)

@@ -1809,7 +1809,10 @@ def _make_font_decoder(num: int, objs: dict):
 
     def decode_simple(raw: bytes) -> str:
         if cmap:
-            return "".join(cmap.get(b) or table[b] for b in raw)
+            # membership test, not `or`: a ToUnicode destination that is
+            # falsy (empty string / U+0000, both legal per §9.10.3) must
+            # still win over the base-encoding table
+            return "".join(cmap[b] if b in cmap else table[b] for b in raw)
         return "".join(table[b] for b in raw)
 
     sw = _parse_simple_widths(fhead, objs)

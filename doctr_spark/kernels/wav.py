@@ -52,6 +52,10 @@ def decode_wav(blob: bytes) -> tuple[np.ndarray, int]:
     if fmt is None or data is None:
         raise ValueError("WAVE stream missing fmt/data chunks")
     tag, ch, rate, _brate, _block, bits = fmt
+    if ch < 1:
+        raise ValueError(f"malformed fmt chunk: NumChannels = {ch}")
+    if len(data) == 0:
+        raise ValueError("empty WAVE data chunk")
     if tag != 1:
         raise NotImplementedError(
             f"WAVE format tag {tag} (non-PCM/compressed) is outside the codec subset"

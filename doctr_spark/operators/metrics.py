@@ -239,8 +239,7 @@ def _two_level_pr(det: DataFrame, totals: DataFrame) -> DataFrame:
     2. collect ONE row per (partition, cls, thresh): its tp sum and row
        count; prefix-sum them per group on the driver and broadcast the
        base offsets back (the same distributed prefix sum
-       ``text_pack_sequences`` uses, persisted first for the same
-       RangePartitioner-resampling hazard);
+       ``text_pack_sequences`` uses);
     3. per-partition windows give the local cumsums; base + local is the
        global PR point. The reverse running max (interpolated precision)
        folds the same way: a local suffix max plus the broadcast max of
@@ -251,11 +250,21 @@ def _two_level_pr(det: DataFrame, totals: DataFrame) -> DataFrame:
 
     spark = det.sparkSession
     k_parts = max(spark.sparkContext.defaultParallelism, 8)
+    # localCheckpoint (eager), NOT a best-effort persist: the three jobs
+    # below (base-offset collect, suffix-max collect, final plan) all
+    # assume the spark_partition_id() column matches the data placement.
+    # A persist could silently recompute after cache eviction with a
+    # RE-SAMPLED RangePartitioner, misaligning the broadcast base offsets
+    # (wrong mAP, no error); the checkpoint truncates lineage, so the
+    # partition ids are baked into materialized rows and a lost block
+    # fails loudly instead. On a real cluster swap in reliable
+    # ``checkpoint()`` for executor-loss tolerance. Blocks are released
+    # by the ContextCleaner once the result plan is dropped.
     parts = (
         det.withColumn("nscore", -F.col("score"))
         .repartitionByRange(k_parts, "cls", "thresh", "nscore")
         .withColumn("part", F.spark_partition_id())
-        .persist()
+        .localCheckpoint(eager=True)
     )
     agg = (
         parts.groupBy("part", "cls", "thresh")
@@ -309,11 +318,19 @@ def _two_level_pr(det: DataFrame, totals: DataFrame) -> DataFrame:
     )
 
 
+# auto-switch point for the distributed two-level PR fold: below this many
+# (detection x threshold) rows the single-window PR is faster (fewer jobs,
+# no collects); above it the per-(cls,thresh) window would funnel huge
+# classes through one sort task. ~2M rows sort in about a second in one
+# task, well inside straggler tolerance; 10^9-detection classes switch.
+TWO_LEVEL_PR_AUTO_ROWS = 2_000_000
+
+
 def object_detection_map(
     pairs: DataFrame,
     iou_thresholds: list[float] | None = None,
     use_polygons: bool = False,
-    two_level_pr: bool = False,
+    two_level_pr: bool | None = None,
 ) -> DataFrame:
     """Reference ``ObjectDetectionMetric`` (COCO-style mAP@[.5:.95],
     `doctr/utils/metrics.py:638-884`) re-expressed Spark-first.
@@ -336,6 +353,13 @@ def object_detection_map(
     ``pairs`` holds one row per image: ``gt_boxes``/``gt_labels`` and
     ``pred_boxes``/``pred_labels``/``pred_scores``. Returns one row per
     IoU threshold with the class-mean AP; mAP@[.5:.95] is their mean.
+
+    ``two_level_pr=None`` (the default) AUTO-selects the PR construction:
+    one cheap aggregate over ``pairs`` counts predictions, and above
+    ``TWO_LEVEL_PR_AUTO_ROWS`` (detection x threshold) rows the
+    distributed two-level fold replaces the per-(cls,thresh) single-task
+    window. Both produce identical results (parity-tested,
+    tests/test_metrics_spark.py).
     """
     import numpy as np
     from pyspark.sql.window import Window
@@ -391,6 +415,10 @@ def object_detection_map(
         .groupBy("cls")
         .agg(F.count("*").cast("double").alias("total_gt"))
     )
+
+    if two_level_pr is None:
+        n_preds = pairs.select(F.sum(F.size("pred_boxes"))).first()[0] or 0
+        two_level_pr = n_preds * len(thresholds) > TWO_LEVEL_PR_AUTO_ROWS
 
     if two_level_pr:
         pr = _two_level_pr(det, totals)

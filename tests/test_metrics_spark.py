@@ -247,3 +247,26 @@ def test_object_detection_map_two_level_pr_identical(spark):
         for r in object_detection_map(pairs, two_level_pr=True).collect()
     }
     assert single == two and len(single) == 10
+
+
+def test_object_detection_map_auto_two_level(spark, monkeypatch):
+    """two_level_pr=None auto-selects by prediction volume: with the
+    switch point forced to 0 the distributed fold runs and must still
+    equal the single-window curve."""
+    from doctr_spark.operators import metrics
+    from doctr_spark.operators.metrics import object_detection_map
+
+    b = [0.1, 0.1, 0.3, 0.3]
+    rows = [
+        ([b], [0], [b, [0.5, 0.5, 0.7, 0.7]], [0, 0], [0.9, 0.4]),
+        ([b], [0], [b], [0], [0.8]),
+    ]
+    schema = (
+        "gt_boxes array<array<double>>, gt_labels array<bigint>, "
+        "pred_boxes array<array<double>>, pred_labels array<bigint>, pred_scores array<double>"
+    )
+    pairs = spark.createDataFrame(rows, schema)
+    single = {r.iou_thresh: r.mean_ap for r in object_detection_map(pairs, two_level_pr=False).collect()}
+    monkeypatch.setattr(metrics, "TWO_LEVEL_PR_AUTO_ROWS", 0)
+    auto = {r.iou_thresh: r.mean_ap for r in object_detection_map(pairs).collect()}
+    assert single == auto and len(auto) == 10

@@ -138,3 +138,25 @@ def test_wav_pcm_roundtrip_and_features():
     # media-kind plumbing
     got = decode_media(encode_wav(mono), "audio/wav")
     assert (got[:, 0] == mono).all()
+
+
+def test_wav_malformed_fmt_rejects_loudly():
+    """ch == 0 or an empty data chunk must raise the codec's loud
+    ValueError, not a ZeroDivisionError / NaN features downstream."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from doctr_spark.kernels.wav import decode_wav, encode_wav
+
+    blob = encode_wav(np.zeros(16, dtype=np.int16))
+    fmt_at = blob.index(b"fmt ") + 8
+    zero_ch = blob[: fmt_at + 2] + struct.pack("<H", 0) + blob[fmt_at + 4 :]
+    with pytest.raises(ValueError, match="NumChannels"):
+        decode_wav(zero_ch)
+    i = blob.index(b"data")
+    empty = blob[:i] + b"data" + struct.pack("<I", 0)
+    empty = empty[:4] + struct.pack("<I", len(empty) - 8) + empty[8:]
+    with pytest.raises(ValueError, match="empty WAVE data"):
+        decode_wav(empty)

@@ -8,7 +8,11 @@ JVM per run) strictly interleaved A B A B ... inside one session, so any
 hypervisor drift hits both sides equally. Reports per-run seconds and
 medians.
 
-Usage: python tools/ab_q2.py [baseline_commit] [reps]
+Usage: python tools/ab_q2.py [baseline_commit] [reps] [--keep]
+
+The baseline checkout under .abwork/<commit> is torn down after the A/B
+completes (pass --keep to retain it for a follow-up run) — a stale 20k-LoC
+worktree corrupts naive LoC/copy audits of the repo.
 """
 
 from __future__ import annotations
@@ -70,17 +74,33 @@ def run_once(tree: str) -> dict:
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
+def _teardown_worktree(commit: str) -> None:
+    path = os.path.join(REPO, ".abwork", commit)
+    if os.path.isdir(path):
+        subprocess.run(
+            ["git", "-C", REPO, "worktree", "remove", "--force", path],
+            check=False,
+            capture_output=True,
+        )
+
+
 def main() -> None:
-    commit = sys.argv[1] if len(sys.argv) > 1 else DEFAULT_BASELINE
-    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    args = [a for a in sys.argv[1:] if a != "--keep"]
+    keep = "--keep" in sys.argv[1:]
+    commit = args[0] if args else DEFAULT_BASELINE
+    reps = int(args[1]) if len(args) > 1 else 3
     base_tree = _ensure_worktree(commit)
     sides = {"baseline": base_tree, "head": REPO}
     results: dict[str, list[float]] = {k: [] for k in sides}
-    for i in range(reps):
-        for name, tree in sides.items():
-            r = run_once(tree)
-            results[name].append(r["sec"])
-            print(json.dumps({"rep": i, "side": name, **r}), flush=True)
+    try:
+        for i in range(reps):
+            for name, tree in sides.items():
+                r = run_once(tree)
+                results[name].append(r["sec"])
+                print(json.dumps({"rep": i, "side": name, **r}), flush=True)
+    finally:
+        if not keep:
+            _teardown_worktree(commit)
     summary = {
         name: {
             "runs": vals,
