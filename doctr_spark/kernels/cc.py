@@ -45,11 +45,13 @@ def label_runs(mask: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray, np
     padded = np.zeros((h, w + 2), dtype=bool)
     padded[:, 1:-1] = mask
     diff = np.diff(padded.view(np.int8), axis=1)
-    start_pos = np.argwhere(diff == 1)  # row-major order
-    end_pos = np.argwhere(diff == -1)
-    rows = start_pos[:, 0]
-    starts = start_pos[:, 1]
-    ends = end_pos[:, 1]  # exclusive
+    # flatnonzero + divmod instead of two argwhere passes: same row-major
+    # coordinates, one boolean scan per sign and no (n, 2) index arrays
+    flat = diff.reshape(-1)
+    start_flat = np.flatnonzero(flat == 1)  # row-major order
+    end_flat = np.flatnonzero(flat == -1)
+    rows, starts = np.divmod(start_flat, w + 1)
+    ends = end_flat - rows * (w + 1)  # exclusive
 
     n = rows.shape[0]
     if n == 0:

@@ -294,11 +294,11 @@ def forward_logits(
         codes = read_codes(crop)
     codes = codes[codes < len(vocab)]  # drop unreadable (out-of-vocab) cells
     c_plus_1 = len(vocab) + 1
-    t = 3 * len(codes)
-    logits = np.zeros((t, c_plus_1), dtype=np.float32)
-    blank = blank_index(vocab)
-    for i, code in enumerate(codes):
-        logits[3 * i, code] = LOGIT_HI
-        logits[3 * i + 1, code] = LOGIT_HI
-        logits[3 * i + 2, blank] = LOGIT_HI
+    n = len(codes)
+    logits = np.zeros((3 * n, c_plus_1), dtype=np.float32)
+    if n:
+        i3 = 3 * np.arange(n)
+        logits[i3, codes] = LOGIT_HI
+        logits[i3 + 1, codes] = LOGIT_HI
+        logits[i3 + 2, blank_index(vocab)] = LOGIT_HI
     return logits

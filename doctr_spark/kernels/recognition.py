@@ -134,11 +134,28 @@ def ctc_best_path_batch(
     big = np.concatenate([logits_list[i] for i in idxs], axis=0)
     if whitelist is not None:
         big = apply_whitelist(big, vocab, whitelist, whitelist_mode)
-    shifted = big - big.max(axis=1, keepdims=True)
-    ex = np.exp(shifted)
-    ex[~np.isfinite(ex)] = 0.0
-    pmax = (ex / np.clip(ex.sum(axis=1, keepdims=True), 1e-30, None)).max(axis=1)
     path = big.argmax(axis=1)
+    if whitelist is None:
+        # the per-frame max softmax prob is exp(0)/sumexp = 1/sumexp, so the
+        # full (T, C+1) probability matrix never needs materializing.
+        # Bit-identical to (exp(shifted) / clip(sum)).max(axis=1):
+        # correctly-rounded division is monotone in the numerator and the
+        # max numerator is exactly exp(0.0) = 1.0, so elementwise-divide-
+        # then-max lands on the same fl(1.0 / s). (Finite logits can't
+        # produce NaN in exp.) The shift/exp run in place on the owned
+        # concat buffer — `path` is already taken above, and the row max
+        # is the gather big[t, path[t]], so this costs no extra
+        # (T, C+1) allocations or passes.
+        m = big[np.arange(big.shape[0]), path]
+        np.subtract(big, m[:, None], out=big)
+        np.exp(big, out=big)
+        pmax = 1.0 / np.clip(big.sum(axis=1), 1e-30, None)
+    else:
+        shifted = big - big.max(axis=1, keepdims=True)
+        ex = np.exp(shifted)
+        # masked rows can be all -inf: inf - inf = nan inside exp
+        ex[~np.isfinite(ex)] = 0.0
+        pmax = (ex / np.clip(ex.sum(axis=1, keepdims=True), 1e-30, None)).max(axis=1)
     lens = np.asarray([logits_list[i].shape[0] for i in idxs])
     offs = np.concatenate(([0], np.cumsum(lens)))
     confs = np.minimum.reduceat(pmax, offs[:-1])
@@ -146,11 +163,17 @@ def ctc_best_path_batch(
     keep[1:] = path[1:] != path[:-1]
     keep[offs[:-1]] = True  # a segment start never merges into its neighbor
     blank = len(vocab)
+    # vectorized collapse + decode: the emitted characters of ALL windows
+    # (run starts that are not blank) translate through one utf-32 gather,
+    # then each window's word is a substring slice — same output as the
+    # per-window collapsed[collapsed != blank] decode, without a ~50 us
+    # python loop body per window
+    sel = np.flatnonzero(keep & (path != blank))
+    vtab = np.frombuffer(vocab.encode("utf-32-le"), dtype=np.uint32)
+    joined = vtab[path[sel]].tobytes().decode("utf-32-le") if sel.size else ""
+    char_offs = np.searchsorted(sel, offs)
     for j, i in enumerate(idxs):
-        seg = slice(int(offs[j]), int(offs[j + 1]))
-        collapsed = path[seg][keep[seg]]
-        chars = collapsed[collapsed != blank]
-        out[i] = (decode_sequence(chars, vocab), float(confs[j]))
+        out[i] = (joined[char_offs[j] : char_offs[j + 1]], float(confs[j]))
     return out  # type: ignore[return-value]
 
 
