@@ -880,7 +880,11 @@ def metric_object_detection_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from doctr_spark.operators.metrics import object_detection_map
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").where(F.col("event_id") < 2000)
+    from doctr_spark.io.sources import scan_parallel
+
+    ev = scan_parallel(
+        spark.read.parquet(f"{sf_dir}/events.parquet").where(F.col("event_id") < 2000)
+    )
     base = ev.select(
         "event_id",
         (F.col("event_id") % 20).alias("img"),

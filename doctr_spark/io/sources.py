@@ -22,6 +22,35 @@ def clean_tokens(col):
     return F.trim(F.regexp_replace(F.regexp_replace(F.lower(col), "[^a-z0-9 ]", " "), " +", " "))
 
 
+def scan_parallel(df: DataFrame, *keys) -> DataFrame:
+    """Input-parallelism guard for small or unsplittable scans (guide
+    §2.5, "input skew"): a table that fits one file split would otherwise
+    run its ENTIRE map side — shingle explodes + md5 minhashing, cosine
+    folds, per-row array walks — in a single task, leaving every other
+    core idle. When the scan yields fewer partitions than
+    ``defaultParallelism``, repartition the (tiny, by construction) input
+    once; at scale the scan already has more splits than cores and this
+    is the identity, so no shuffle is ever added to a large input.
+
+    ``keys``: when the consumer aggregates by a key, pass it — the
+    repartition then hashes on that key with ``spark.sql.shuffle.
+    partitions`` partitions, so the downstream groupBy REUSES this
+    exchange (guide §2.4: repartition(k) + groupBy(k) share one shuffle)
+    and the per-key compute runs parallel with ZERO additional exchanges.
+    Without keys, a round-robin spread (right for map-only consumers).
+
+    Results are unaffected: every consumer is a projection, aggregation
+    or join, none of which depend on row placement."""
+    spark = df.sparkSession
+    p = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= p:
+        return df
+    if keys:
+        n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        return df.repartition(n, *keys)
+    return df.repartition(p)
+
+
 def read_transcripts(spark: SparkSession, path: str) -> DataFrame:
     """Read a transcripts table (parquet dir or Iceberg table name)."""
     if "/" not in path:

@@ -35,8 +35,14 @@ MAX_BUCKET = 256
 SHINGLE_DF_CAP = 1000
 
 
-def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+def _docs(spark: SparkSession, sf_dir: str, *part_keys) -> DataFrame:
+    """documents scan behind the small-input parallelism guard; pass the
+    downstream aggregation key (e.g. ``"doc_id"``) so the guard's
+    repartition is the SAME exchange the groupBy needs — heavy per-doc
+    compute (shingle md5s, token votes) then parallelizes for free."""
+    from ..io.sources import scan_parallel
+
+    return scan_parallel(spark.read.parquet(f"{sf_dir}/documents.parquet"), *part_keys)
 
 
 def _shingles(docs: DataFrame) -> DataFrame:
@@ -65,8 +71,11 @@ def _doc_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation keyed on doc_id. The naive form (cross-join 8 seeds, then
     groupBy (doc, seed)) shuffles 8x the shingle rows; folding the seeds
     into parallel agg expressions keeps the shuffle at 1x and the md5 work
-    identical."""
-    sh = _shingles(_docs(spark, sf_dir))
+    identical. The doc_id-keyed scan guard means the shingle explode + md5
+    work runs AFTER (and partitioned by) the one exchange the groupBy
+    needs — on a one-split local input nothing serializes through a single
+    map task, and at scale the guard is the identity."""
+    sh = _shingles(_docs(spark, sf_dir, "doc_id"))
     return sh.groupBy("doc_id").agg(
         *[
             F.min(F.md5(F.concat_ws("|", F.lit(str(s)), F.col("shingle")))).alias(f"m{s}")
@@ -250,10 +259,11 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     minhash seeds use (:func:`_doc_signatures`). The earlier form
     cross-joined the exploded token table against a 16-row bit table, which
     multiplied the shuffle input 16x for zero information; this computes
-    identical votes with a single 1x shuffle and map-side partial
-    aggregation, then folds the 16 votes into the hash word projection-side
-    (no second aggregation)."""
-    docs = _docs(spark, sf_dir)
+    identical votes with a single 1x shuffle, then folds the 16 votes into
+    the hash word projection-side (no second aggregation). The doc_id-keyed
+    scan guard puts the token md5 + vote work downstream of that one
+    exchange, so it parallelizes even off a one-split local input."""
+    docs = _docs(spark, sf_dir, "doc_id")
     toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
     h16 = F.conv(F.substring(F.md5(F.col("tok")), 1, 4), 16, 10).cast("long")
     votes = toks.withColumn("h", h16).groupBy("doc_id").agg(

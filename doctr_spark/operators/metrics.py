@@ -51,7 +51,9 @@ def iou_expr(a: str, b: str) -> Column:
 def box_iou_events(spark, sf_dir: str) -> DataFrame:
     """Native-column IoU over deterministic box pairs derived from events —
     the SQL-checkable demonstration of the metrics-suite IoU primitive."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    from ..io.sources import scan_parallel
+
+    ev = scan_parallel(spark.read.parquet(f"{sf_dir}/events.parquet"))
     a_x0 = (F.col("event_id") * 13 % 100) / 100.0
     a_y0 = (F.col("event_id") * 29 % 100) / 100.0
     b_x0 = (F.col("event_id") * 17 % 100) / 100.0
@@ -475,7 +477,9 @@ def polygon_iou_events(spark, sf_dir: str) -> DataFrame:
     DuckDB oracle with no staging."""
     from ..kernels.geometry import polygon_iou, rotate_polygon
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    from ..io.sources import scan_parallel
+
+    ev = scan_parallel(spark.read.parquet(f"{sf_dir}/events.parquet"))
     a_x0 = (F.col("event_id") * 13 % 100) / 100.0
     a_y0 = (F.col("event_id") * 29 % 100) / 100.0
     b_x0 = (F.col("event_id") * 17 % 100) / 100.0

@@ -12,12 +12,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F  # noqa: N812
 
+from ..io.sources import scan_parallel
+
 SESSION_GAP_MIN = 30
 
 
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-style pricing summary (group agg with partial aggregation)."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li = scan_parallel(spark.read.parquet(f"{sf_dir}/lineitem.parquet"))
     # accumulate in DECIMAL: decimal addition is exact and order-independent,
     # so the result is bit-identical across engines and partitionings
     # (double sums over ~60k rows carry order-dependent rounding error that
@@ -45,7 +47,7 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Revenue by customer nation: fact table joined to two broadcast dims."""
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    orders = scan_parallel(spark.read.parquet(f"{sf_dir}/orders.parquet"))
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
     nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
     return (
@@ -63,7 +65,7 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-break sessionization: a new session starts when the time since
     the user's previous event exceeds SESSION_GAP_MIN minutes — the exact
     window-function analogue of the builder's sub-line gap split."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = scan_parallel(spark.read.parquet(f"{sf_dir}/events.parquet"))
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     # gap computed with timestampdiff on the NTZ values directly: immune to
     # the session timezone (an LTZ epoch round-trip would shift across DST
@@ -91,7 +93,7 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def events_topk(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
     """Top-k events per user by value (window row_number)."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = scan_parallel(spark.read.parquet(f"{sf_dir}/events.parquet"))
     w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
     return (
         ev.withColumn("rank", F.row_number().over(w))
@@ -104,7 +106,7 @@ def bbox_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`resolve_enclosing_bbox` as a Spark aggregation
     (`doctr/utils/geometry.py:128-147`): synthetic boxes derived
     deterministically from events, folded to the per-user enclosing box."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = scan_parallel(spark.read.parquet(f"{sf_dir}/events.parquet"))
     x0 = (F.col("event_id") * 37 % 1000) / 1000.0
     y0 = (F.col("event_id") * 73 % 1000) / 1000.0
     boxes = ev.select(

@@ -31,7 +31,9 @@ MAX_BUCKET = 256
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+    from ..io.sources import scan_parallel
+
+    return scan_parallel(spark.read.parquet(f"{sf_dir}/embeddings.parquet")).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
 

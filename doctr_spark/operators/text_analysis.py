@@ -29,8 +29,10 @@ _LANG_MARKERS = {
 _BPE_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
 
 
-def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+def _docs(spark: SparkSession, sf_dir: str, *part_keys) -> DataFrame:
+    from ..io.sources import scan_parallel
+
+    return scan_parallel(spark.read.parquet(f"{sf_dir}/documents.parquet"), *part_keys)
 
 
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -525,7 +527,7 @@ def source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     decision needs (document count, token mass, length distribution,
     language spread, exact-dup rate within the source). One hash groupBy
     with map-side partial aggregation — scale-safe at any corpus size."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs(spark, sf_dir)
     toks = F.when(F.col("text") == "", 0).otherwise(F.size(F.split("text", " ")))
     return (
         docs.groupBy("source")
@@ -560,8 +562,11 @@ def char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     gibberish/boilerplate signal (low entropy = repeated filler, high =
     random noise; used alongside the Gopher-style gates). Shape: one
     explode to (doc, char) with map-side combinable counting, then one
-    per-doc fold — linear in corpus characters, no wide rows."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    per-doc fold — linear in corpus characters, no wide rows. The
+    doc_id-keyed scan guard makes BOTH groupBys reuse its exchange
+    (hash(doc_id) satisfies the (doc_id, ch) clustered distribution), so
+    the whole query runs on one shuffle with parallel explode."""
+    docs = _docs(spark, sf_dir, "doc_id")
     # split on the empty pattern, NOT '(?!^)': the lookahead splits between
     # UTF-16 code units and would shear astral-plane characters into
     # surrogate halves, while '' (like DuckDB's string_split_regex) yields
