@@ -316,6 +316,59 @@ def forward_logits_batch(
     return out
 
 
+def _ctc_decode_packed(
+    codes_list: list[np.ndarray], vocab: str = DEFAULT_VOCAB
+) -> list[tuple[str, float]]:
+    """CTC best-path decode over the PACKED batched forward: instead of
+    materializing one small (3n, C+1) logits array per window and
+    re-concatenating thousands of them, the whole batch's logits build
+    directly as ONE (sum 3n, C+1) matrix — three scattered fancy-index
+    writes place exactly the frames `forward_logits` would emit (two hot
+    frames + one blank frame per character), so the matrix is
+    element-identical to ``concatenate([forward_logits(w) for w in ...])``
+    and the decode below is the same softmax/argmax/collapse as
+    :func:`ctc_best_path_batch` (no whitelist on this path)."""
+    from ..config import LOGIT_HI
+    from .vocab import blank_index
+
+    nc = len(vocab)
+    filtered = [c[c < nc] for c in codes_list]
+    ns = np.asarray([c.shape[0] for c in filtered], dtype=np.int64)
+    keep_idx = np.flatnonzero(ns > 0)
+    out: list[tuple[str, float]] = [("", 0.0)] * len(codes_list)
+    if keep_idx.size == 0:
+        return out
+    ns_k = ns[keep_idx]
+    lens = 3 * ns_k
+    offs = np.concatenate(([0], np.cumsum(lens)))
+    all_codes = np.concatenate([filtered[i] for i in keep_idx])
+    # frame row of character j in window w: offs[w] + 3*j
+    within = np.arange(all_codes.shape[0]) - np.repeat(
+        np.concatenate(([0], np.cumsum(ns_k)))[:-1], ns_k
+    )
+    rows0 = np.repeat(offs[:-1], ns_k) + 3 * within
+    big = np.zeros((int(offs[-1]), nc + 1), dtype=np.float32)
+    big[rows0, all_codes] = LOGIT_HI
+    big[rows0 + 1, all_codes] = LOGIT_HI
+    big[rows0 + 2, blank_index(vocab)] = LOGIT_HI
+    path = big.argmax(axis=1)
+    m = big[np.arange(big.shape[0]), path]
+    np.subtract(big, m[:, None], out=big)
+    np.exp(big, out=big)
+    pmax = 1.0 / np.clip(big.sum(axis=1), 1e-30, None)
+    confs = np.minimum.reduceat(pmax, offs[:-1])
+    keep = np.ones(path.shape[0], dtype=bool)
+    keep[1:] = path[1:] != path[:-1]
+    keep[offs[:-1]] = True
+    sel = np.flatnonzero(keep & (path != nc))
+    vtab = np.frombuffer(vocab.encode("utf-32-le"), dtype=np.uint32)
+    joined = vtab[path[sel]].tobytes().decode("utf-32-le") if sel.size else ""
+    char_offs = np.searchsorted(sel, offs)
+    for j, i in enumerate(keep_idx):
+        out[i] = (joined[char_offs[j] : char_offs[j + 1]], float(confs[j]))
+    return out
+
+
 def recognize_crops_batched(
     crops: list[np.ndarray],
     vocab: str = DEFAULT_VOCAB,
@@ -328,7 +381,7 @@ def recognize_crops_batched(
     crops are forwarded in RECO_BATCH-sized padded tensors, and predictions
     are regrouped and merged per crop. Output is bit-identical to
     `recognize_crop` per crop; only the model-call batching differs."""
-    from .glyphs import normalize_crop_height
+    from .glyphs import normalize_crop_height, read_codes_batch
 
     all_windows: list[np.ndarray] = []
     spans: list[tuple[int, int, float]] = []  # (start, n_windows, last_overlap)
@@ -345,11 +398,28 @@ def recognize_crops_batched(
         windows, last_overlap = split_wide_crop(crop)
         spans.append((len(all_windows), len(windows), last_overlap))
         all_windows.extend(windows)
-    logits = forward_logits_batch(all_windows, vocab, arch)
     if arch == "attention":
+        logits = forward_logits_batch(all_windows, vocab, arch)
         preds = [attention_decode(lg, vocab) for lg in logits]
-    else:
+    elif whitelist is not None:
+        logits = forward_logits_batch(all_windows, vocab, arch)
         preds = ctc_best_path_batch(logits, vocab, whitelist, whitelist_mode)
+    else:
+        # hot path: read every window's character codes through the same
+        # RECO_BATCH padded tensors, then decode via the packed matrix
+        # (identical logits, one allocation instead of one per window)
+        from ..config import GLYPH_H
+
+        codes_list: list[np.ndarray] = []
+        for start in range(0, len(all_windows), RECO_BATCH):
+            chunk = all_windows[start : start + RECO_BATCH]
+            w_max = max(w.shape[1] for w in chunk)
+            widths = [w.shape[1] for w in chunk]
+            batch = np.zeros((len(chunk), GLYPH_H, w_max), dtype=np.uint8)
+            for i, w in enumerate(chunk):
+                batch[i, :, : w.shape[1]] = w
+            codes_list.extend(read_codes_batch(batch, widths))
+        preds = _ctc_decode_packed(codes_list, vocab)
     out: list[tuple[str, float]] = []
     for start, n, last_overlap in spans:
         if n == 0:
