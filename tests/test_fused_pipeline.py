@@ -148,3 +148,28 @@ def test_fused_quarantines_corrupt_payloads(spark):
     )
     tdf = spark.createDataFrame(rows)
     assert extract_documents(tdf, crop_partitions=2).count() == 0
+
+
+def test_fused_kie_parity(spark):
+    """kie_extract's fused single-stage plan must equal the staged
+    decode->detect->recognize->KIE-build pipeline row for row."""
+    from doctr_spark.fixtures.transcripts import generate_transcripts
+    from doctr_spark.operators.kie import kie_extract, kie_extract_staged
+
+    tdf = generate_transcripts(spark, 30).persist()
+    tdf.count()
+
+    def rows(df):
+        return {
+            (r["conv_id"], r["turn_idx"], r["page_idx"]): (
+                r["kie_text"],
+                r["predictions_json"],
+                dict(r["class_counts"]),
+            )
+            for r in df.collect()
+        }
+
+    fused = rows(kie_extract(tdf, crop_partitions=8))
+    staged = rows(kie_extract_staged(tdf, crop_partitions=8))
+    assert fused == staged and len(fused) > 0
+    tdf.unpersist()
