@@ -176,13 +176,14 @@ def export_formats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Returns an eagerly materialized PERSISTED DataFrame (the shared built
     pass is cached only while the four exports render, then freed)."""
-    from doctr_spark.operators.build import build_pages
-    from doctr_spark.operators.detect import detect_and_crop
     from doctr_spark.operators.kie import export_documents
-    from doctr_spark.operators.recognize import recognize
+    from doctr_spark.operators.pipeline import extract_pages
 
     t = transcripts_from_documents(spark, sf_dir)
-    built = build_pages(recognize(detect_and_crop(decode_pages(t)))).persist()
+    # fused page-level pipeline (round 7): one Arrow stage to built pages
+    # instead of the staged decode/detect/recognize/groupBy chain —
+    # identical rows (tests/test_fused_pipeline.py parity)
+    built = extract_pages(t).persist()
     built.count()  # eager: all four export branches share this one pass
     outs = []
     for fmt in ("hocr", "markdown", "asciidoc", "html"):

@@ -43,6 +43,9 @@ DOC_SCHEMA = (
     "conv_id string, turn_idx int, extracted_text string, "
     "n_pages int, n_words int, pages_json array<string>"
 )
+PAGE_ROW_SCHEMA = (
+    "conv_id string, turn_idx int, page_idx int, n_words int, page_text string, page_json string"
+)
 
 
 def _make_fused_extractor(
@@ -61,9 +64,12 @@ def _make_fused_extractor(
     det_input_size: tuple[int, int] | None,
     det_preserve_aspect_ratio: bool,
     det_symmetric_pad: bool,
+    emit: str = "docs",
 ):
     """The whole per-turn pipeline (decode -> detect -> recognize -> build
-    -> assemble) as ONE mapInPandas kernel.
+    -> assemble) as ONE mapInPandas kernel. ``emit="pages"`` stops before
+    the per-turn assembly and yields one built-page row per page (the
+    `build_pages` output contract, used by the export surface).
 
     Everything downstream of payload decode depends only on data produced
     from that turn's own row: a turn's pages, crops, words and page builds
@@ -94,6 +100,7 @@ def _make_fused_extractor(
     from .recognize import recognize_crop_arrays
 
     _COLS = ["conv_id", "turn_idx", "extracted_text", "n_pages", "n_words", "pages_json"]
+    _PAGE_COLS = ["conv_id", "turn_idx", "page_idx", "n_words", "page_text", "page_json"]
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         process_page = make_page_processor(
@@ -170,14 +177,18 @@ def _make_fused_extractor(
                         text_direction=text_direction,
                         include_furniture=include_furniture,
                     )
+                    if emit == "pages":
+                        rows.append((conv_id, turn_idx, page_idx, n_words, text, page_json))
+                        continue
                     page_texts.append(text)
                     page_jsons.append(page_json)
                     n_words_total += n_words
-                rows.append((
-                    conv_id, turn_idx, PAGE_BREAK.join(page_texts),
-                    len(recs), n_words_total, page_jsons,
-                ))
-            yield pd.DataFrame(rows, columns=_COLS)
+                if emit != "pages":
+                    rows.append((
+                        conv_id, turn_idx, PAGE_BREAK.join(page_texts),
+                        len(recs), n_words_total, page_jsons,
+                    ))
+            yield pd.DataFrame(rows, columns=_PAGE_COLS if emit == "pages" else _COLS)
 
     return fn
 
@@ -304,6 +315,51 @@ def extract_documents(
         keys = transcripts.select("conv_id", "turn_idx")
         docs = keys.join(docs, on=["conv_id", "turn_idx"], how="left")
     return docs
+
+
+def extract_pages(
+    transcripts: DataFrame,
+    crop_partitions: int | None = None,
+    resolve_lines: bool = True,
+    resolve_blocks: bool = False,
+    paragraph_break: float = 0.035,
+    detect_crop_orientation: bool = True,
+) -> DataFrame:
+    """Fused pipeline stopping at BUILT PAGES: one row per page with the
+    `operators.build.build_pages` output contract
+    ``(conv_id, turn_idx, page_idx, n_words, page_text, page_json)`` —
+    the shared input of the export surface, computed in one Arrow stage
+    instead of the staged decode/detect/recognize/groupBy chain."""
+    sc = transcripts.sparkSession.sparkContext
+    if crop_partitions is None:
+        crop_partitions = sc.defaultParallelism * 8
+    from ..fixtures.payloads import PAYLOAD_MARK
+
+    src = transcripts.where(F.col("text").contains(PAYLOAD_MARK)).select(
+        "conv_id", "turn_idx", "text"
+    )
+    src = src.repartition(crop_partitions, F.xxhash64("conv_id", "turn_idx"))
+    return src.mapInPandas(
+        _make_fused_extractor(
+            resolve_lines,
+            resolve_blocks,
+            paragraph_break,
+            detect_crop_orientation,
+            False,
+            None,
+            False,
+            "ctc",
+            "french",
+            "db_like",
+            None,
+            True,
+            None,
+            True,
+            True,
+            emit="pages",
+        ),
+        schema=PAGE_ROW_SCHEMA,
+    )
 
 
 def ordered(docs: DataFrame) -> DataFrame:

@@ -173,3 +173,32 @@ def test_fused_kie_parity(spark):
     staged = rows(kie_extract_staged(tdf, crop_partitions=8))
     assert fused == staged and len(fused) > 0
     tdf.unpersist()
+
+
+def test_fused_extract_pages_parity(spark):
+    """extract_pages (fused, page-level emit) must equal the staged
+    build_pages(recognize(detect_and_crop(decode_pages(...)))) chain."""
+    from doctr_spark.fixtures.transcripts import generate_transcripts
+    from doctr_spark.operators.build import build_pages
+    from doctr_spark.operators.decode import decode_pages
+    from doctr_spark.operators.detect import detect_and_crop
+    from doctr_spark.operators.pipeline import extract_pages
+    from doctr_spark.operators.recognize import recognize
+
+    tdf = generate_transcripts(spark, 30).persist()
+    tdf.count()
+
+    def rows(df):
+        return {
+            (r["conv_id"], r["turn_idx"], r["page_idx"]): (
+                r["n_words"],
+                r["page_text"],
+                r["page_json"],
+            )
+            for r in df.collect()
+        }
+
+    fused = rows(extract_pages(tdf, crop_partitions=8))
+    staged = rows(build_pages(recognize(detect_and_crop(decode_pages(tdf)), num_partitions=8)))
+    assert fused == staged and len(fused) > 0
+    tdf.unpersist()
