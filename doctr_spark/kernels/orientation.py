@@ -43,6 +43,19 @@ def estimate_crop_orientation(crop: np.ndarray) -> tuple[int, float]:
     """Return (angle, confidence); angle is how far the crop is rotated
     from upright (counter-clockwise), i.e. rot90(crop, angle//90 * -1 ...)
     restores it — use `rectify_crop` to apply."""
+    from ..config import GLYPH_H, GLYPH_W
+    from .glyphs import _WEAK_INK
+
+    h, w = crop.shape[:2]
+    if h == GLYPH_H:
+        # upright fast path for native-height crops (the overwhelmingly
+        # common case): every glyph cell's marker column complete is
+        # EXACTLY the k=0 `_validity == 1.0` short-circuit below
+        # (normalize_crop_height is the identity at GLYPH_H), checked on a
+        # strided column view without the full reshape/rot90 machinery
+        n = w // GLYPH_W
+        if n and (crop[:, 0 : n * GLYPH_W : GLYPH_W] >= _WEAK_INK).all():
+            return 0, 1.0
     best_angle, best_score = 0, -1.0
     for k, angle in enumerate(ORIENTATIONS):
         score = _validity(np.rot90(crop, -k) if k else crop)
