@@ -31,9 +31,14 @@ MAX_BUCKET = 256
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..io.sources import scan_parallel
-
-    return scan_parallel(spark.read.parquet(f"{sf_dir}/embeddings.parquet")).select(
+    # deliberately NOT behind io.sources.scan_parallel: the cosine/band-key
+    # map side over a one-split local embeddings table is ~0.5 s, while the
+    # guard's round-robin exchange adds a whole extra stage whose first-run
+    # codegen costs more (interleaved A/B, q4 cold: 3.0 s guarded vs 0.9
+    # unguarded; warm a wash) — and there is no aggregation key to fold the
+    # exchange into (the top-k window partitions by the 5 query ids, which
+    # would skew). At scale the embeddings scan splits naturally.
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
 
